@@ -1,0 +1,225 @@
+"""LSH banding index + candidate joins + top-k (SURVEY §2.2 P1-P4,
+§2.3 J1/J3, §2.4 A3-A4, §2.6 T1-T3, §2.7 E1).
+
+The reference builds per-worker mutable hash tables
+(``app/src/minhash_lsh.py:32-57``) and probes them with a scatter-
+gather RPC fan-out (``app/src/query_service.py:139-196``). Here the
+"index" is an immutable DataFrame::
+
+    bands(doc_id BIGINT, band_id INT, band_hash BIGINT)
+
+and a query is ONE Spark job: broadcast the (≤32-row) query band set,
+hash equi-join on (band_id, band_hash), distinct doc_id, join back to
+signatures, score by estimated Jaccard, TakeOrderedAndProject top-k.
+The reference's per-worker partial top-m + global merge (reference
+``app/src/worker_tasks.py:166-168`` + ``query_service.py:186-192``) is
+exactly what Spark's TakeOrderedAndProject already does per-partition.
+
+Determinism deltas vs the reference are per SURVEY §4.4: bucket caps
+keep smallest doc_ids; ties order by (score DESC, doc_id ASC).
+
+Scale notes: the bands table is the only shuffled artifact (one explode
++ optional repartition on band_hash at build time); single-query probes
+are broadcast joins (zero shuffle); batch probes shuffle on
+(band_id, band_hash) where AQE skew-join splits mega-buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.config import MinHashParams
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.arrays import (
+    est_jaccard,
+)
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.hashing import (
+    band_hash,
+)
+
+
+def bands_table(sigs: DataFrame, params: MinHashParams, id_col: str = "doc_id") -> DataFrame:
+    """sigs(doc_id, sig) -> bands(doc_id, band_id, band_hash).
+
+    Reference ``app/src/minhash_lsh.py:42-57`` (band slices -> bucket
+    keys). One posexplode; band_hash over the comma-joined slice keeps
+    bucket partitioning identical to the reference's byte-key scheme.
+    Applies the deterministic bucket cap when
+    ``params.max_bucket_size`` is set (SURVEY §4.4 delta 1).
+    """
+    r = params.rows_per_band
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(params.bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band_id"),
+            band_hash(
+                F.concat_ws(
+                    ",", F.transform(F.slice("sig", b * r + 1, r), lambda v: v.cast("string"))
+                ),
+                params.hash_family,
+            ).alias("band_hash"),
+        ),
+    )
+    out = sigs.select(
+        F.col(id_col), F.explode(band_structs).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+    if params.max_bucket_size is not None:
+        out = cap_buckets(out, params.max_bucket_size, id_col)
+    return out
+
+
+def cap_buckets(bands: DataFrame, cap: int, id_col: str = "doc_id") -> DataFrame:
+    """Keep the ``cap`` smallest ids per (band_id, band_hash) bucket.
+
+    Deterministic replacement for the reference's insertion-order cap
+    (``app/src/minhash_lsh.py:50-57``, max_bucket_size=5000).
+    """
+    w = Window.partitionBy("band_id", "band_hash").orderBy(F.col(id_col).asc())
+    return (
+        bands.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def query_bands(query_sigs: DataFrame, params: MinHashParams, id_col: str = "query_id") -> DataFrame:
+    """Band rows for a set of query signatures (same banding as the corpus)."""
+    return bands_table(query_sigs, params.with_family(params.hash_family), id_col)
+
+
+def candidates(
+    bands: DataFrame,
+    q_bands: DataFrame,
+    broadcast_query: bool = True,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """LSH candidate probe (J1): union of bucket members over matching bands.
+
+    Reference ``app/src/minhash_lsh.py:70-96`` — per-band bucket lookup
+    + set-union dedup. As a join: inner equi-join on
+    (band_id, band_hash), then distinct (query_id, doc_id).
+    The reference's order-dependent ``max_candidates`` early exit is
+    intentionally NOT reproduced (SURVEY §4.4 delta 2).
+    """
+    q = q_bands.select(query_id_col, "band_id", "band_hash")
+    if broadcast_query:
+        q = F.broadcast(q)
+    return (
+        bands.join(q, ["band_id", "band_hash"], "inner")
+        .select(query_id_col, "doc_id")
+        .distinct()
+    )
+
+
+def score_candidates(
+    cand: DataFrame,
+    sigs: DataFrame,
+    query_sigs: DataFrame,
+    params: MinHashParams,
+    query_id_col: str = "query_id",
+    broadcast_query: bool = True,
+) -> DataFrame:
+    """Attach estimated-Jaccard scores (A4) to candidate pairs."""
+    qs = query_sigs.select(
+        F.col(query_id_col), F.col("sig").alias("__qsig")
+    )
+    if broadcast_query:
+        qs = F.broadcast(qs)
+    return (
+        cand.join(sigs, "doc_id")
+        .join(qs, query_id_col)
+        .select(
+            query_id_col,
+            "doc_id",
+            est_jaccard(F.col("sig"), F.col("__qsig"), params.num_perm).alias("score"),
+        )
+    )
+
+
+def topk(scored: DataFrame, k: int, query_id_col: str = "query_id") -> DataFrame:
+    """Per-query top-k with deterministic ties (score DESC, doc_id ASC).
+
+    Reference T1/T3 (``app/src/minhash_lsh.py:115-116`` +
+    ``app/src/query_service.py:186-192``). Ranking window per query —
+    for the single-query case Spark collapses this to
+    TakeOrderedAndProject.
+    """
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .select(query_id_col, "doc_id", "score", F.col("__rank").alias("rank"))
+    )
+
+
+def lsh_topk(
+    sigs: DataFrame,
+    bands: DataFrame,
+    query_sigs: DataFrame,
+    params: MinHashParams,
+    k: int = 10,
+    broadcast_query: bool = True,
+) -> DataFrame:
+    """Full online-query path (reference ``POST /query``) as one job.
+
+    query_sigs(query_id, sig) -> (query_id, doc_id, score, rank).
+    For a handful of queries the query side is broadcast (zero
+    shuffle); for large batch query sets pass broadcast_query=False and
+    the band join shuffles on (band_id, band_hash) with AQE skew
+    handling.
+    """
+    qb = query_bands(query_sigs, params)
+    cand = candidates(bands, qb, broadcast_query)
+    scored = score_candidates(cand, sigs, query_sigs, params, broadcast_query=broadcast_query)
+    return topk(scored, k)
+
+
+def self_join_pairs(
+    bands: DataFrame,
+    sigs: DataFrame,
+    params: MinHashParams,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH self-join: near-duplicate candidate pairs above a similarity
+    threshold (M6 dedup building block).
+
+    Returns (doc_a, doc_b, score) with doc_a < doc_b, distinct pairs.
+    Scale notes: the band-bucket self-join is the classic LSH dedup
+    shape — shuffle on (band_id, band_hash); mega-buckets are bounded
+    by ``cap_buckets`` and AQE skew-join.
+    """
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_id", "band_hash"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_id", "band_hash"
+    )
+    pairs = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            est_jaccard(F.col("sig_a"), F.col("sig_b"), params.num_perm).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def with_preview(result: DataFrame, sigs: DataFrame, n: int = 10) -> DataFrame:
+    """Attach the reference's 10-element signature preview (P3,
+    reference ``app/src/worker_tasks.py:164``)."""
+    return result.join(
+        sigs.select("doc_id", F.slice("sig", 1, n).alias("vector_preview")),
+        "doc_id",
+    )

@@ -1,0 +1,45 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the same settings
+(AQE, skew-join handling, partition coalescing, Arrow) are the ones
+you'd want on a 1000-executor cluster — nothing here is local-only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "fshdi-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_SQL_SHUFFLE_PARTITIONS", str(max(cpus, 8)))
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Adaptive execution: runtime re-plan, skew-join splitting, and
+        # post-shuffle partition coalescing (SURVEY §4.1 bucket-cap /
+        # skew notes map here).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for the few pandas-UDF paths (multimodal stubs, bit-compat
+        # hash family); everything hot stays JVM-side.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.ui.explainMode", "formatted")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

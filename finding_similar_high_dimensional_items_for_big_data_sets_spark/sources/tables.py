@@ -1,0 +1,99 @@
+"""Sources & sinks (SURVEY §2.1).
+
+The reference's NPY/pickle shard files (S1-S5) become Parquet tables;
+shard assignment/round-robin (S4) dissolves into Spark task scheduling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", default)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1/S2: columnar scan with pushdown/pruning owned by Spark."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_sharded(df: DataFrame, path: str, num_shards: int, key: str = "doc_id") -> None:
+    """S3 shard sink: contiguous key-range shards, as the reference's
+    ``index_builder.split_and_save`` (``app/src/index_builder.py:22-36``)
+    but expressed as range partitioning (deterministic per key, not per
+    insertion order)."""
+    df.repartitionByRange(num_shards, key).write.mode("overwrite").parquet(path)
+
+
+def write_bands(bands: DataFrame, path: str, num_buckets: int = 64) -> None:
+    """Persist the LSH index table partition-hashed on band_hash so
+    batch probes co-locate without a fresh shuffle."""
+    bands.repartition(num_buckets, "band_hash").write.mode("overwrite").parquet(path)
+
+
+def synthetic_documents(
+    spark: SparkSession,
+    n_docs: int,
+    vocab_size: int = 20,
+    avg_words: int = 40,
+    sigma_words: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """S11: seeded synthetic corpus (reference
+    ``benchmarks/synth_data.py:86-120``): ``max(1, round(N(avg, σ)))``
+    words drawn uniformly from vocab ``w0..w{V-1}``; ids ``doc_%06d``.
+
+    Fully distributed: ``spark.range`` + seeded rand/randn — no driver
+    loop, deterministic per (seed, n_docs) at any scale.
+    """
+    n_words = F.greatest(
+        F.lit(1),
+        F.round(F.randn(seed) * sigma_words + avg_words).cast("int"),
+    )
+    words = F.transform(
+        F.sequence(F.lit(1), n_words),
+        # per-position uniform vocab pick; rand(seed+1) is row-and-
+        # position deterministic via the id-dependent re-hash below
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(
+                F.xxhash64(F.col("id"), i, F.lit(seed)), F.lit(vocab_size)
+            ).cast("string"),
+        ),
+    )
+    return (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.format_string("doc_%06d", F.col("id")).alias("doc_name"),
+            F.array_join(words, " ").alias("text"),
+        )
+    )

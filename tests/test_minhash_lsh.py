@@ -1,0 +1,118 @@
+"""M1 end-to-end: shingle -> MinHash -> bands -> LSH top-k.
+
+Oracle: brute-force estimated-Jaccard over all docs (tiny sf0.001) and
+a pure-NumPy reimplementation of the portable MinHash family.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.config import (
+    MERSENNE31,
+    MinHashParams,
+    perm_coeffs,
+)
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.arrays import (
+    est_jaccard,
+)
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import lsh, minhash
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import load_table
+
+PARAMS = MinHashParams()
+
+
+def py_portable_hash(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def py_signature(text: str, params: MinHashParams = PARAMS) -> list[int]:
+    a, b = perm_coeffs(params.num_perm, params.seed)
+    shingles = list(dict.fromkeys(t for t in text.split(" ") if t))
+    hs = [py_portable_hash(s) % MERSENNE31 for s in shingles]
+    if not hs:
+        return [MERSENNE31] * params.num_perm
+    return [min((a[i] * h + b[i]) % MERSENNE31 for h in hs) for i in range(params.num_perm)]
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def sigs(docs):
+    return minhash.signatures(docs, PARAMS).cache()
+
+
+def test_signature_matches_python_oracle(docs, sigs):
+    sample = docs.filter(F.col("doc_id").isin([0, 7, 42])).select("doc_id", "text").collect()
+    got = {r["doc_id"]: r["sig"] for r in sigs.filter(F.col("doc_id").isin([0, 7, 42])).collect()}
+    for row in sample:
+        assert got[row["doc_id"]] == py_signature(row["text"]), f"doc {row['doc_id']}"
+
+
+def test_signature_bit_stable(docs):
+    s1 = minhash.signatures(docs, PARAMS).orderBy("doc_id").limit(5).collect()
+    s2 = minhash.signatures(docs, PARAMS).orderBy("doc_id").limit(5).collect()
+    assert [r["sig"] for r in s1] == [r["sig"] for r in s2]
+
+
+def test_bands_shape(sigs):
+    bands = lsh.bands_table(sigs, PARAMS)
+    n_docs = sigs.count()
+    assert bands.count() == n_docs * PARAMS.bands
+    row = bands.groupBy("doc_id").count().agg(F.min("count"), F.max("count")).collect()[0]
+    assert row[0] == row[1] == PARAMS.bands
+
+
+def test_lsh_topk_contains_self_and_matches_bruteforce(sigs):
+    qid = 13
+    k = 10
+    bands = lsh.bands_table(sigs, PARAMS)
+    qsigs = sigs.filter(F.col("doc_id") == qid).select(
+        F.col("doc_id").alias("query_id"), "sig"
+    )
+    result = lsh.lsh_topk(sigs, bands, qsigs, PARAMS, k=k).collect()
+    assert len(result) >= 1
+    # rank 1 must be the query itself with score 1.0
+    top = sorted(result, key=lambda r: r["rank"])[0]
+    assert top["doc_id"] == qid and top["score"] == 1.0
+
+    # every returned candidate's score must match the brute-force score
+    qsig_row = qsigs.collect()[0]["sig"]
+    brute = {
+        r["doc_id"]: r["score"]
+        for r in sigs.select(
+            "doc_id",
+            est_jaccard(F.col("sig"), F.array(*[F.lit(v) for v in qsig_row]), PARAMS.num_perm).alias(
+                "score"
+            ),
+        ).collect()
+    }
+    for r in result:
+        assert abs(r["score"] - brute[r["doc_id"]]) < 1e-12
+    # LSH candidates all share >= 1 full band with the query => their
+    # score can't be beaten by a non-candidate that also shares a band.
+    # (Recall vs brute force is measured in the metrics harness, not here.)
+
+
+def test_bucket_cap_deterministic(sigs):
+    capped = lsh.cap_buckets(lsh.bands_table(sigs, PARAMS), cap=2)
+    sizes = capped.groupBy("band_id", "band_hash").count()
+    assert sizes.agg(F.max("count")).collect()[0][0] <= 2
+    # kept ids are the smallest per bucket: re-running yields same rows
+    a = sorted(map(tuple, capped.collect()))
+    b = sorted(map(tuple, lsh.cap_buckets(lsh.bands_table(sigs, PARAMS), cap=2).collect()))
+    assert a == b
+
+
+def test_self_join_pairs_symmetric_free(sigs):
+    bands = lsh.bands_table(sigs, PARAMS)
+    pairs = lsh.self_join_pairs(bands, sigs, PARAMS, threshold=0.3).collect()
+    seen = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert all(a < b for a, b in seen)
+    assert len(seen) == len(pairs)  # distinct
