@@ -77,7 +77,9 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: zero-norm vectors yield NULL instead of an ANSI
+    # divide-by-zero failure that would kill the whole job.
+    return F.try_divide(dot_product(a, b), l2_norm(a) * l2_norm(b))
 
 
 def jaccard_arrays(a: Column, b: Column) -> Column:

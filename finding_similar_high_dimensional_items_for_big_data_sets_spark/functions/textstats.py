@@ -1,0 +1,144 @@
+"""Text-analysis functions for training-data pipelines: token
+counting, quality scoring, language ID, document fingerprinting.
+
+All built-in-expression columns over the ``documents`` table — no
+UDFs, shuffle-free per-row work, and every one of them is renderable
+as ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.config import MERSENNE31
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.hashing import (
+    portable_hash64,
+)
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.text import tokenize
+
+# Tiny deterministic stopword lists per language for the heuristic
+# language scorer. Chosen from high-frequency closed-class words.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "en"),
+    "zh": ("de5", "shi4", "le5", "zai4", "wo3", "you3", "he2", "ren2"),
+}
+
+ENGLISH_STOPWORDS = LANG_MARKERS["en"] + ("that", "was", "for", "on", "with")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokenize(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored token estimate: count word-piece-like units — runs
+    of letters, runs of digits, and single punctuation marks — via a
+    tokenizer regex. A deterministic proxy for subword token counts.
+    """
+    pieces = F.regexp_extract_all(
+        text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+    )
+    return F.size(pieces)
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def avg_word_length(text: Column) -> Column:
+    toks = tokenize(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-space characters that are punctuation."""
+    nospace = F.regexp_replace(text, r"\s+", "")
+    punct = F.length(F.regexp_replace(nospace, r"[A-Za-z0-9]", ""))
+    return F.when(F.length(nospace) > 0, punct / F.length(nospace)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
+    toks = tokenize(F.lower(text))
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def distinct_token_ratio(text: Column) -> Column:
+    """Lexical diversity: distinct/total tokens (low => boilerplate)."""
+    toks = tokenize(text)
+    return F.when(
+        F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks)
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0, 1]: rewards reasonable
+    length, lexical diversity, and low punctuation noise.
+
+    score = 0.4 * min(1, tokens/50) + 0.4 * distinct_ratio
+          + 0.2 * (1 - min(1, 4 * punct_ratio))
+    """
+    n = token_count(text)
+    return (
+        0.4 * F.least(F.lit(1.0), n / F.lit(50.0))
+        + 0.4 * distinct_token_ratio(text)
+        + 0.2 * (F.lit(1.0) - F.least(F.lit(1.0), 4.0 * punct_ratio(text)))
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts for the heuristic classifier."""
+    toks = tokenize(F.lower(text))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        marr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marr, t)))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: language with the most marker hits;
+    'und' (undetermined) when no marker appears. Ties resolved by
+    language-code order (deterministic)."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("hits"), F.lit(lang).alias("lang"))
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    ordered = F.array_sort(pairs)  # ascending (hits, lang)
+    top_hits = F.element_at(ordered, -1)["hits"]
+    winner = F.element_at(
+        F.filter(ordered, lambda p: p["hits"] == top_hits), 1
+    )["lang"]
+    return F.when(top_hits > 0, winner).otherwise(F.lit("und"))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Order-sensitive rolling document fingerprint: fold the portable
+    hash of each token into an accumulator mod 2^31-1.
+
+        fp = fold(tokens, 0, (acc, t) -> (acc * 31 + H(t)) mod p)
+
+    Detects exact token-sequence duplicates irrespective of extra
+    whitespace; cheap enough to run on every document at ingest.
+    """
+    toks = tokenize(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: F.pmod(
+            acc * 31 + F.pmod(portable_hash64(t), F.lit(MERSENNE31)),
+            F.lit(MERSENNE31),
+        ),
+    )

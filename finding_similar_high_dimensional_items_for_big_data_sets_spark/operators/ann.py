@@ -1,0 +1,163 @@
+"""Approximate nearest neighbor over embedding columns.
+
+- ``cosine_topk`` (in ``bruteforce``) is the exact baseline.
+- ``hyperplane_bucket`` + ``ann_lsh_topk``: random-hyperplane (sign)
+  LSH — the scale path. Bucket on the sign pattern of ``n_planes``
+  seeded random hyperplanes, probe only the query's bucket(s), verify
+  with exact cosine. At 100 TB the corpus is bucketed once (one
+  shuffle at build), and each query touches ~N / 2^n_planes vectors.
+- ``ivf_assign`` / ``ivf_topk``: IVF-style coarse quantizer using
+  seeded random centroids (deterministic, no training dependency):
+  assign every vector to its nearest centroid, probe the query's
+  ``n_probe`` nearest centroid cells.
+
+All math is JVM-side higher-order expressions; planes/centroids are
+driver-computed literals (seeded numpy), broadcast by Catalyst.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.arrays import (
+    cosine_similarity,
+    l2_distance,
+)
+
+
+def random_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    rs = np.random.RandomState(seed)
+    return rs.randn(n_planes, dim).tolist()
+
+
+def random_centroids(dim: int, n_cells: int = 16, seed: int = 43) -> list[list[float]]:
+    rs = np.random.RandomState(seed)
+    return rs.randn(n_cells, dim).tolist()
+
+
+def _dot_lit(vec: Column, plane: list[float]) -> Column:
+    lit_arr = F.array(*[F.lit(float(x)) for x in plane])
+    return F.aggregate(
+        F.zip_with(vec, lit_arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def hyperplane_bucket(
+    vec: Column, dim: int, n_planes: int = 8, seed: int = 42
+) -> Column:
+    """Sign-pattern bucket id in [0, 2^n_planes): bit j set iff
+    dot(plane_j, vec) >= 0."""
+    planes = random_planes(dim, n_planes, seed)
+    bits = [
+        F.when(_dot_lit(vec, planes[j]) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(n_planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def with_hyperplane_bucket(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    return embeddings.withColumn(
+        "bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes, seed)
+    )
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Single-bucket probe ANN: filter to the query's sign bucket,
+    exact cosine on survivors, deterministic top-k.
+    Output: (vec_id, cos_sim, rank)."""
+    dim = len(query)
+    planes = random_planes(dim, n_planes, seed)
+    qbucket = 0
+    for j, p in enumerate(planes):
+        if float(np.dot(p, query)) >= 0:
+            qbucket |= 1 << j
+    bucketed = with_hyperplane_bucket(embeddings, dim, n_planes, seed, vec_col)
+    qlit = F.array(*[F.lit(float(v)) for v in query])
+    scored = bucketed.filter(F.col("bucket") == qbucket).select(
+        id_col, cosine_similarity(F.col(vec_col), qlit).alias("cos_sim")
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid cell (argmin L2).
+
+    One pass, no shuffle; at scale you'd persist partitioned by cell.
+    Output: original columns + cell INT.
+    """
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda x, y: F.pow(x.cast("double") - y, F.lit(2)),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    cell = F.array_position(dists, F.array_min(dists)).cast("int") - 1
+    return embeddings.withColumn("cell", cell)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 43,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: search only the n_probe cells nearest the query.
+    Output: (vec_id, dist, rank)."""
+    centroids = random_centroids(len(query), n_cells, seed)
+    q = np.asarray(query, dtype=float)
+    order = np.argsort([float(np.sum((np.asarray(c) - q) ** 2)) for c in centroids])
+    probe_cells = [int(c) for c in order[:n_probe]]
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    qlit = F.array(*[F.lit(float(v)) for v in query])
+    scored = assigned.filter(F.col("cell").isin(probe_cells)).select(
+        id_col, l2_distance(F.col(vec_col), qlit).alias("dist")
+    )
+    w = Window.orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return (
+        scored.orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )

@@ -1,0 +1,128 @@
+"""Exact brute-force similarity joins + per-query top-k (SURVEY §2.3
+J2/J4, §2.6 T4).
+
+The reference's oracle is a dense queries x data Euclidean distance
+matrix with per-row argsort (``benchmarks/benchmark_runner.py:
+109-117``). Spark-first shape: a (broadcast) nested-loop join of the
+query set against the corpus with a distance expression, then a
+per-query ranking window. With a small query side Catalyst picks
+BroadcastNestedLoopJoin — the corpus is scanned once, partition-
+parallel, never shuffled; only the tiny per-query top-k merge moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.arrays import (
+    cosine_similarity,
+    est_jaccard,
+    jaccard_arrays,
+    l2_distance,
+)
+
+
+def _per_query_topk(
+    scored: DataFrame,
+    k: int,
+    order: list[Column],
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    w = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact L2 nearest neighbors per query (reference J2).
+
+    Ties deterministic: (dist ASC, id ASC). Output:
+    (query_id, vec_id, dist, rank).
+    """
+    joined = corpus.crossJoin(F.broadcast(queries))
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        l2_distance(F.col(vec_col), F.col(query_vec_col)).alias("dist"),
+    )
+    return _per_query_topk(
+        scored, k, [F.col("dist").asc(), F.col(id_col).asc()], query_id_col
+    ).select(query_id_col, id_col, "dist", "rank")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k per query — the ANN baseline (north-star
+    similarity-search op). Output: (query_id, vec_id, cos_sim, rank)."""
+    joined = corpus.crossJoin(F.broadcast(queries))
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"),
+    )
+    return _per_query_topk(
+        scored, k, [F.col("cos_sim").desc(), F.col(id_col).asc()], query_id_col
+    ).select(query_id_col, id_col, "cos_sim", "rank")
+
+
+def est_jaccard_topk(
+    sigs: DataFrame,
+    query_sigs: DataFrame,
+    num_perm: int,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k under the system's own similarity semantic
+    (estimated Jaccard over full signatures — no LSH pruning).
+    This is the correct recall oracle for the LSH path.
+    Output: (query_id, doc_id, score, rank)."""
+    joined = sigs.crossJoin(
+        F.broadcast(query_sigs.select("query_id", F.col("sig").alias("__qsig")))
+    )
+    scored = joined.select(
+        "query_id",
+        "doc_id",
+        est_jaccard(F.col("sig"), F.col("__qsig"), num_perm).alias("score"),
+    )
+    return _per_query_topk(
+        scored, k, [F.col("score").desc(), F.col("doc_id").asc()], "query_id"
+    ).select("query_id", "doc_id", "score", "rank")
+
+
+def true_jaccard_topk(
+    shingled: DataFrame,
+    query_shingled: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Exact set-Jaccard top-k over shingle sets (the quantity MinHash
+    estimates). Output: (query_id, doc_id, jaccard, rank)."""
+    joined = shingled.crossJoin(
+        F.broadcast(
+            query_shingled.select("query_id", F.col("shingles").alias("__qsh"))
+        )
+    )
+    scored = joined.select(
+        "query_id",
+        "doc_id",
+        jaccard_arrays(F.col("shingles"), F.col("__qsh")).alias("jaccard"),
+    )
+    return _per_query_topk(
+        scored, k, [F.col("jaccard").desc(), F.col("doc_id").asc()], "query_id"
+    ).select("query_id", "doc_id", "jaccard", "rank")

@@ -1,0 +1,260 @@
+"""Deduplication family for large-scale training-data pipelines.
+
+Five dedup strategies, all as DataFrame transformations over the
+``documents`` / ``embeddings`` tables:
+
+- exact:            normalized-text hash groupBy            (zero FP)
+- minhash_lsh:      shingle -> MinHash -> band bucket self-join
+                    (reference's own similarity semantic, §2.3 J1)
+- simhash:          64-bit weighted-bit fingerprint, near-dup by
+                    hamming distance over bucketed prefixes
+- ngram_jaccard:    exact word n-gram Jaccard above threshold
+- embedding_cosine: near-dup by cosine over dense vectors
+
+Scale notes: every strategy is shuffle-bounded by its blocking key
+(hash, band bucket, simhash prefix band, LSH bucket) — never an
+unblocked O(N^2) pair join. Exact dedup is one hash aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.config import MinHashParams
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.arrays import (
+    cosine_similarity,
+    jaccard_arrays,
+)
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.hashing import (
+    portable_hash64,
+)
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.text import (
+    tokenize,
+    word_shingles,
+)
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import lsh, minhash
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup via hash-groupBy on normalized text.
+
+    Output: (doc_id, canonical_id, content_hash) for docs in groups of
+    size >= 2; canonical = smallest doc_id of the group.
+    """
+    hashed = docs.select(
+        F.col(id_col),
+        portable_hash64(normalize_text(F.col(text_col))).alias("content_hash"),
+    )
+    w = Window.partitionBy("content_hash")
+    return (
+        hashed.withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .filter(F.col("group_size") >= 2)
+        .select(id_col, "canonical_id", "content_hash")
+    )
+
+
+def minhash_lsh_duplicates(
+    docs: DataFrame,
+    params: MinHashParams | None = None,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs via the engine's own MinHash-LSH self-join.
+
+    Output: (doc_a, doc_b, score) with doc_a < doc_b, est-Jaccard >=
+    threshold. Banding makes blocking automatic; est-Jaccard verifies.
+    """
+    params = params or MinHashParams()
+    sigs = minhash.signatures(docs, params, id_col, text_col)
+    bands = lsh.bands_table(sigs, params, id_col)
+    return lsh.self_join_pairs(bands, sigs, params, threshold)
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash of a token array (Charikar random-hyperplane over
+    the hashing trick): bit j of the fingerprint is the sign of the sum
+    over distinct tokens of (+1 if bit j of H(token) else -1).
+
+    Pure higher-order expressions: per-row O(|tokens| * 64) bit math,
+    JVM-side, shuffle-free.
+    """
+    toks = F.array_distinct(tokens)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote(j: int):
+        # +1 per token whose hash has bit j set, -1 otherwise.
+        # shiftright is arithmetic, which is fine for (h >> j) & 1.
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == F.lit(1), 1).otherwise(
+                -1
+            ),
+        )
+
+    # bit 63's literal is the int64 min value in two's complement
+    def bit_lit(j: int):
+        return F.lit(1 << j if j < 63 else -(1 << 63)).cast("bigint")
+
+    out = F.lit(0).cast("bigint")
+    for j in range(64):
+        out = out.bitwiseOR(F.when(vote(j) > 0, bit_lit(j)).otherwise(F.lit(0).cast("bigint")))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_duplicates(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Blocking: split the 64-bit fingerprint into ``n_bands`` 16-bit
+    chunks; by pigeonhole, any pair within hamming distance
+    ``n_bands - 1`` shares at least one exact chunk — join per chunk,
+    then verify the true distance. Shuffles only on (chunk_id, chunk).
+    """
+    fp = docs.select(
+        F.col(id_col), simhash64(tokenize(F.col(text_col))).alias("simhash")
+    )
+    chunk_bits = 64 // n_bands
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_id"),
+                F.shiftright(F.col("simhash"), i * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                .alias("chunk"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    chunks = fp.select(
+        id_col, "simhash", F.explode(chunk_structs).alias("c")
+    ).select(id_col, "simhash", "c.chunk_id", "c.chunk")
+    left = chunks.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk_id", "chunk"
+    )
+    right = chunks.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk_id", "chunk"
+    )
+    return (
+        left.join(right, ["chunk_id", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_duplicates(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    blocking_params: MinHashParams | None = None,
+) -> DataFrame:
+    """Exact word n-gram Jaccard near-dups, LSH-blocked.
+
+    Candidate pairs come from MinHash-LSH banding over the same
+    n-grams (cheap, high-recall blocking); the final score is the
+    EXACT n-gram Jaccard, so results are deterministic and
+    threshold-exact. Output: (doc_a, doc_b, jaccard).
+
+    Default blocking is recall-heavy (b=64, r=2: >99.9% candidate
+    probability at J=1/3) since the exact verify step removes false
+    positives for free.
+    """
+    params = blocking_params or MinHashParams(k_shingle=n, bands=64)
+    grams = docs.select(
+        F.col(id_col),
+        word_shingles(tokenize(F.col(text_col)), n).alias("shingles"),
+    )
+    sigs = minhash.with_signature(grams, params).select(id_col, "sig")
+    bands = lsh.bands_table(sigs, params, id_col)
+    pairs = (
+        bands.select(F.col(id_col).alias("doc_a"), "band_id", "band_hash")
+        .join(
+            bands.select(F.col(id_col).alias("doc_b"), "band_id", "band_hash"),
+            ["band_id", "band_hash"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ga = grams.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    gb = grams.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            jaccard_arrays(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_cosine_duplicates(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine similarity >= threshold.
+
+    Blocking: random-hyperplane (sign) LSH buckets — vectors that are
+    near-identical in cosine almost surely share the full sign
+    pattern; candidate pairs are verified with exact cosine. Shuffles
+    only on the bucket key. Output: (vec_a, vec_b, cos_sim).
+    """
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        hyperplane_bucket,
+    )
+
+    bucketed = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(F.col(vec_col), dim, n_planes=n_planes, seed=seed).alias(
+            "bucket"
+        ),
+    )
+    left = bucketed.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a"), "bucket"
+    )
+    right = bucketed.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b"), "bucket"
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_similarity(F.col("emb_a"), F.col("emb_b")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )

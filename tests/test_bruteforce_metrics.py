@@ -1,0 +1,86 @@
+"""Brute-force oracles (J2/T4) + quality metrics (A6) vs NumPy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import (
+    bruteforce,
+    metrics,
+)
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def test_l2_topk_matches_numpy(spark, emb, emb_np):
+    ids, mat = emb_np
+    qidx = int(np.where(ids == 7)[0][0])
+    dists = np.sqrt(((mat - mat[qidx]) ** 2).sum(axis=1))
+    order = np.lexsort((ids, dists))[:5]
+    expected = [int(ids[i]) for i in order]
+
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = [
+        r["vec_id"]
+        for r in bruteforce.l2_topk(emb, q, k=5).orderBy("rank").collect()
+    ]
+    assert got == expected
+
+
+def test_cosine_topk_matches_numpy(spark, emb, emb_np):
+    ids, mat = emb_np
+    qidx = int(np.where(ids == 7)[0][0])
+    qv = mat[qidx]
+    sims = (mat @ qv) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    order = np.lexsort((ids, -sims))[:5]
+    expected = [int(ids[i]) for i in order]
+
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = [
+        r["vec_id"]
+        for r in bruteforce.cosine_topk(emb, q, k=5).orderBy("rank").collect()
+    ]
+    assert got == expected
+
+
+def test_quality_metrics_hand_case(spark):
+    # pred:  q1 -> [1,2,3];       truth: q1 -> [1,9,3]   (2 hits, first at rank 1)
+    # pred:  q2 -> [4,5,6];       truth: q2 -> [7,8,5]   (1 hit, first at rank 2)
+    pred = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 2), (1, 3, 3), (2, 4, 1), (2, 5, 2), (2, 6, 3)],
+        "query_id int, doc_id int, rank int",
+    )
+    truth = spark.createDataFrame(
+        [(1, 1, 1), (1, 9, 2), (1, 3, 3), (2, 7, 1), (2, 8, 2), (2, 5, 3)],
+        "query_id int, doc_id int, rank int",
+    )
+    row = metrics.quality_metrics(pred, truth, k=3).collect()[0]
+    assert abs(row["recall_at_k"] - (2 / 3 + 1 / 3) / 2) < 1e-12
+    assert abs(row["precision_at_k"] - (2 / 3 + 1 / 3) / 2) < 1e-12
+    assert abs(row["mrr"] - (1.0 + 0.5) / 2) < 1e-12
+    assert row["n_queries"] == 2
+
+
+def test_mrr_zero_when_no_hits(spark):
+    pred = spark.createDataFrame([(1, 1, 1), (1, 2, 2)], "query_id int, doc_id int, rank int")
+    truth = spark.createDataFrame([(1, 8, 1), (1, 9, 2)], "query_id int, doc_id int, rank int")
+    row = metrics.quality_metrics(pred, truth, k=2).collect()[0]
+    assert row["recall_at_k"] == 0.0 and row["mrr"] == 0.0

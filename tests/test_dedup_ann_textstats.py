@@ -1,0 +1,144 @@
+"""Dedup family, ANN operators, text-analysis functions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions import textstats
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import ann, dedup
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_exact_duplicates_finds_planted(spark, docs):
+    planted = spark.createDataFrame(
+        [(9001, "Hello   World"), (9002, "hello world"), (9003, "different text")],
+        "doc_id bigint, text string",
+    )
+    dups = dedup.exact_duplicates(planted).collect()
+    assert {(r["doc_id"], r["canonical_id"]) for r in dups} == {
+        (9001, 9001),
+        (9002, 9001),
+    }
+
+
+def test_minhash_lsh_duplicates_find_planted_near_dup(spark, docs):
+    base = docs.filter(F.col("doc_id") == 3).first()["text"]
+    toks = base.split(" ")
+    mutated = " ".join(toks[:-2])  # drop 2 words -> high Jaccard
+    corpus = docs.select("doc_id", "text").union(
+        spark.createDataFrame([(90001, mutated)], "doc_id bigint, text string")
+    )
+    pairs = dedup.minhash_lsh_duplicates(corpus, threshold=0.7).collect()
+    assert any(
+        {r["doc_a"], r["doc_b"]} == {3, 90001} for r in pairs
+    ), f"planted pair missing from {len(pairs)} pairs"
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    two = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "x y z")],
+        "doc_id bigint, text string",
+    )
+    pairs = dedup.simhash_duplicates(two, max_hamming=0).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc1 3-grams: {a b c, b c d}; doc2 3-grams: {a b c, b c e} -> J=1/3
+    two = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id bigint, text string"
+    )
+    pairs = dedup.ngram_jaccard_duplicates(two, n=3, threshold=0.1).collect()
+    assert len(pairs) == 1
+    assert pairs[0]["jaccard"] == pytest.approx(1 / 3)
+
+
+def test_embedding_cosine_duplicates_planted(spark, emb):
+    v = emb.filter(F.col("vec_id") == 5).first()["embedding"]
+    near = [x * 1.001 for x in v]  # same direction -> cos ~ 1
+    corpus = emb.select("vec_id", "embedding").union(
+        spark.createDataFrame([(90005, near)], "vec_id bigint, embedding array<float>")
+    )
+    pairs = dedup.embedding_cosine_duplicates(corpus, dim=64, threshold=0.999).collect()
+    assert any({r["vec_a"], r["vec_b"]} == {5, 90005} for r in pairs)
+
+
+def test_ann_lsh_includes_self_and_orders_by_cosine(emb):
+    qvec = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+    res = ann.ann_lsh_topk(emb, qvec, k=5).collect()
+    assert res[0]["vec_id"] == 7 and res[0]["cos_sim"] == pytest.approx(1.0)
+    sims = [r["cos_sim"] for r in res]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_topk_matches_bruteforce_when_probing_all_cells(emb):
+    qvec = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+    res = ann.ivf_topk(emb, qvec, k=5, n_cells=8, n_probe=8).collect()
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    dists = np.sqrt(((mat - np.asarray(qvec)) ** 2).sum(axis=1))
+    expected = [int(ids[i]) for i in np.lexsort((ids, dists))[:5]]
+    assert [r["vec_id"] for r in res] == expected
+
+
+def test_textstats_hand_values(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat"), (2, ""), (3, "a b-c 12 d!")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            textstats.token_count(F.col("text")).alias("n"),
+            textstats.bpe_ish_token_count(F.col("text")).alias("bpe"),
+            textstats.distinct_token_ratio(F.col("text")).alias("dtr"),
+            textstats.stopword_ratio(F.col("text")).alias("swr"),
+            textstats.lang_id(F.col("text")).alias("lang"),
+            textstats.doc_fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert out[1]["n"] == 5
+    assert out[1]["dtr"] == pytest.approx(4 / 5)
+    assert out[1]["swr"] == pytest.approx(3 / 5)  # the, and, the
+    assert out[1]["lang"] == "en"
+    assert out[2]["n"] == 0 and out[2]["fp"] == 0
+    # "a b-c 12 d!" -> pieces: a, b, -, c, 12, d, ! = 7
+    assert out[3]["bpe"] == 7
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta alpha"), (3, "alpha  beta")],
+        "doc_id bigint, text string",
+    )
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", textstats.doc_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert fps[1] != fps[2]  # order matters
+    assert fps[1] == fps[3]  # whitespace doesn't
+
+
+def test_lang_id_on_real_docs_lowercase_markers(docs):
+    # corpus text is synthetic English-ish DB words; lang_id should be
+    # deterministic and never null
+    n_null = docs.select(textstats.lang_id(F.col("text")).alias("l")).filter(
+        F.col("l").isNull()
+    ).count()
+    assert n_null == 0
