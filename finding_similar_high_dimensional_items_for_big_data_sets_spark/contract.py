@@ -1,0 +1,41 @@
+"""Shared constants for the driver contract: the fixed query fixtures
+used by both the Spark queries() implementations and the DuckDB
+oracle_sql() renderings. Single source of truth so both sides always
+agree (FIXTURES.md §5: point query = one doc, batch = first N docs).
+"""
+
+from __future__ import annotations
+
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.config import (
+    MinHashParams,
+)
+
+# Portable hash family so every pipeline stage is DuckDB-checkable.
+PARAMS = MinHashParams()
+
+# Point query on documents (reference analog: dataset row 1025,
+# benchmarks/benchmark_runner.py:218) and k (default 10,
+# app/src/query_service.py:46).
+QUERY_DOC = 13
+K_DOC = 10
+
+# Batch query fixture (reference MERTRIC_TEST mode uses first rows).
+BATCH_DOCS = 10
+K_BATCH = 5
+
+# Embedding-space point query + k.
+QUERY_VEC = 7
+K_VEC = 10
+
+# QED configuration for the oracle suite (small n_bins keeps the SQL
+# compact; the operator itself defaults to 256 like the reference).
+QED_BINS = 16
+QED_P_FRACTION = 0.1
+
+# LSH self-join duplicate threshold for the pairs query.
+PAIR_THRESHOLD = 0.5
+
+# Random-hyperplane ANN config.
+ANN_PLANES = 8
+ANN_SEED = 42
+EMB_DIM = 64

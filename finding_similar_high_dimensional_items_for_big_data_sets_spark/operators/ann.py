@@ -94,8 +94,9 @@ def ann_lsh_topk(
             qbucket |= 1 << j
     bucketed = with_hyperplane_bucket(embeddings, dim, n_planes, seed, vec_col)
     qlit = F.array(*[F.lit(float(v)) for v in query])
+    # round(6): 1-ULP fold parity with the DuckDB oracle (see bruteforce).
     scored = bucketed.filter(F.col("bucket") == qbucket).select(
-        id_col, cosine_similarity(F.col(vec_col), qlit).alias("cos_sim")
+        id_col, F.round(cosine_similarity(F.col(vec_col), qlit), 6).alias("cos_sim")
     )
     w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return (

@@ -51,10 +51,12 @@ def l2_topk(
     (query_id, vec_id, dist, rank).
     """
     joined = corpus.crossJoin(F.broadcast(queries))
+    # round(6): float folds can differ by 1 ULP across engines (Spark vs
+    # the DuckDB oracle); ranking + hashing use the rounded value.
     scored = joined.select(
         query_id_col,
         id_col,
-        l2_distance(F.col(vec_col), F.col(query_vec_col)).alias("dist"),
+        F.round(l2_distance(F.col(vec_col), F.col(query_vec_col)), 6).alias("dist"),
     )
     return _per_query_topk(
         scored, k, [F.col("dist").asc(), F.col(id_col).asc()], query_id_col
@@ -76,7 +78,9 @@ def cosine_topk(
     scored = joined.select(
         query_id_col,
         id_col,
-        cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"),
+        F.round(
+            cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6
+        ).alias("cos_sim"),
     )
     return _per_query_topk(
         scored, k, [F.col("cos_sim").desc(), F.col(id_col).asc()], query_id_col

@@ -80,16 +80,21 @@ def minhash_lsh_duplicates(
     return lsh.self_join_pairs(bands, sigs, params, threshold)
 
 
-def simhash64(tokens: Column) -> Column:
+def simhash64(tokens: Column, family: str = "xxhash64") -> Column:
     """64-bit SimHash of a token array (Charikar random-hyperplane over
     the hashing trick): bit j of the fingerprint is the sign of the sum
     over distinct tokens of (+1 if bit j of H(token) else -1).
 
     Pure higher-order expressions: per-row O(|tokens| * 64) bit math,
-    JVM-side, shuffle-free.
+    JVM-side, shuffle-free. ``family="portable"`` uses the md5-derived
+    60-bit hash (bits 60-63 then always vote negative) so the result is
+    DuckDB-reproducible; the default xxhash64 uses all 64 bits.
     """
     toks = F.array_distinct(tokens)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if family == "portable":
+        hashes = F.transform(toks, lambda t: portable_hash64(t))
+    else:
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     def vote(j: int):
         # +1 per token whose hash has bit j set, -1 otherwise.

