@@ -176,6 +176,25 @@ def lsh_topk(
     return topk(scored, k)
 
 
+def min_matching_bands(threshold: float, params: MinHashParams) -> int:
+    """Exact lower bound on full-band matches implied by an estimated-
+    Jaccard threshold.
+
+    A pair with score >= t has >= ceil(t * num_perm) equal signature
+    positions. Spread over ``bands`` bands of ``rows`` rows, at most
+    ``bands * (rows - 1)`` equal positions can avoid completing a band,
+    so the pair must share at least ``ceil(t*P) - bands*(rows-1)`` full
+    bands. Pure pigeonhole — a necessary condition, never drops a true
+    result — so filtering candidate pairs on matching-band count before
+    the (expensive) signature fold is lossless.
+    """
+    import math
+
+    need = math.ceil(threshold * params.num_perm)
+    slack = params.bands * (params.rows_per_band - 1)
+    return max(1, need - slack)
+
+
 def self_join_pairs(
     bands: DataFrame,
     sigs: DataFrame,
@@ -186,9 +205,14 @@ def self_join_pairs(
     threshold (M6 dedup building block).
 
     Returns (doc_a, doc_b, score) with doc_a < doc_b, distinct pairs.
+
     Scale notes: the band-bucket self-join is the classic LSH dedup
     shape — shuffle on (band_id, band_hash); mega-buckets are bounded
-    by ``cap_buckets`` and AQE skew-join.
+    by ``cap_buckets`` and AQE skew-join. The pair dedup is a groupBy
+    that *counts matching bands*, and :func:`min_matching_bands` prunes
+    pairs that cannot reach the threshold before any signature is
+    fetched — on skewed corpora this cuts the scored-pair volume (and
+    the two sig joins behind it) several-fold at zero recall cost.
     """
     left = bands.select(
         F.col("doc_id").alias("doc_a"), "band_id", "band_hash"
@@ -199,8 +223,10 @@ def self_join_pairs(
     pairs = (
         left.join(right, ["band_id", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__nb"))
+        .filter(F.col("__nb") >= min_matching_bands(threshold, params))
         .select("doc_a", "doc_b")
-        .distinct()
     )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))

@@ -38,7 +38,9 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.ui.explainMode", "formatted")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] runs executors inside the driver JVM; size the heap
+        # for N concurrent task threads (32 threads at 8g thrash GC).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
