@@ -406,6 +406,101 @@ FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {C.K_BATCH}
 """
 
 
+def sql_quality_metrics() -> str:
+    """Mirrors operators/metrics.quality_metrics over the LSH batch
+    result vs the exact est-Jaccard oracle at k=K_BATCH."""
+    k = C.K_BATCH
+    return f"""
+WITH sigs AS ({SIGS}),
+bands AS ({BANDS}),
+queries AS (SELECT doc_id AS query_id, sigl AS q FROM sigs WHERE doc_id < {C.BATCH_DOCS}),
+qb AS (SELECT b.doc_id AS query_id, b.band_id, b.band_hash FROM bands b WHERE b.doc_id < {C.BATCH_DOCS}),
+cand AS (SELECT DISTINCT qb.query_id, bands.doc_id FROM bands JOIN qb USING (band_id, band_hash)),
+lsh_scored AS (
+  SELECT c.query_id, c.doc_id, {_EST_JACCARD} AS score
+  FROM cand c JOIN sigs s ON s.doc_id = c.doc_id JOIN queries q ON q.query_id = c.query_id),
+pred AS (
+  SELECT query_id, list(doc_id ORDER BY rank) AS pred_ids FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+    FROM lsh_scored) WHERE rank <= {k} GROUP BY query_id),
+exact_scored AS (
+  SELECT q.query_id, s.doc_id, {_EST_JACCARD} AS score FROM sigs s, queries q),
+truth AS (
+  SELECT query_id, list(doc_id ORDER BY rank) AS truth_ids FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+    FROM exact_scored) WHERE rank <= {k} GROUP BY query_id),
+per_query AS (
+  SELECT p.query_id,
+    CAST(len(list_intersect(p.pred_ids, t.truth_ids)) AS DOUBLE) / {k} AS recall,
+    CAST(len(list_intersect(p.pred_ids, t.truth_ids)) AS DOUBLE) / len(list_distinct(p.pred_ids)) AS precision,
+    coalesce(1.0 / nullif(CAST(list_position(list_transform(p.pred_ids, x -> list_contains(t.truth_ids, x)), true) AS DOUBLE), 0.0), 0.0) AS rr
+  FROM pred p JOIN truth t ON p.query_id = t.query_id)
+SELECT round(avg(recall), 6) AS recall_at_k, round(avg(precision), 6) AS precision_at_k,
+       round(avg(rr), 6) AS mrr, count(*) AS n_queries
+FROM per_query
+"""
+
+
+def sql_lsh_topk_preview() -> str:
+    return f"""
+WITH topk AS ({sql_lsh_topk().strip()})
+SELECT t.query_id, t.doc_id, t.score, t.rank,
+       array_to_string(list_transform(s.sigl[1:10], v -> v::VARCHAR), ',') AS preview,
+       d.n_chars
+FROM topk t JOIN ({SIGS}) s ON s.doc_id = t.doc_id
+JOIN documents d ON d.doc_id = t.doc_id
+"""
+
+
+def sql_padded_topk() -> str:
+    return f"""
+WITH topk AS ({sql_lsh_topk().strip()}),
+ids AS (SELECT query_id, list(doc_id ORDER BY rank) AS ids FROM topk GROUP BY query_id),
+padded AS (
+  SELECT query_id,
+         (ids || list_transform(range({C.K_DOC}), x -> CAST(-1 AS BIGINT)))[1:{C.K_DOC}] AS p
+  FROM ids)
+SELECT query_id, CAST(pos AS INT) AS pos, p[pos] AS doc_id
+FROM padded, (SELECT unnest(range(1, {C.K_DOC + 1})) AS pos)
+"""
+
+
+def sql_sig_stats() -> str:
+    return (
+        f"SELECT doc_id, list_min(sigl) AS sig_min, list_max(sigl) AS sig_max, "
+        f"sigl[1] AS sig_first, sigl[{NP}] AS sig_last FROM ({SIGS})"
+    )
+
+
+def sql_tpch_q3() -> str:
+    return """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) DESC,
+         l_orderkey
+LIMIT 10
+"""
+
+
+def sql_events_window_scan() -> str:
+    return """
+SELECT event_id, ts, user_id, value FROM events
+WHERE event_type = 'click'
+  AND ts >= TIMESTAMP '2024-01-02 00:00:00'
+  AND ts < TIMESTAMP '2024-01-03 00:00:00'
+"""
+
+
 def sql_ngram_jaccard_pairs() -> str:
     """Mirrors dedup.ngram_jaccard_duplicates(n=3, threshold=0.3) with
     its default recall-heavy blocking (b=64, r=2) — the oracle must
@@ -520,6 +615,12 @@ def registry() -> dict[str, str]:
         "lang_id": sql_lang_id(),
         "doc_fingerprints": sql_doc_fingerprints(),
         "ann_buckets": sql_ann_buckets(),
+        "quality_metrics": sql_quality_metrics(),
+        "lsh_topk_preview": sql_lsh_topk_preview(),
+        "padded_topk": sql_padded_topk(),
+        "sig_stats": sql_sig_stats(),
+        "tpch_q3": sql_tpch_q3(),
+        "events_window_scan": sql_events_window_scan(),
         "events_hourly": sql_events_hourly(),
         "lineitem_pricing": sql_lineitem_pricing(),
         "top_customers_per_nation": sql_top_customers_per_nation(),

@@ -26,6 +26,7 @@ from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators im
     bruteforce,
     dedup,
     lsh,
+    metrics,
     minhash,
     qed,
 )
@@ -262,6 +263,98 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann.ann_lsh_topk(emb, qvec, k=C.K_BATCH, n_planes=C.ANN_PLANES, seed=C.ANN_SEED)
 
 
+# --- result shaping + metrics (A6/A8, P3/J3, T6) ----------------------------
+
+
+def _batch_lsh_and_truth(spark, sf_dir):
+    sigs = _sigs(spark, sf_dir)
+    bands = lsh.bands_table(sigs, C.PARAMS)
+    qs = sigs.filter(F.col("doc_id") < C.BATCH_DOCS).select(
+        F.col("doc_id").alias("query_id"), "sig"
+    )
+    pred = lsh.lsh_topk(sigs, bands, qs, C.PARAMS, k=C.K_BATCH)
+    truth = bruteforce.est_jaccard_topk(sigs, qs, C.PARAMS.num_perm, k=C.K_BATCH)
+    return pred, truth
+
+
+def q_quality_metrics(spark, sf_dir):
+    """A6: recall@k / precision@k / MRR of the LSH path against the
+    exact est-Jaccard oracle, computed by the engine itself
+    (reference ``benchmarks/benchmark_runner.py:71-103``)."""
+    pred, truth = _batch_lsh_and_truth(spark, sf_dir)
+    m = metrics.quality_metrics(pred, truth, k=C.K_BATCH)
+    # round(6): avg() partial-sum order differs between engines.
+    return m.select(
+        F.round("recall_at_k", 6).alias("recall_at_k"),
+        F.round("precision_at_k", 6).alias("precision_at_k"),
+        F.round("mrr", 6).alias("mrr"),
+        "n_queries",
+    )
+
+
+def q_lsh_topk_preview(spark, sf_dir):
+    """J3 + P3: top-k joined back to documents (stable-id join) with
+    the reference's 10-element signature preview, serialized as CSV
+    text for cross-engine hash stability."""
+    sigs = _sigs(spark, sf_dir)
+    bands = lsh.bands_table(sigs, C.PARAMS)
+    qs = sigs.filter(F.col("doc_id") == C.QUERY_DOC).select(
+        F.col("doc_id").alias("query_id"), "sig"
+    )
+    top = lsh.lsh_topk(sigs, bands, qs, C.PARAMS, k=C.K_DOC)
+    prev = lsh.with_preview(top, sigs, n=10).select(
+        "query_id",
+        "doc_id",
+        "score",
+        "rank",
+        F.concat_ws(",", F.transform("vector_preview", lambda v: v.cast("string"))).alias(
+            "preview"
+        ),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return prev.join(docs, "doc_id")
+
+
+def q_padded_topk(spark, sf_dir):
+    """T6: fixed-width result padding with sentinel -1 (reference
+    ``app/src/minhash_lsh.py:128-133``), exploded to scalar rows."""
+    sigs = _sigs(spark, sf_dir)
+    bands = lsh.bands_table(sigs, C.PARAMS)
+    qs = sigs.filter(F.col("doc_id") == C.QUERY_DOC).select(
+        F.col("doc_id").alias("query_id"), "sig"
+    )
+    top = lsh.lsh_topk(sigs, bands, qs, C.PARAMS, k=C.K_DOC)
+    ids = top.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rank", "doc_id"))),
+            lambda s: s["doc_id"],
+        ).alias("ids")
+    )
+    padded = ids.select(
+        "query_id",
+        F.slice(
+            F.concat("ids", F.array_repeat(F.lit(-1).cast("bigint"), C.K_DOC)),
+            1,
+            C.K_DOC,
+        ).alias("padded"),
+    )
+    return padded.select(
+        "query_id", F.posexplode("padded").alias("pos", "doc_id")
+    ).withColumn("pos", F.col("pos") + 1)
+
+
+def q_sig_stats(spark, sf_dir):
+    """A8: per-signature summary stats (reference shard inspection,
+    ``app/src/index_builder.py:41-49``)."""
+    return _sigs(spark, sf_dir).select(
+        "doc_id",
+        F.array_min("sig").alias("sig_min"),
+        F.array_max("sig").alias("sig_max"),
+        F.element_at("sig", 1).alias("sig_first"),
+        F.element_at("sig", C.PARAMS.num_perm).alias("sig_last"),
+    )
+
+
 # --- relational / events (engine generality) --------------------------------
 
 
@@ -320,6 +413,52 @@ def q_orders_by_region(spark, sf_dir):
     )
 
 
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3-shaped shipping-priority query: 3-way join + grouped
+    revenue + deterministic top-10. Exercises broadcast vs shuffle join
+    selection and decimal-exact aggregation ordering."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+    )
+    grouped = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).alias(
+            "__rev"
+        )
+    )
+    return (
+        grouped.orderBy(F.col("__rev").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("__rev").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+def q_events_window_scan(spark, sf_dir):
+    """Pushdown-friendly scan: time-range + type predicates and a
+    narrow projection, for Parquet filter/column pruning."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("event_type") == "click")
+        & (F.col("ts") >= F.lit("2024-01-02 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp"))
+    ).select("event_id", "ts", "user_id", "value")
+
+
 # --- rows-only entries (no SQL-expressible oracle) --------------------------
 
 
@@ -352,6 +491,12 @@ REGISTRY = {
     "doc_fingerprints": q_doc_fingerprints,
     "ann_buckets": q_ann_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "quality_metrics": q_quality_metrics,
+    "lsh_topk_preview": q_lsh_topk_preview,
+    "padded_topk": q_padded_topk,
+    "sig_stats": q_sig_stats,
+    "tpch_q3": q_tpch_q3,
+    "events_window_scan": q_events_window_scan,
     "events_hourly": q_events_hourly,
     "lineitem_pricing": q_lineitem_pricing,
     "top_customers_per_nation": q_top_customers_per_nation,

@@ -44,9 +44,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-            )
+            # integer `div`, not `/`: nanos ~1.7e18 exceed double's 53-bit
+            # mantissa, so floor(ts/1000.0) is off by ±1us on some rows.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(path)
 
