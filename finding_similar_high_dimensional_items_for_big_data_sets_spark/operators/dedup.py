@@ -128,6 +128,7 @@ def simhash_duplicates(
     n_bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
@@ -137,7 +138,7 @@ def simhash_duplicates(
     then verify the true distance. Shuffles only on (chunk_id, chunk).
     """
     fp = docs.select(
-        F.col(id_col), simhash64(tokenize(F.col(text_col))).alias("simhash")
+        F.col(id_col), simhash64(tokenize(F.col(text_col)), family).alias("simhash")
     )
     chunk_bits = 64 // n_bands
     chunk_structs = F.array(
@@ -219,6 +220,60 @@ def ngram_jaccard_duplicates(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 25,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Duplicate GROUPS from near-dup pairs: min-label propagation until
+    fixpoint. Output: (doc_id, group_id) where group_id is the smallest
+    doc_id in the connected component (singletons keep their own id).
+
+    Iterative joins on the driver — the standard Spark CC pattern.
+    Rounds needed = graph diameter; near-dup components are clique-like,
+    so 2-4 rounds in practice. Each round is one shuffle-join + one
+    aggregation; intermediate labels are cached and the lineage is cut
+    by localCheckpoint every few rounds so plans don't grow unboundedly
+    at scale. (At extreme graph sizes, swap in large-star/small-star —
+    same external contract.)
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    labels = labels.cache()
+    for i in range(max_iter):
+        neighbor_labels = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        ).cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if i % 5 == 4:
+            labels = labels.localCheckpoint()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("group_id"))
+
+
 def embedding_cosine_duplicates(
     embeddings: DataFrame,
     dim: int,
@@ -258,7 +313,11 @@ def embedding_cosine_duplicates(
         .select(
             "vec_a",
             "vec_b",
-            cosine_similarity(F.col("emb_a"), F.col("emb_b")).alias("cos_sim"),
+            # round(6) BEFORE the threshold filter so 1-ULP fold
+            # differences vs the oracle can't flip boundary pairs.
+            F.round(cosine_similarity(F.col("emb_a"), F.col("emb_b")), 6).alias(
+                "cos_sim"
+            ),
         )
         .filter(F.col("cos_sim") >= threshold)
         .distinct()

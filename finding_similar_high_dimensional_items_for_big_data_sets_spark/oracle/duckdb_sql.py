@@ -326,6 +326,51 @@ FROM voted
 """
 
 
+def sql_simhash_dup_pairs() -> str:
+    """Mirrors dedup.simhash_duplicates(max_hamming=3, n_bands=4,
+    family='portable'). Portable hashes are 60-bit, so bits 60-63 never
+    vote positive and the full fingerprint fits a non-negative BIGINT
+    (arithmetic >> then matches Spark's shiftright exactly)."""
+    votes = (
+        "list_transform(range(60), j -> list_sum(list_transform(h, "
+        "x -> CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)))"
+    )
+    hs = f"SELECT doc_id, list_transform(list_distinct(t), s -> {H('s')}) AS h FROM ({TOKS})"
+    sh = (
+        "CAST(coalesce(list_sum(list_transform(range(60), j -> "
+        "CASE WHEN v[j+1] > 0 THEN (1::BIGINT << j) ELSE 0 END)), 0) AS BIGINT)"
+    )
+    return f"""
+WITH hashed AS ({hs}),
+voted AS (SELECT doc_id, {votes} AS v FROM hashed),
+fp AS (SELECT doc_id, {sh} AS sh FROM voted),
+chunks AS (
+  SELECT doc_id, sh, CAST(c AS INT) AS chunk_id, (sh >> (CAST(c AS INT) * 16)) & 65535 AS chunk
+  FROM fp, (SELECT unnest(range(4)) AS c)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM chunks a JOIN chunks b ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
+def sql_embedding_dup_pairs() -> str:
+    cos = (
+        f"{_dot('a.embedding', 'b.embedding', C.EMB_DIM)} / "
+        f"({_norm('a.embedding', C.EMB_DIM)} * {_norm('b.embedding', C.EMB_DIM)})"
+    )
+    return f"""
+WITH bucketed AS (SELECT vec_id, embedding, {_bucket_expr('embedding')} AS bucket FROM embeddings),
+scored AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 6) AS cos_sim
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.3
+"""
+
+
 def sql_text_stats() -> str:
     toks = "list_filter(string_split(text, ' '), x -> x <> '')"
     nospace = "regexp_replace(text, '\\s+', '', 'g')"
@@ -611,6 +656,8 @@ def registry() -> dict[str, str]:
         "qed_topk": sql_qed_topk(),
         "exact_dedup": sql_exact_dedup(),
         "simhash": sql_simhash(),
+        "simhash_dup_pairs": sql_simhash_dup_pairs(),
+        "embedding_dup_pairs": sql_embedding_dup_pairs(),
         "text_stats": sql_text_stats(),
         "lang_id": sql_lang_id(),
         "doc_fingerprints": sql_doc_fingerprints(),

@@ -44,8 +44,34 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+# Prebuilt-index cache: signatures and the bands table are the engine's
+# persistent artifacts (the reference builds its LSH index once at
+# startup, app/src/query_service.py:109-122). Registry queries share
+# one cached copy per (session, sf_dir) instead of re-deriving them.
+_INDEX_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _cached(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+    key = (id(spark), sf_dir, kind)
+    df = _INDEX_CACHE.get(key)
+    if df is None:
+        df = build().cache()
+        _INDEX_CACHE[key] = df
+    return df
+
+
 def _sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash.signatures(_docs(spark, sf_dir), C.PARAMS)
+    return _cached(
+        spark, sf_dir, "sigs",
+        lambda: minhash.signatures(_docs(spark, sf_dir), C.PARAMS),
+    )
+
+
+def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cached(
+        spark, sf_dir, "bands",
+        lambda: lsh.bands_table(_sigs(spark, sf_dir), C.PARAMS),
+    )
 
 
 # --- text / shingling / hashing -------------------------------------------
@@ -78,12 +104,12 @@ def q_minhash_signatures(spark, sf_dir):
 
 def q_lsh_bands(spark, sf_dir):
     """P1/P2: the LSH index table (doc_id, band_id, band_hash)."""
-    return lsh.bands_table(_sigs(spark, sf_dir), C.PARAMS)
+    return _bands(spark, sf_dir)
 
 
 def q_lsh_bucket_cap(spark, sf_dir):
     """§4.4 deterministic bucket cap, exercised with cap=3."""
-    return lsh.cap_buckets(lsh.bands_table(_sigs(spark, sf_dir), C.PARAMS), cap=3)
+    return lsh.cap_buckets(_bands(spark, sf_dir), cap=3)
 
 
 # --- the online query path (J1/A3/A4/T1/T3) --------------------------------
@@ -92,7 +118,7 @@ def q_lsh_bucket_cap(spark, sf_dir):
 def q_lsh_topk(spark, sf_dir):
     """Reference POST /query semantics for the fixture doc."""
     sigs = _sigs(spark, sf_dir)
-    bands = lsh.bands_table(sigs, C.PARAMS)
+    bands = _bands(spark, sf_dir)
     qs = sigs.filter(F.col("doc_id") == C.QUERY_DOC).select(
         F.col("doc_id").alias("query_id"), "sig"
     )
@@ -102,7 +128,7 @@ def q_lsh_topk(spark, sf_dir):
 def q_lsh_pairs(spark, sf_dir):
     """J1 self-join: near-duplicate pairs above PAIR_THRESHOLD."""
     sigs = _sigs(spark, sf_dir)
-    bands = lsh.bands_table(sigs, C.PARAMS)
+    bands = _bands(spark, sf_dir)
     return lsh.self_join_pairs(bands, sigs, C.PARAMS, C.PAIR_THRESHOLD)
 
 
@@ -210,6 +236,32 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_duplicates(_docs(spark, sf_dir), n=3, threshold=0.3)
 
 
+def q_simhash_dup_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (portable family, hamming <= 3)."""
+    return dedup.simhash_duplicates(
+        _docs(spark, sf_dir), max_hamming=3, family="portable"
+    )
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dups (hyperplane-bucket blocked)."""
+    return dedup.embedding_cosine_duplicates(
+        _emb(spark, sf_dir),
+        dim=C.EMB_DIM,
+        threshold=0.3,
+        n_planes=C.ANN_PLANES,
+        seed=C.ANN_SEED,
+    )
+
+
+def q_dedup_groups(spark, sf_dir):
+    """M6: near-duplicate GROUPS — connected components over the LSH
+    pair graph (min-label propagation, iterative joins)."""
+    docs = _docs(spark, sf_dir)
+    pairs = q_lsh_pairs(spark, sf_dir)
+    return dedup.connected_components(pairs, docs)
+
+
 # --- text analysis ----------------------------------------------------------
 
 
@@ -268,7 +320,7 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 def _batch_lsh_and_truth(spark, sf_dir):
     sigs = _sigs(spark, sf_dir)
-    bands = lsh.bands_table(sigs, C.PARAMS)
+    bands = _bands(spark, sf_dir)
     qs = sigs.filter(F.col("doc_id") < C.BATCH_DOCS).select(
         F.col("doc_id").alias("query_id"), "sig"
     )
@@ -297,7 +349,7 @@ def q_lsh_topk_preview(spark, sf_dir):
     the reference's 10-element signature preview, serialized as CSV
     text for cross-engine hash stability."""
     sigs = _sigs(spark, sf_dir)
-    bands = lsh.bands_table(sigs, C.PARAMS)
+    bands = _bands(spark, sf_dir)
     qs = sigs.filter(F.col("doc_id") == C.QUERY_DOC).select(
         F.col("doc_id").alias("query_id"), "sig"
     )
@@ -319,7 +371,7 @@ def q_padded_topk(spark, sf_dir):
     """T6: fixed-width result padding with sentinel -1 (reference
     ``app/src/minhash_lsh.py:128-133``), exploded to scalar rows."""
     sigs = _sigs(spark, sf_dir)
-    bands = lsh.bands_table(sigs, C.PARAMS)
+    bands = _bands(spark, sf_dir)
     qs = sigs.filter(F.col("doc_id") == C.QUERY_DOC).select(
         F.col("doc_id").alias("query_id"), "sig"
     )
@@ -486,6 +538,9 @@ REGISTRY = {
     "exact_dedup": q_exact_dedup,
     "simhash": q_simhash,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "dedup_groups": q_dedup_groups,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "doc_fingerprints": q_doc_fingerprints,

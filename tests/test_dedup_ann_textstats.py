@@ -142,3 +142,30 @@ def test_lang_id_on_real_docs_lowercase_markers(docs):
         F.col("l").isNull()
     ).count()
     assert n_null == 0
+
+
+def test_connected_components_matches_union_find(spark):
+    # graph: {1,2,3} via 1-2, 2-3; {4,5}; 6 isolated; 7-8-9 chain
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (7, 8), (8, 9)],
+        "doc_a bigint, doc_b bigint",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 10)], "doc_id bigint"
+    )
+    got = {
+        r["doc_id"]: r["group_id"]
+        for r in dedup.connected_components(pairs, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 7, 8: 7, 9: 7}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # path graph 0-1-2-...-12: worst-case diameter for label propagation
+    n = 13
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    got = dedup.connected_components(pairs, nodes).collect()
+    assert all(r["group_id"] == 0 for r in got) and len(got) == n
