@@ -39,3 +39,9 @@ PAIR_THRESHOLD = 0.5
 ANN_PLANES = 8
 ANN_SEED = 42
 EMB_DIM = 64
+
+# IVF coarse-quantizer config (seeded random centroids, SURVEY §2.3 J4
+# analog: the scale path the reference approximates with FAISS).
+IVF_CELLS = 16
+IVF_PROBE = 4
+IVF_SEED = 43

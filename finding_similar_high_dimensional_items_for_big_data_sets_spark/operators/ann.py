@@ -146,15 +146,24 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF probe: search only the n_probe cells nearest the query.
-    Output: (vec_id, dist, rank)."""
+    Output: (vec_id, dist, rank).
+
+    Probe-cell choice uses a sequential left-fold sum (not np.sum's
+    pairwise tree) so the driver-side ordering is IEEE-identical to
+    the DuckDB oracle's list_reduce fold; ties break by cell index.
+    """
     centroids = random_centroids(len(query), n_cells, seed)
-    q = np.asarray(query, dtype=float)
-    order = np.argsort([float(np.sum((np.asarray(c) - q) ** 2)) for c in centroids])
-    probe_cells = [int(c) for c in order[:n_probe]]
+    cdist = [
+        sum(((c[i] - query[i]) ** 2 for i in range(len(query))), 0.0)
+        for c in centroids
+    ]
+    order = sorted(range(n_cells), key=lambda c: (cdist[c], c))
+    probe_cells = order[:n_probe]
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     qlit = F.array(*[F.lit(float(v)) for v in query])
+    # round(6): 1-ULP fold parity with the DuckDB oracle (see bruteforce).
     scored = assigned.filter(F.col("cell").isin(probe_cells)).select(
-        id_col, l2_distance(F.col(vec_col), qlit).alias("dist")
+        id_col, F.round(l2_distance(F.col(vec_col), qlit), 6).alias("dist")
     )
     w = Window.orderBy(F.col("dist").asc(), F.col(id_col).asc())
     return (

@@ -451,6 +451,47 @@ FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {C.K_BATCH}
 """
 
 
+def _sq_l2_lit(vec: str, centroid: list[float]) -> str:
+    """Squared-L2 to a literal centroid, mirroring ann.ivf_assign's
+    zip_with(pow(x-y,2)) + sequential fold exactly."""
+    lit = "[" + ",".join(repr(float(x)) for x in centroid) + "]"
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range({len(centroid)}), "
+        f"i -> pow({vec}[i+1]::DOUBLE - ({lit})[i+1], 2))), (acc, x) -> acc + x)"
+    )
+
+
+def sql_ivf_topk() -> str:
+    """Mirrors ann.ivf_topk: assign = argmin (first-tie) of squared-L2
+    to IVF_CELLS seeded centroids; probe the IVF_PROBE cells nearest
+    the query (distance fold identical to the Spark driver's
+    sequential Python sum); exact L2 on survivors."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        random_centroids,
+    )
+
+    cents = random_centroids(C.EMB_DIM, C.IVF_CELLS, C.IVF_SEED)
+    dists = "[" + ", ".join(_sq_l2_lit("embedding", c) for c in cents) + "]"
+    qdists = "[" + ", ".join(_sq_l2_lit("q.qv", c) for c in cents) + "]"
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {C.QUERY_VEC}),
+probe AS (
+  SELECT CAST(u.c AS INT) AS cell
+  FROM q, (SELECT unnest(range({C.IVF_CELLS})) AS c) u
+  ORDER BY ({qdists})[u.c + 1], u.c LIMIT {C.IVF_PROBE}),
+assigned AS (
+  SELECT vec_id, embedding,
+         CAST(list_position(d.ds, list_min(d.ds)) - 1 AS INT) AS cell
+  FROM (SELECT vec_id, embedding, {dists} AS ds FROM embeddings) d),
+scored AS (
+  SELECT e.vec_id, round({_l2('e.embedding', 'q.qv', C.EMB_DIM)}, 6) AS dist
+  FROM assigned e, q
+  WHERE e.cell IN (SELECT cell FROM probe))
+SELECT vec_id, dist, CAST(row_number() OVER (ORDER BY dist ASC, vec_id) AS INT) AS rank
+FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
+"""
+
+
 def sql_quality_metrics() -> str:
     """Mirrors operators/metrics.quality_metrics over the LSH batch
     result vs the exact est-Jaccard oracle at k=K_BATCH."""
@@ -662,6 +703,7 @@ def registry() -> dict[str, str]:
         "lang_id": sql_lang_id(),
         "doc_fingerprints": sql_doc_fingerprints(),
         "ann_buckets": sql_ann_buckets(),
+        "ivf_topk": sql_ivf_topk(),
         "quality_metrics": sql_quality_metrics(),
         "lsh_topk_preview": sql_lsh_topk_preview(),
         "padded_topk": sql_padded_topk(),

@@ -254,6 +254,19 @@ def q_embedding_dup_pairs(spark, sf_dir):
     )
 
 
+def q_mllib_pairs(spark, sf_dir):
+    """M5 MLlib parity backend: MinHashLSH.approxSimilarityJoin pairs
+    at true-Jaccard >= PAIR_THRESHOLD. Rows-only check (MLlib's hash
+    family decides candidate collisions; not DuckDB-expressible)."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import (
+        mllib_backend,
+    )
+
+    vectors = mllib_backend.shingle_vectors(_docs(spark, sf_dir), C.PARAMS)
+    model = mllib_backend.fit_lsh(vectors, num_hash_tables=C.PARAMS.bands, seed=42)
+    return mllib_backend.similar_pairs(model, vectors, C.PAIR_THRESHOLD)
+
+
 def q_dedup_groups(spark, sf_dir):
     """M6: near-duplicate GROUPS — connected components over the LSH
     pair graph (min-label propagation, iterative joins)."""
@@ -313,6 +326,24 @@ def q_ann_lsh_topk(spark, sf_dir):
         for v in emb.filter(F.col("vec_id") == C.QUERY_VEC).first()["embedding"]
     ]
     return ann.ann_lsh_topk(emb, qvec, k=C.K_BATCH, n_planes=C.ANN_PLANES, seed=C.ANN_SEED)
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN: probe the IVF_PROBE nearest of
+    IVF_CELLS seeded-random centroid cells, exact L2 on survivors."""
+    emb = _emb(spark, sf_dir)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == C.QUERY_VEC).first()["embedding"]
+    ]
+    return ann.ivf_topk(
+        emb,
+        qvec,
+        k=C.K_VEC,
+        n_cells=C.IVF_CELLS,
+        n_probe=C.IVF_PROBE,
+        seed=C.IVF_SEED,
+    )
 
 
 # --- result shaping + metrics (A6/A8, P3/J3, T6) ----------------------------
@@ -541,11 +572,13 @@ REGISTRY = {
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "dedup_groups": q_dedup_groups,
+    "mllib_pairs": q_mllib_pairs,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "doc_fingerprints": q_doc_fingerprints,
     "ann_buckets": q_ann_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ivf_topk": q_ivf_topk,
     "quality_metrics": q_quality_metrics,
     "lsh_topk_preview": q_lsh_topk_preview,
     "padded_topk": q_padded_topk,
