@@ -92,19 +92,63 @@ def est_jaccard_topk(
     query_sigs: DataFrame,
     num_perm: int,
     k: int = 10,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Exact top-k under the system's own similarity semantic
     (estimated Jaccard over full signatures — no LSH pruning).
     This is the correct recall oracle for the LSH path.
-    Output: (query_id, doc_id, score, rank)."""
-    joined = sigs.crossJoin(
-        F.broadcast(query_sigs.select("query_id", F.col("sig").alias("__qsig")))
-    )
-    scored = joined.select(
-        "query_id",
-        "doc_id",
-        est_jaccard(F.col("sig"), F.col("__qsig"), num_perm).alias("score"),
-    )
+    Output: (query_id, doc_id, score, rank).
+
+    Default path mirrors the reference's vectorized scan
+    (``benchmarks/benchmark_runner.py:188-193``): broadcast the query
+    signature matrix, stream corpus partitions through one numpy
+    broadcast-compare per query block (match counts are integer sums —
+    bit-identical to the fold at any summation order, oracle-safe).
+    Each corpus signature crosses the stage once instead of once per
+    query. vectorized=False keeps the pure-JVM cross-join fold (for
+    query sets too large to collect on the driver).
+    """
+    if not vectorized:
+        joined = sigs.crossJoin(
+            F.broadcast(query_sigs.select("query_id", F.col("sig").alias("__qsig")))
+        )
+        scored = joined.select(
+            "query_id",
+            "doc_id",
+            est_jaccard(F.col("sig"), F.col("__qsig"), num_perm).alias("score"),
+        )
+    else:
+        import numpy as np
+        import pandas as pd
+
+        qrows = query_sigs.select("query_id", "sig").collect()
+        qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+        qmat = np.array([r["sig"] for r in qrows], dtype=np.int64)
+        bc = sigs.sparkSession.sparkContext.broadcast((qids, qmat))
+
+        def score_iter(batches):
+            qids_l, qmat_l = bc.value
+            nq = len(qids_l)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                sig_mat = np.vstack(pdf["sig"].values).astype(np.int64)
+                nd = len(pdf)
+                # (nq, nd) match counts: one compare per query row.
+                counts = np.empty((nq, nd), dtype=np.int64)
+                for j in range(nq):
+                    counts[j] = (sig_mat == qmat_l[j]).sum(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids_l, nd),
+                        "doc_id": np.tile(pdf["doc_id"].values, nq),
+                        "score": (counts / num_perm).ravel(),
+                    }
+                )
+
+        scored = sigs.select("doc_id", "sig").mapInPandas(
+            score_iter, schema="query_id long, doc_id long, score double"
+        )
     return _per_query_topk(
         scored, k, [F.col("score").desc(), F.col("doc_id").asc()], "query_id"
     ).select("query_id", "doc_id", "score", "rank")
