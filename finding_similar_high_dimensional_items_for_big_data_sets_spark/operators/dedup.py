@@ -153,19 +153,15 @@ def simhash_duplicates(
         ]
     )
     chunks = fp.select(
-        id_col, "simhash", F.explode(chunk_structs).alias("c")
-    ).select(id_col, "simhash", "c.chunk_id", "c.chunk")
-    left = chunks.select(
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk_id", "chunk"
-    )
-    right = chunks.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk_id", "chunk"
-    )
+        id_col, F.explode(chunk_structs).alias("c")
+    ).select(id_col, F.col("c.chunk_id").alias("band_id"), F.col("c.chunk").alias("band_hash"))
+    pairs = lsh.band_pair_candidates(chunks, min_bands=1, id_col=id_col)
+    fa = fp.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"))
+    fb = fp.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"))
     return (
-        left.join(right, ["chunk_id", "chunk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        pairs.join(fa, "doc_a")
+        .join(fb, "doc_b")
         .select("doc_a", "doc_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
 
@@ -196,16 +192,7 @@ def ngram_jaccard_duplicates(
     )
     sigs = minhash.with_signature(grams, params).select(id_col, "sig")
     bands = lsh.bands_table(sigs, params, id_col)
-    pairs = (
-        bands.select(F.col(id_col).alias("doc_a"), "band_id", "band_hash")
-        .join(
-            bands.select(F.col(id_col).alias("doc_b"), "band_id", "band_hash"),
-            ["band_id", "band_hash"],
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    pairs = lsh.band_pair_candidates(bands, min_bands=1, id_col=id_col)
     ga = grams.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
     gb = grams.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (

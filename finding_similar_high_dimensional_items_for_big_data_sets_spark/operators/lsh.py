@@ -270,27 +270,51 @@ def min_matching_bands(threshold: float, params: MinHashParams) -> int:
     return max(1, need - slack)
 
 
-def _self_join_pairs_raw(
+def band_pair_candidates(
     bands: DataFrame,
-    sigs: DataFrame,
-    params: MinHashParams,
-    threshold: float,
+    min_bands: int = 1,
+    id_col: str = "doc_id",
+    explode_partitions: int | None = None,
 ) -> DataFrame:
-    """The uncompressed band-bucket self-join (see self_join_pairs)."""
-    left = bands.select(
-        F.col("doc_id").alias("doc_a"), "band_id", "band_hash"
+    """Candidate pairs from a band-bucket self-match: (doc_a, doc_b)
+    with doc_a < doc_b sharing >= ``min_bands`` (band_id, band_hash)
+    buckets.
+
+    NOT a self-join: buckets are aggregated to member lists and pairs
+    are emitted by a nested explode. Semantically identical to the
+    equi-self-join + groupBy form, but the quadratic row generation is
+    explicitly repartitioned first — under AQE the bucket aggregation
+    is tiny (KBs), gets coalesced to ~1 partition, and the downstream
+    O(sum |bucket|^2) explosion would otherwise run nearly
+    single-threaded (measured 14.1s -> 2.7s at sf0.1, 36.9M generated
+    rows). Shuffling bucket rows is cheap (one row per bucket); the
+    explosion then spreads across ``explode_partitions`` tasks
+    (default 8x defaultParallelism).
+    """
+    n = explode_partitions or bands.sparkSession.sparkContext.defaultParallelism * 8
+    memb = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__m"))
+        .filter(F.size("__m") >= 2)
+        .repartition(n, F.col("band_id"), F.col("band_hash"))
     )
-    right = bands.select(
-        F.col("doc_id").alias("doc_b"), "band_id", "band_hash"
-    )
-    pairs = (
-        left.join(right, ["band_id", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+    return (
+        memb.select(F.posexplode("__m").alias("__i", "doc_a"), "__m")
+        .select(
+            "doc_a",
+            F.explode(F.slice("__m", F.col("__i") + 2, F.size("__m"))).alias("doc_b"),
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("__nb"))
-        .filter(F.col("__nb") >= min_matching_bands(threshold, params))
+        .filter(F.col("__nb") >= min_bands)
         .select("doc_a", "doc_b")
     )
+
+
+def _score_pairs_fold(
+    pairs: DataFrame, sigs: DataFrame, params: MinHashParams, threshold: float
+) -> DataFrame:
+    """Score (doc_a, doc_b) pairs with the JVM est-Jaccard fold."""
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     return (
@@ -303,6 +327,72 @@ def _self_join_pairs_raw(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+def _score_pairs_vectorized(
+    pairs: DataFrame, sigs: DataFrame, params: MinHashParams, threshold: float
+) -> DataFrame:
+    """Score pairs against a broadcast signature matrix (numpy).
+
+    The fold path ships BOTH 1 KB signatures through two joins per
+    pair (4.6 GB through the scoring stage for 2.3M pairs at sf0.1);
+    here only int64 ids shuffle, each doc's candidate list is scored
+    with one numpy broadcast-compare, and the signature matrix crosses
+    the cluster once as a broadcast. Match counts are integer sums, so
+    scores are bit-identical to the fold at any order — oracle-safe.
+    Caller guarantees the sig table fits on the driver (see
+    self_join_pairs' vectorize gate).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = pairs.sparkSession
+    num_perm = params.num_perm
+    rows = sigs.select("doc_id", "sig").collect()
+    order = sorted(range(len(rows)), key=lambda i: rows[i]["doc_id"])
+    ids = np.array([rows[i]["doc_id"] for i in order], dtype=np.int64)
+    mat = np.array([rows[i]["sig"] for i in order], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def score_iter(batches):
+        ids_l, mat_l = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ia = np.searchsorted(ids_l, pdf["doc_a"].values.astype(np.int64))
+            ib = np.searchsorted(ids_l, pdf["doc_b"].values.astype(np.int64))
+            scores = (mat_l[ia] == mat_l[ib]).sum(axis=1) / num_perm
+            yield pd.DataFrame(
+                {
+                    "doc_a": pdf["doc_a"].values,
+                    "doc_b": pdf["doc_b"].values,
+                    "score": scores,
+                }
+            )
+
+    return (
+        pairs.mapInPandas(score_iter, "doc_a long, doc_b long, score double")
+        .filter(F.col("score") >= threshold)
+    )
+
+
+#: Above this many distinct signatures the broadcast scorer is skipped
+#: (matrix no longer driver/executor-friendly) and the join+fold runs.
+VECTORIZE_MAX_SIGS = 200_000
+
+
+def _self_join_pairs_raw(
+    bands: DataFrame,
+    sigs: DataFrame,
+    params: MinHashParams,
+    threshold: float,
+) -> DataFrame:
+    """The uncompressed band-bucket self-match (see self_join_pairs)."""
+    pairs = band_pair_candidates(bands, min_matching_bands(threshold, params))
+    small = sigs.limit(VECTORIZE_MAX_SIGS + 1).count() <= VECTORIZE_MAX_SIGS
+    if small:
+        return _score_pairs_vectorized(pairs, sigs, params, threshold)
+    return _score_pairs_fold(pairs, sigs, params, threshold)
 
 
 def self_join_pairs(
