@@ -86,12 +86,18 @@ def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
 
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Deterministic stand-in for a real encoder: digest bytes -> floats."""
+    """Deterministic stand-in for a real encoder: digest bytes -> floats.
+
+    Derivation is over ``hex(payload) + str(counter)`` (a UTF-8 string,
+    not raw bytes) so the exact values are reproducible in ANSI SQL
+    (DuckDB's md5 is VARCHAR-only) — the features oracle in
+    ``oracle/duckdb_sql.py`` hash-matches this end-to-end.
+    """
     out: list[float] = []
-    h = payload or b""
+    h = (payload or b"").hex()
     counter = 0
     while len(out) < dim:
-        d = hashlib.md5(h + counter.to_bytes(4, "big")).digest()
+        d = hashlib.md5((h + str(counter)).encode("utf-8")).digest()
         out.extend(b / 255.0 for b in d)
         counter += 1
     return out[:dim]

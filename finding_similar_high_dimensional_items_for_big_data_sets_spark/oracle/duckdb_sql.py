@@ -675,6 +675,40 @@ GROUP BY r_name
 """
 
 
+def sql_media_features() -> str:
+    """Mirror of multimodal.media: payload = unhex(repeat(md5('42'||id),8));
+    feature byte j = byte j of md5(hex(payload) || '0')."""
+    return """
+SELECT id AS media_id,
+       CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       128 AS n_bytes,
+       list_transform(generate_series(1, 16), j ->
+           CAST('0x' || substr(md5(repeat(md5('42' || CAST(id AS VARCHAR)), 8) || '0'),
+                               2 * j - 1, 2) AS INT)
+       ) AS features_u8
+FROM range(200) t(id)
+"""
+
+
+def sql_media_frames() -> str:
+    """Video rows only (id % 3 = 2); frame i slices 16 bytes at
+    (i*16) % 128 of the 128-byte payload, hex-encoded."""
+    return """
+WITH media AS (
+  SELECT id AS media_id,
+         (id % 1000) * 33 AS duration_ms,
+         repeat(md5('42' || CAST(id AS VARCHAR)), 8) AS ph
+  FROM range(200) t(id)
+  WHERE id % 3 = 2
+)
+SELECT media_id,
+       CAST(f.frame_idx AS INT) AS frame_idx,
+       substr(ph, ((f.frame_idx * 16) % 128) * 2 + 1, 32) AS frame_hex
+FROM media,
+     LATERAL (SELECT unnest(generate_series(0, greatest(1, duration_ms // 1000) - 1)) AS frame_idx) f
+"""
+
+
 def registry() -> dict[str, str]:
     """name -> DuckDB SQL, for every oracle-checkable query."""
     return {
@@ -714,4 +748,6 @@ def registry() -> dict[str, str]:
         "lineitem_pricing": sql_lineitem_pricing(),
         "top_customers_per_nation": sql_top_customers_per_nation(),
         "orders_by_region": sql_orders_by_region(),
+        "media_features": sql_media_features(),
+        "media_frames": sql_media_frames(),
     }

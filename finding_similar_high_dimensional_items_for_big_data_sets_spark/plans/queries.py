@@ -550,6 +550,37 @@ def q_synthetic_docs(spark, sf_dir):
     return synthetic_documents(spark, n_docs=1000, seed=42)
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: binary media columns -> Arrow-
+    batched mapInPandas feature extraction. The float32 features are
+    projected back to their exact byte values (k/255 * 255 -> k) so
+    the md5-derived stub encoder is oracle-checkable bit-for-bit."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.multimodal import media as MM
+
+    feats = MM.extract_features(MM.synthetic_media(spark, n=200))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.transform(
+            "features", lambda x: F.round(x.cast("double") * 255).cast("int")
+        ).alias("features_u8"),
+    )
+
+
+def q_media_frames(spark, sf_dir):
+    """Video frame sampling via mapInPandas: one row per sampled frame,
+    payload slices hex-encoded for the cross-engine value contract."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.multimodal import media as MM
+
+    frames = MM.sample_frames(MM.synthetic_media(spark, n=200), every_ms=1000)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.lower(F.hex("frame_payload")).alias("frame_hex"),
+    )
+
+
 REGISTRY = {
     "shingle_stats": q_shingle_stats,
     "content_hashes": q_content_hashes,
@@ -590,4 +621,6 @@ REGISTRY = {
     "top_customers_per_nation": q_top_customers_per_nation,
     "orders_by_region": q_orders_by_region,
     "synthetic_docs": q_synthetic_docs,
+    "media_features": q_media_features,
+    "media_frames": q_media_frames,
 }

@@ -19,6 +19,17 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    # Python workers deserialize mapInPandas closures that reference
+    # this package by module name; make it importable for them even
+    # when the driver script runs from another directory (an installed
+    # wheel wouldn't need this, a source checkout does). Must be in the
+    # process env BEFORE the JVM launches — workers inherit it.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_SQL_SHUFFLE_PARTITIONS", str(max(cpus, 8)))
     )
