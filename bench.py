@@ -94,6 +94,10 @@ def main():
     t, rows = timed(lambda: lsh.lsh_topk(sigs, bands, qs1, params, k=K).collect())
     timings["lsh_point_query"] = t
     assert rows and sorted(rows, key=lambda r: r["rank"])[0]["doc_id"] == QUERY_DOC
+    # warm repeat: plan/codegen amortized — comparable to the
+    # reference's prebuilt-index per-query latency (BASELINE.md).
+    t, _ = timed(lambda: lsh.lsh_topk(sigs, bands, qs1, params, k=K).collect())
+    timings["lsh_point_query_warm"] = t
 
     # --- LSH batch (reference MERTRIC_TEST: first 100 docs) ---
     t, lsh_batch = timed(

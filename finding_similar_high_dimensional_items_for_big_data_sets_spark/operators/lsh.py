@@ -222,6 +222,13 @@ def topk(scored: DataFrame, k: int, query_id_col: str = "query_id") -> DataFrame
     )
 
 
+#: At or below this many broadcast queries the JVM fold scorer beats
+#: the Arrow-vectorized one (candidate sets are small; no Python
+#: workers spawn). Above it the broadcast-matrix scorer wins and the
+#: gap grows with candidate fan-out.
+SMALL_QUERY_FOLD = 8
+
+
 def lsh_topk(
     sigs: DataFrame,
     bands: DataFrame,
@@ -234,16 +241,22 @@ def lsh_topk(
 
     query_sigs(query_id, sig) -> (query_id, doc_id, score, rank).
     For a handful of queries the query side is broadcast (zero
-    shuffle) and scoring is Arrow-vectorized against the broadcast
-    query matrix; for large batch query sets pass
-    broadcast_query=False and the band join shuffles on
+    shuffle); scoring is the pure-JVM fold below
+    ``SMALL_QUERY_FOLD`` queries (point queries never touch Python
+    workers) and Arrow-vectorized against the broadcast query matrix
+    above it (measured 2.2x at batch 100). For unbounded query sets
+    pass broadcast_query=False: the band join shuffles on
     (band_id, band_hash) with AQE skew handling, with the pair-join
     scorer.
     """
     qb = query_bands(query_sigs, params)
     cand = candidates(bands, qb, broadcast_query)
     if broadcast_query:
-        scored = score_candidates_vectorized(cand, sigs, query_sigs, params)
+        n_q = query_sigs.limit(SMALL_QUERY_FOLD + 1).count()
+        if n_q <= SMALL_QUERY_FOLD:
+            scored = score_candidates(cand, sigs, query_sigs, params)
+        else:
+            scored = score_candidates_vectorized(cand, sigs, query_sigs, params)
     else:
         scored = score_candidates(
             cand, sigs, query_sigs, params, broadcast_query=broadcast_query
