@@ -49,6 +49,12 @@ class MinHashParams:
     # Deterministic bucket cap (SURVEY §4.4: reference caps at 5000 by
     # insertion order; we keep the `cap` smallest doc_ids). None = no cap.
     max_bucket_size: int | None = None
+    # Deterministic candidate cap (SURVEY §4.4 delta 2: the reference
+    # early-exits the band loop at 2000 candidates in iteration order;
+    # we keep the `cap` smallest doc_ids AFTER the full band join).
+    # None = score every candidate (the default: exact banding
+    # semantics, no recall loss).
+    max_candidates: int | None = None
 
     def __post_init__(self) -> None:
         if self.num_perm % self.bands != 0:

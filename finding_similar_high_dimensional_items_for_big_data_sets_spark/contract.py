@@ -38,6 +38,7 @@ PAIR_THRESHOLD = 0.5
 # Random-hyperplane ANN config.
 ANN_PLANES = 8
 ANN_SEED = 42
+ANN_PROBE = 3
 EMB_DIM = 64
 
 # IVF coarse-quantizer config (seeded random centroids, SURVEY §2.3 J4

@@ -74,28 +74,61 @@ def with_hyperplane_bucket(
     )
 
 
+def _seq_dot(plane: list[float], query: list[float]) -> float:
+    """Sequential left-fold dot product — IEEE-identical to both the
+    Spark ``_dot_lit`` fold and the DuckDB oracle's list_reduce, so
+    driver-side probe selection agrees bit-for-bit with either engine
+    at sign/margin boundaries."""
+    acc = 0.0
+    for x, y in zip(plane, query):
+        acc += float(x) * float(y)
+    return acc
+
+
+def probe_buckets(
+    query: list[float], n_planes: int = 8, seed: int = 42, n_probe: int = 1
+) -> list[int]:
+    """Multi-probe bucket set: the query's sign bucket plus the
+    ``n_probe - 1`` buckets reached by flipping the hyperplane bits
+    with the smallest |margin| (the classic multi-probe LSH heuristic:
+    the nearest-to-the-boundary planes are the likeliest to disagree
+    for true neighbors). Deterministic: margin ties break by plane
+    index."""
+    planes = random_planes(len(query), n_planes, seed)
+    margins = [_seq_dot(p, query) for p in planes]
+    qbucket = 0
+    for j, m in enumerate(margins):
+        if m >= 0:
+            qbucket |= 1 << j
+    order = sorted(range(n_planes), key=lambda j: (abs(margins[j]), j))
+    return [qbucket] + [qbucket ^ (1 << j) for j in order[: max(0, n_probe - 1)]]
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query: list[float],
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Single-bucket probe ANN: filter to the query's sign bucket,
-    exact cosine on survivors, deterministic top-k.
-    Output: (vec_id, cos_sim, rank)."""
+    """Bucket-probe ANN: filter to the query's sign bucket(s)
+    (``n_probe`` > 1 adds the lowest-margin bit-flip buckets for
+    recall), exact cosine on survivors, deterministic top-k.
+    Output: (vec_id, cos_sim, rank).
+
+    At scale the corpus is bucketed once (one map stage, no shuffle);
+    a probe reads ~``n_probe * N / 2^n_planes`` vectors. With the
+    corpus written partitioned by bucket, the IN-filter prunes
+    partitions at the source."""
     dim = len(query)
-    planes = random_planes(dim, n_planes, seed)
-    qbucket = 0
-    for j, p in enumerate(planes):
-        if float(np.dot(p, query)) >= 0:
-            qbucket |= 1 << j
+    buckets = probe_buckets(query, n_planes, seed, n_probe)
     bucketed = with_hyperplane_bucket(embeddings, dim, n_planes, seed, vec_col)
     qlit = F.array(*[F.lit(float(v)) for v in query])
     # round(6): 1-ULP fold parity with the DuckDB oracle (see bruteforce).
-    scored = bucketed.filter(F.col("bucket") == qbucket).select(
+    scored = bucketed.filter(F.col("bucket").isin(buckets)).select(
         id_col, F.round(cosine_similarity(F.col(vec_col), qlit), 6).alias("cos_sim")
     )
     w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())

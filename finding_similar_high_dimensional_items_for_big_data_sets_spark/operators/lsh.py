@@ -92,23 +92,35 @@ def candidates(
     q_bands: DataFrame,
     broadcast_query: bool = True,
     query_id_col: str = "query_id",
+    max_candidates: int | None = None,
 ) -> DataFrame:
     """LSH candidate probe (J1): union of bucket members over matching bands.
 
     Reference ``app/src/minhash_lsh.py:70-96`` — per-band bucket lookup
     + set-union dedup. As a join: inner equi-join on
     (band_id, band_hash), then distinct (query_id, doc_id).
-    The reference's order-dependent ``max_candidates`` early exit is
-    intentionally NOT reproduced (SURVEY §4.4 delta 2).
+    The reference's order-dependent ``max_candidates`` early exit
+    (SURVEY §4.4 delta 2) is redefined deterministically: when set,
+    keep the ``max_candidates`` smallest doc_ids per query AFTER the
+    full band join (a rank window — WindowGroupLimit prunes it
+    map-side, so the cap also bounds the scoring stage's shuffle).
     """
     q = q_bands.select(query_id_col, "band_id", "band_hash")
     if broadcast_query:
         q = F.broadcast(q)
-    return (
+    cand = (
         bands.join(q, ["band_id", "band_hash"], "inner")
         .select(query_id_col, "doc_id")
         .distinct()
     )
+    if max_candidates is not None:
+        w = Window.partitionBy(query_id_col).orderBy(F.col("doc_id").asc())
+        cand = (
+            cand.withColumn("__cr", F.row_number().over(w))
+            .filter(F.col("__cr") <= max_candidates)
+            .drop("__cr")
+        )
+    return cand
 
 
 def score_candidates(
@@ -250,7 +262,7 @@ def lsh_topk(
     scorer.
     """
     qb = query_bands(query_sigs, params)
-    cand = candidates(bands, qb, broadcast_query)
+    cand = candidates(bands, qb, broadcast_query, max_candidates=params.max_candidates)
     if broadcast_query:
         n_q = query_sigs.limit(SMALL_QUERY_FOLD + 1).count()
         if n_q <= SMALL_QUERY_FOLD:

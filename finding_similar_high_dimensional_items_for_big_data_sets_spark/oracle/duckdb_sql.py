@@ -675,6 +675,39 @@ GROUP BY r_name
 """
 
 
+def sql_ann_multiprobe_topk() -> str:
+    """Mirrors ann.ann_lsh_topk(n_probe=ANN_PROBE): per-plane margins
+    on the query vector (same sequential fold), main sign bucket plus
+    the ANN_PROBE-1 lowest-|margin| bit flips, exact cosine on the
+    union of probed buckets."""
+    planes = random_planes(C.EMB_DIM, C.ANN_PLANES, C.ANN_SEED)
+    margin_rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, {_dot_lit('q.qv', planes[j])} AS d FROM q"
+        for j in range(C.ANN_PLANES)
+    )
+    cos = (
+        f"{_dot('e.embedding', 'q.qv', C.EMB_DIM)} / "
+        f"({_norm('e.embedding', C.EMB_DIM)} * {_norm('q.qv', C.EMB_DIM)})"
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {C.QUERY_VEC}),
+margins AS ({margin_rows}),
+b0 AS (SELECT CAST(SUM(CASE WHEN d >= 0 THEN 1 << j ELSE 0 END) AS INT) AS b FROM margins),
+probes AS (
+  SELECT b FROM b0
+  UNION ALL
+  SELECT CAST(xor(b0.b, 1 << m.j) AS INT)
+  FROM b0, (SELECT j FROM margins ORDER BY abs(d), j LIMIT {C.ANN_PROBE - 1}) m),
+bucketed AS (SELECT vec_id, embedding, {_bucket_expr('embedding')} AS bucket FROM embeddings),
+scored AS (
+  SELECT e.vec_id, round({cos}, 6) AS cos_sim
+  FROM bucketed e, q
+  WHERE e.bucket IN (SELECT b FROM probes))
+SELECT vec_id, cos_sim, CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {C.K_BATCH}
+"""
+
+
 def sql_media_features() -> str:
     """Mirror of multimodal.media: payload = unhex(repeat(md5('42'||id),8));
     feature byte j = byte j of md5(hex(payload) || '0')."""
@@ -713,6 +746,7 @@ def registry() -> dict[str, str]:
     """name -> DuckDB SQL, for every oracle-checkable query."""
     return {
         "ann_lsh_topk": sql_ann_lsh_topk(),
+        "ann_multiprobe_topk": sql_ann_multiprobe_topk(),
         "ngram_jaccard_pairs": sql_ngram_jaccard_pairs(),
         "shingle_stats": sql_shingle_stats(),
         "content_hashes": sql_content_hashes(),

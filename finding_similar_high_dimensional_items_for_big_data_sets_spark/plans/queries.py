@@ -328,6 +328,24 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann.ann_lsh_topk(emb, qvec, k=C.K_BATCH, n_planes=C.ANN_PLANES, seed=C.ANN_SEED)
 
 
+def q_ann_multiprobe_topk(spark, sf_dir):
+    """Multi-probe sign-LSH ANN: main bucket + the two lowest-margin
+    bit-flip buckets (recall without extra shuffles)."""
+    emb = _emb(spark, sf_dir)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == C.QUERY_VEC).first()["embedding"]
+    ]
+    return ann.ann_lsh_topk(
+        emb,
+        qvec,
+        k=C.K_BATCH,
+        n_planes=C.ANN_PLANES,
+        seed=C.ANN_SEED,
+        n_probe=C.ANN_PROBE,
+    )
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF coarse-quantizer ANN: probe the IVF_PROBE nearest of
     IVF_CELLS seeded-random centroid cells, exact L2 on survivors."""
@@ -609,6 +627,7 @@ REGISTRY = {
     "doc_fingerprints": q_doc_fingerprints,
     "ann_buckets": q_ann_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_multiprobe_topk": q_ann_multiprobe_topk,
     "ivf_topk": q_ivf_topk,
     "quality_metrics": q_quality_metrics,
     "lsh_topk_preview": q_lsh_topk_preview,

@@ -169,3 +169,23 @@ def test_connected_components_long_chain_converges(spark):
     nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
     got = dedup.connected_components(pairs, nodes).collect()
     assert all(r["group_id"] == 0 for r in got) and len(got) == n
+
+
+def test_multiprobe_buckets_deterministic_and_superset(spark, sf_dir):
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(v) for v in emb.first()["embedding"]]
+    b1 = ann.probe_buckets(q, n_probe=1)
+    b3 = ann.probe_buckets(q, n_probe=3)
+    assert len(b1) == 1 and len(b3) == 3
+    assert b3[0] == b1[0]
+    assert len(set(b3)) == 3  # distinct buckets (single-bit flips)
+    r1 = ann.ann_lsh_topk(emb, q, k=10, n_probe=1).collect()
+    r3 = ann.ann_lsh_topk(emb, q, k=10, n_probe=3).collect()
+    assert len(r3) >= len(r1)
+    ids1 = {r["vec_id"] for r in r1}
+    ids3 = {r["vec_id"] for r in r3}
+    # multi-probe may displace tail results but scores only improve
+    assert max(r["cos_sim"] for r in r3) >= max(r["cos_sim"] for r in r1)
+    assert ids1 & ids3

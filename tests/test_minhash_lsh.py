@@ -116,3 +116,32 @@ def test_self_join_pairs_symmetric_free(sigs):
     seen = {(r["doc_a"], r["doc_b"]) for r in pairs}
     assert all(a < b for a, b in seen)
     assert len(seen) == len(pairs)  # distinct
+
+
+def test_candidate_cap_keeps_smallest_ids(sigs):
+    bands = lsh.bands_table(sigs, PARAMS)
+    qsigs = sigs.limit(3).select(F.col("doc_id").alias("query_id"), "sig")
+    qb = lsh.query_bands(qsigs, PARAMS)
+    full = lsh.candidates(bands, qb).collect()
+    capped = lsh.candidates(bands, qb, max_candidates=5).collect()
+    by_q_full: dict[int, list[int]] = {}
+    for r in full:
+        by_q_full.setdefault(r["query_id"], []).append(r["doc_id"])
+    by_q_capped: dict[int, list[int]] = {}
+    for r in capped:
+        by_q_capped.setdefault(r["query_id"], []).append(r["doc_id"])
+    for q, docs_full in by_q_full.items():
+        expect = sorted(docs_full)[:5]
+        assert sorted(by_q_capped[q]) == expect
+
+
+def test_lsh_topk_with_candidate_cap_runs(sigs):
+    params = MinHashParams(max_candidates=10)
+    bands = lsh.bands_table(sigs, params)
+    qsigs = sigs.limit(1).select(F.col("doc_id").alias("query_id"), "sig")
+    rows = lsh.lsh_topk(sigs, bands, qsigs, params, k=5).collect()
+    assert 0 < len(rows) <= 5
+    # the query doc itself has the smallest candidate rank only if its
+    # id is among the 10 smallest sharing a band; either way scores are
+    # valid fractions of num_perm
+    assert all(0.0 <= r["score"] <= 1.0 for r in rows)
