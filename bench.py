@@ -158,11 +158,13 @@ def main():
     # max_candidates=2000, app/src/query_service.py:111-112 +
     # minhash_lsh.py:70): on this vocab-20 corpus banding matches
     # ~19.7k of 20k docs per query, so the caps — not the banding —
-    # are what bound its latency. Apply the deterministic versions of
-    # the same caps for an apples-to-apples run.
-    ref_params = MinHashParams(
-        hash_family=HASH_FAMILY_XXHASH, max_bucket_size=5000, max_candidates=2000
-    )
+    # bound its latency (and drop its recall to 0.2, BASELINE.md).
+    # We run UNCAPPED: the vectorized scorer is cheap enough that the
+    # cap's rank-window stage costs more than it saves (measured
+    # 48 -> 38 ms/query removing it) and recall stays ~1.0 vs 0.63
+    # capped. The deterministic caps remain available as
+    # MinHashParams(max_bucket_size=..., max_candidates=...).
+    ref_params = MinHashParams(hash_family=HASH_FAMILY_XXHASH)
     ref_parity: dict[str, float] = {}
     sdocs = synthetic_documents(spark, n_docs=20_000)
     ssigs = minhash.signatures(sdocs, params).cache()

@@ -150,6 +150,18 @@ def sql_lsh_bucket_cap() -> str:
     )
 
 
+def sql_lsh_candidate_cap() -> str:
+    return f"""
+WITH bands AS ({BANDS}),
+qb AS (SELECT band_id, band_hash FROM bands WHERE doc_id = {C.QUERY_DOC}),
+cand AS (SELECT DISTINCT CAST({C.QUERY_DOC} AS BIGINT) AS query_id, bands.doc_id
+         FROM bands JOIN qb USING (band_id, band_hash))
+SELECT query_id, doc_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY doc_id) AS rn FROM cand)
+WHERE rn <= 25
+"""
+
+
 def sql_lsh_topk() -> str:
     return f"""
 WITH sigs AS ({SIGS}),
@@ -753,6 +765,7 @@ def registry() -> dict[str, str]:
         "minhash_signatures": sql_minhash_signatures(),
         "lsh_bands": sql_lsh_bands(),
         "lsh_bucket_cap": sql_lsh_bucket_cap(),
+        "lsh_candidate_cap": sql_lsh_candidate_cap(),
         "lsh_topk": sql_lsh_topk(),
         "lsh_pairs": sql_lsh_pairs(),
         "est_jaccard_topk_batch": sql_est_jaccard_topk_batch(),

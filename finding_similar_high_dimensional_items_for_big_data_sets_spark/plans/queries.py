@@ -112,6 +112,19 @@ def q_lsh_bucket_cap(spark, sf_dir):
     return lsh.cap_buckets(_bands(spark, sf_dir), cap=3)
 
 
+def q_lsh_candidate_cap(spark, sf_dir):
+    """§4.4 delta 2: deterministic max_candidates — keep the 25
+    smallest candidate doc_ids for the fixture query after the full
+    band join."""
+    bands = _bands(spark, sf_dir)
+    sigs = _sigs(spark, sf_dir)
+    qs = sigs.filter(F.col("doc_id") == C.QUERY_DOC).select(
+        F.col("doc_id").alias("query_id"), "sig"
+    )
+    qb = lsh.query_bands(qs, C.PARAMS)
+    return lsh.candidates(bands, qb, max_candidates=25)
+
+
 # --- the online query path (J1/A3/A4/T1/T3) --------------------------------
 
 
@@ -605,6 +618,7 @@ REGISTRY = {
     "minhash_signatures": q_minhash_signatures,
     "lsh_bands": q_lsh_bands,
     "lsh_bucket_cap": q_lsh_bucket_cap,
+    "lsh_candidate_cap": q_lsh_candidate_cap,
     "lsh_topk": q_lsh_topk,
     "lsh_pairs": q_lsh_pairs,
     "est_jaccard_topk_batch": q_est_jaccard_topk_batch,
