@@ -69,9 +69,35 @@ def write_sharded(df: DataFrame, path: str, num_shards: int, key: str = "doc_id"
 
 
 def write_bands(bands: DataFrame, path: str, num_buckets: int = 64) -> None:
-    """Persist the LSH index table partition-hashed on band_hash so
-    batch probes co-locate without a fresh shuffle."""
+    """Persist the LSH index table partition-hashed on band_hash.
+
+    Plain parquet carries no bucketing metadata, so a re-read does NOT
+    avoid the probe-join shuffle — this sink is for layout/size
+    control only. Use :func:`write_bands_bucketed` for a shuffle-free
+    batch-probe index."""
     bands.repartition(num_buckets, "band_hash").write.mode("overwrite").parquet(path)
+
+
+def write_bands_bucketed(
+    bands: DataFrame, table: str, num_buckets: int = 64
+) -> None:
+    """Persist the LSH index as a BUCKETED table on the probe-join key
+    (band_id, band_hash), sorted within buckets.
+
+    Batch probes then join `spark.table(table)` without exchanging the
+    corpus side — only the (small) query band set shuffles. At 100 TB
+    this is the difference between re-shuffling the whole index per
+    probe batch and a one-time shuffle at index-build. The reference's
+    analogue is its shard layout + per-worker hash tables
+    (``app/src/index_builder.py:22-36``, ``worker_tasks.py:84-113``);
+    a bucketed table is the immutable Spark equivalent."""
+    (
+        bands.write.mode("overwrite")
+        .bucketBy(num_buckets, "band_id", "band_hash")
+        .sortBy("band_id", "band_hash")
+        .format("parquet")
+        .saveAsTable(table)
+    )
 
 
 def synthetic_documents(

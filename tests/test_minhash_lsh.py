@@ -145,3 +145,26 @@ def test_lsh_topk_with_candidate_cap_runs(sigs):
     # id is among the 10 smallest sharing a band; either way scores are
     # valid fractions of num_perm
     assert all(0.0 <= r["score"] <= 1.0 for r in rows)
+
+
+def test_bucketed_bands_table_probe_is_shuffle_free(spark, sigs):
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources import tables as T
+
+    bands = lsh.bands_table(sigs, PARAMS)
+    T.write_bands_bucketed(bands, "test_bands_idx", num_buckets=4)
+    try:
+        bt = spark.table("test_bands_idx")
+        qs = sigs.limit(20).select(F.col("doc_id").alias("query_id"), "sig")
+        qb = lsh.query_bands(qs, PARAMS)
+        cand = lsh.candidates(bt, qb, broadcast_query=False)
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        # bucketed scan on the corpus side; the only exchange left is
+        # the distinct's (query_id, doc_id) aggregation
+        assert "Bucketed: true" in plan
+        assert plan.count("Exchange hashpartitioning(band_id") == 0
+        # results identical to probing the in-memory bands frame
+        a = sorted(map(tuple, cand.collect()))
+        b = sorted(map(tuple, lsh.candidates(bands, qb, broadcast_query=False).collect()))
+        assert a == b
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_bands_idx")
