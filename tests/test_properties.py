@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis) for the engine's pure math:
+invariants that must hold for ANY input, not just the fixtures.
+
+No SparkSession here — these check the driver-side/pure-python logic
+whose Spark expressions mirror it 1:1 (each property names the
+operator it protects).
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.config import MinHashParams
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+    probe_buckets,
+)
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.lsh import (
+    min_matching_bands,
+)
+
+PARAMS = MinHashParams()
+
+
+# --- min_matching_bands: the self-join prefilter must be LOSSLESS ----------
+
+sig_pair = st.tuples(
+    st.lists(st.integers(0, 2**61 - 2), min_size=128, max_size=128),
+    st.sets(st.integers(0, 127), max_size=128),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(sig_pair, st.floats(0.05, 1.0))
+def test_min_matching_bands_is_lossless(pair, threshold):
+    """For any signature pair with est-Jaccard >= t, the number of
+    fully-matching bands is >= min_matching_bands(t) — so filtering
+    candidate pairs on matching-band count before scoring
+    (lsh._self_join_pairs_raw) can never drop a true result."""
+    base, flip_positions = pair
+    other = list(base)
+    for p in flip_positions:
+        other[p] = (other[p] + 1) % (2**61 - 1)
+    matches = sum(1 for a, b in zip(base, other) if a == b)
+    score = matches / PARAMS.num_perm
+    r = PARAMS.rows_per_band
+    full_bands = sum(
+        1
+        for b in range(PARAMS.bands)
+        if all(base[b * r + i] == other[b * r + i] for i in range(r))
+    )
+    if score >= threshold:
+        assert full_bands >= min_matching_bands(threshold, PARAMS)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.floats(0.01, 1.0))
+def test_min_matching_bands_bounds(threshold):
+    m = min_matching_bands(threshold, PARAMS)
+    assert 1 <= m <= PARAMS.bands
+    need = math.ceil(threshold * PARAMS.num_perm)
+    slack = PARAMS.bands * (PARAMS.rows_per_band - 1)
+    assert m == max(1, need - slack)
+    # a perfect match (t=1.0) must require all bands to match
+    assert min_matching_bands(1.0, PARAMS) == PARAMS.bands
+
+
+# --- simhash chunk blocking: pigeonhole completeness -----------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(0, 2**64 - 1),
+    st.sets(st.integers(0, 63), min_size=0, max_size=3),
+)
+def test_simhash_chunk_blocking_complete(fp, flip_bits):
+    """dedup.simhash_duplicates blocks on 4 16-bit chunks; any pair
+    within hamming distance n_bands-1 = 3 must share >= 1 exact chunk
+    (pigeonhole), so the chunk join misses no qualifying pair."""
+    other = fp
+    for b in flip_bits:
+        other ^= 1 << b
+    hamming = bin(fp ^ other).count("1")
+    chunks_a = [(fp >> (16 * i)) & 0xFFFF for i in range(4)]
+    chunks_b = [(other >> (16 * i)) & 0xFFFF for i in range(4)]
+    shared = any(a == b for a, b in zip(chunks_a, chunks_b))
+    if hamming <= 3:
+        assert shared
+
+
+# --- multi-probe buckets ---------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.floats(-10, 10, allow_nan=False), min_size=8, max_size=8),
+    st.integers(1, 8),
+)
+def test_probe_buckets_shape(query, n_probe):
+    buckets = probe_buckets(query, n_planes=8, seed=42, n_probe=n_probe)
+    assert len(buckets) == n_probe
+    assert len(set(buckets)) == n_probe  # single-bit flips are distinct
+    assert all(0 <= b < 256 for b in buckets)
+    # probe sets are nested as n_probe grows (stable margin ordering)
+    more = probe_buckets(query, n_planes=8, seed=42, n_probe=min(8, n_probe + 1))
+    assert more[:n_probe] == buckets
+
+
+# --- result padding (T6) ---------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, 10**9), max_size=20), st.integers(1, 12))
+def test_padding_semantics(ids, k):
+    """Reference pads id lists with -1 to width k then truncates
+    (app/src/minhash_lsh.py:128-133); the Spark expression in
+    q_padded_topk mirrors concat + slice. Model both here."""
+    padded = (ids + [-1] * k)[:k]
+    assert len(padded) == k
+    assert padded[: min(len(ids), k)] == ids[:k]
+    assert all(v == -1 for v in padded[min(len(ids), k) :])
