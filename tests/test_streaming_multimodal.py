@@ -161,3 +161,58 @@ def test_resize_image_metadata(spark):
     assert [(f.name, f.dataType) for f in out.schema.fields] == [
         (f.name, f.dataType) for f in media.schema.fields
     ]
+
+
+def test_topk_response_envelope(spark, sf_dir):
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark import contract as C
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import lsh, minhash
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources import sinks
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash.signatures(docs, C.PARAMS)
+    bands = lsh.bands_table(sigs, C.PARAMS)
+    qs = sigs.filter(F.col("doc_id") == C.QUERY_DOC).select(
+        F.col("doc_id").alias("query_id"), "sig"
+    )
+    topk = lsh.with_preview(lsh.lsh_topk(sigs, bands, qs, C.PARAMS, k=5), sigs)
+    resp = sinks.topk_response(topk)
+    assert resp["candidates"], "non-empty top-k"
+    first = resp["candidates"][0]
+    assert set(first) == {"id", "score", "vector_preview"}
+    assert first["id"] == C.QUERY_DOC and first["score"] == 1.0
+    assert len(first["vector_preview"]) == 10
+    scores = [c["score"] for c in resp["candidates"]]
+    assert scores == sorted(scores, reverse=True)
+    import json
+    assert json.loads(sinks.topk_response_json(topk)) == resp
+
+
+def test_write_sharded_and_metrics_csv(spark, sf_dir, tmp_path):
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources import sinks
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        load_table,
+        write_sharded,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    write_sharded(docs, out, num_shards=4)
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert sorted(back.columns) == sorted(docs.columns)
+    # range sharding: per-file doc_id ranges must not overlap
+    files = back.select(
+        F.input_file_name().alias("f"), "doc_id"
+    ).groupBy("f").agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    rows = sorted(files.collect(), key=lambda r: r["lo"])
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] < b["lo"]
+
+    m = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    csv_out = str(tmp_path / "metrics")
+    sinks.write_metrics_csv(m, csv_out)
+    back_csv = spark.read.option("header", True).csv(csv_out)
+    assert int(back_csv.collect()[0]["n_docs"]) == docs.count()
