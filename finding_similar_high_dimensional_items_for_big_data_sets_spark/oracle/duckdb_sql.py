@@ -653,6 +653,61 @@ FROM events GROUP BY 1, 2
 """
 
 
+def sql_events_sessions() -> str:
+    """Gaps-and-islands replica of Spark's ``session_window(ts, '30
+    minutes')`` per user: an event at exactly ``prev_ts + gap`` still
+    merges (verified against Spark), so a NEW session starts only when
+    the gap is STRICTLY exceeded; ``session_end = max(ts) + gap``."""
+    return """
+WITH seq AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                OR ts > prev_ts + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM seq
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM marked
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, sess
+"""
+
+
+def sql_events_sliding() -> str:
+    """Spark ``window(ts, '1 hour', '15 minutes')``: each event belongs
+    to the 4 epoch-aligned 15-minute window starts in (ts-1h, ts];
+    expanded here with an explicit 0..3 offset cross join.
+    ``time_bucket`` truncates sub-second precision like Spark's window
+    does, and its origin (2000-01-03) sits on a 15-minute epoch
+    boundary, so buckets coincide with Spark's."""
+    return """
+SELECT window_start,
+       window_start + INTERVAL 60 MINUTE AS window_end,
+       event_type,
+       count(*) AS n_events
+FROM (
+  SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE
+           AS window_start,
+         event_type
+  FROM events
+  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) AS k
+)
+GROUP BY 1, 2, 3
+"""
+
+
 def sql_lineitem_pricing() -> str:
     return """
 SELECT l_returnflag, l_linestatus,
@@ -792,6 +847,8 @@ def registry() -> dict[str, str]:
         "tpch_q3": sql_tpch_q3(),
         "events_window_scan": sql_events_window_scan(),
         "events_hourly": sql_events_hourly(),
+        "events_sessions": sql_events_sessions(),
+        "events_sliding": sql_events_sliding(),
         "lineitem_pricing": sql_lineitem_pricing(),
         "top_customers_per_nation": sql_top_customers_per_nation(),
         "orders_by_region": sql_orders_by_region(),

@@ -562,6 +562,30 @@ def q_tpch_q3(spark, sf_dir):
     )
 
 
+def q_events_sessions(spark, sf_dir):
+    """Session-window aggregation (SURVEY §2.9 / §7 M6): the streaming
+    ``user_session_stats`` operator run on batch input — 30-minute-gap
+    sessions per user. An event at exactly ``prev_ts + gap`` merges
+    into the open session (Spark ``session_window`` semantics); the
+    DuckDB oracle replicates that with a gaps-and-islands window."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.streaming import (
+        queries as SQ,
+    )
+
+    return SQ.user_session_stats(load_table(spark, sf_dir, "events"))
+
+
+def q_events_sliding(spark, sf_dir):
+    """Sliding-window event rate (1 hour window, 15 minute slide): every
+    event lands in exactly 4 windows; window starts are epoch-aligned
+    15-minute boundaries (UTC session timezone)."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.streaming import (
+        queries as SQ,
+    )
+
+    return SQ.sliding_event_rate(load_table(spark, sf_dir, "events"))
+
+
 def q_events_window_scan(spark, sf_dir):
     """Pushdown-friendly scan: time-range + type predicates and a
     narrow projection, for Parquet filter/column pruning."""
@@ -650,6 +674,8 @@ REGISTRY = {
     "tpch_q3": q_tpch_q3,
     "events_window_scan": q_events_window_scan,
     "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+    "events_sliding": q_events_sliding,
     "lineitem_pricing": q_lineitem_pricing,
     "top_customers_per_nation": q_top_customers_per_nation,
     "orders_by_region": q_orders_by_region,
