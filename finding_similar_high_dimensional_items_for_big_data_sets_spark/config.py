@@ -31,6 +31,12 @@ EMPTY_SENTINEL = MERSENNE31
 HASH_FAMILY_PORTABLE = "portable"  # md5-derived 60-bit; DuckDB-matchable
 HASH_FAMILY_XXHASH = "xxhash64"  # JVM-native fast path
 
+# The reference's own field: the Mersenne prime 2^61 - 1 (reference
+# ``benchmarks/synth_data.py:20``). Used only by the bit-compat parity
+# path (operators/refparity.py); intermediates exceed int64 there, so
+# it is never used in SQL-expressible operators.
+PRIME61 = (1 << 61) - 1
+
 
 @dataclass(frozen=True)
 class MinHashParams:
@@ -81,3 +87,15 @@ def perm_coeffs(num_perm: int = 128, seed: int = 42) -> tuple[list[int], list[in
     a = rs.randint(1, MERSENNE31, size=num_perm, dtype=np.int64)
     b = rs.randint(0, MERSENNE31, size=num_perm, dtype=np.int64)
     return a.tolist(), b.tolist()
+
+
+def ref61_perm_coeffs(num_perm: int = 128, seed: int = 42) -> tuple["np.ndarray", "np.ndarray"]:
+    """The reference's EXACT coefficient draw (reference
+    ``benchmarks/synth_data.py:30-36``): RandomState(seed),
+    ``a in [1, p-1)``, ``b in [0, p-1)`` over p = 2^61-1, dtype int64.
+    Returned as int64 arrays because the parity path must reproduce the
+    reference's int64 arithmetic (including its wrap) bit-for-bit."""
+    rs = np.random.RandomState(seed)
+    a = rs.randint(1, PRIME61 - 1, size=num_perm, dtype=np.int64)
+    b = rs.randint(0, PRIME61 - 1, size=num_perm, dtype=np.int64)
+    return a, b

@@ -605,6 +605,21 @@ def q_synthetic_docs(spark, sf_dir):
     return synthetic_documents(spark, n_docs=1000, seed=42)
 
 
+def q_ref61_signatures(spark, sf_dir):
+    """Bit-compat reference hash family (SURVEY §1.3 option 3): SHA1
+    fingerprints + affine perms over p=2^61-1 with the reference's
+    int64-wrap arithmetic, as an Arrow-batched pandas UDF. DuckDB has
+    no sha1, so this is a rows-only entry; bit-exactness is asserted
+    against an independent big-int recomputation in
+    tests/test_refparity.py."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import (
+        refparity,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    return refparity.reference_signatures_long(docs, C.PARAMS)
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing end-to-end: binary media columns -> Arrow-
     batched mapInPandas feature extraction. The float32 features are
@@ -680,6 +695,7 @@ REGISTRY = {
     "top_customers_per_nation": q_top_customers_per_nation,
     "orders_by_region": q_orders_by_region,
     "synthetic_docs": q_synthetic_docs,
+    "ref61_signatures": q_ref61_signatures,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
 }
