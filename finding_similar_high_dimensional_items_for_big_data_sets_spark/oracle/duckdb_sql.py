@@ -412,6 +412,40 @@ FROM stats
 """
 
 
+def sql_corpus_clean() -> str:
+    """Composite pipeline: quality >= 0.5 filter -> exact dedup (min
+    doc_id per normalized-content hash) -> token accounting. Quality
+    arithmetic is written in the exact op order of
+    ``textstats.quality_score`` (the text_stats oracle already
+    hash-matches it bit-for-bit, so the >= 0.5 boundary selects
+    identical rows)."""
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    nospace = "regexp_replace(text, '\\s+', '', 'g')"
+    nopunct = f"regexp_replace({nospace}, '[A-Za-z0-9]', '', 'g')"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {toks} AS t,
+         length({nospace}) AS n_nospace, length({nopunct}) AS n_punct
+  FROM documents),
+scored AS (
+  SELECT doc_id,
+    {H(norm)} AS content_hash,
+    CAST(len(t) AS INT) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens,
+    0.4 * least(1.0, len(t) / 50.0)
+      + 0.4 * (CASE WHEN len(t) > 0 THEN len(list_distinct(t)) / len(t) ELSE 0.0 END)
+      + 0.2 * (1.0 - least(1.0, 4.0 * (CASE WHEN n_nospace > 0 THEN n_punct / n_nospace ELSE 0.0 END)))
+      AS quality
+  FROM base),
+kept AS (
+  SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+  FROM scored WHERE quality >= 0.5)
+SELECT doc_id, content_hash, n_tokens, n_bpe_tokens, quality
+FROM kept WHERE rn = 1
+"""
+
+
 def sql_lang_id() -> str:
     toks_lower = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
     langs = sorted(LANG_MARKERS)
@@ -847,6 +881,7 @@ def registry() -> dict[str, str]:
         "tpch_q3": sql_tpch_q3(),
         "events_window_scan": sql_events_window_scan(),
         "events_hourly": sql_events_hourly(),
+        "corpus_clean": sql_corpus_clean(),
         "events_sessions": sql_events_sessions(),
         "events_sliding": sql_events_sliding(),
         "lineitem_pricing": sql_lineitem_pricing(),

@@ -307,6 +307,30 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_corpus_clean(spark, sf_dir):
+    """Composite LLM training-data cleaning pipeline: quality-filter ->
+    exact dedup (keep the smallest doc_id per normalized-content hash)
+    -> per-doc token accounting. The quality filter runs BEFORE the
+    content-hash shuffle, so rejected rows never cross the wire; the
+    dedup is one hash shuffle on the 8-byte content_hash, not on text.
+    """
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        portable_hash64(dedup.normalize_text(t)).alias("content_hash"),
+        textstats.token_count(t).alias("n_tokens"),
+        textstats.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        textstats.quality_score(t).alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_hash", "n_tokens", "n_bpe_tokens", "quality")
+    )
+
+
 def q_lang_id(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", textstats.lang_id(F.col("text")).alias("lang_guess")
@@ -676,6 +700,7 @@ REGISTRY = {
     "dedup_groups": q_dedup_groups,
     "mllib_pairs": q_mllib_pairs,
     "text_stats": q_text_stats,
+    "corpus_clean": q_corpus_clean,
     "lang_id": q_lang_id,
     "doc_fingerprints": q_doc_fingerprints,
     "ann_buckets": q_ann_buckets,
