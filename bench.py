@@ -140,6 +140,8 @@ def main():
     timings["text_stats_full"] = t
     t, _ = timed(lambda: dedup.exact_duplicates(docs).count())
     timings["dedup_exact"] = t
+    t, _ = timed(lambda: Q.q_corpus_clean(spark, sf_dir).count())
+    timings["corpus_clean_full"] = t
     t, _ = timed(lambda: Q.q_lineitem_pricing(spark, sf_dir).collect())
     timings["lineitem_pricing"] = t
     t, _ = timed(lambda: Q.q_events_hourly(spark, sf_dir).collect())
