@@ -168,6 +168,9 @@ def main():
     # MinHashParams(max_bucket_size=..., max_candidates=...).
     ref_params = MinHashParams(hash_family=HASH_FAMILY_XXHASH)
     ref_parity: dict[str, float] = {}
+    # drop the sf-dir caches so the parity block measures its own
+    # working set, not GC pressure from the suite above
+    spark.catalog.clearCache()
     sdocs = synthetic_documents(spark, n_docs=20_000)
     ssigs = minhash.signatures(sdocs, params).cache()
     ssigs.count()
