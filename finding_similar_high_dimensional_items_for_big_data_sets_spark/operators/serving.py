@@ -1,0 +1,116 @@
+"""Online serving tier: low-latency point queries from an exported
+LSH index (SURVEY §3.1-3.2).
+
+The reference splits its lifecycle in two: an offline index build
+(shards -> per-worker in-memory banding tables, reference
+``app/src/worker_tasks.py:84-117``) and an online request path that
+probes those in-memory tables per query (reference
+``app/src/minhash_lsh.py:70-116``), with its published 6.1 ms/query
+measured against the PREBUILT index (``BASELINE.md``).
+
+The Spark engine's batch path answers the same query as one job —
+right for throughput, but a distributed job launch costs ~1s of
+scheduling latency however small the data. This module is the missing
+online half, Spark-first in its division of labor:
+
+- **Spark builds the artifact**: ``sigs``/``bands`` DataFrames (the
+  engine's persistent tables) are exported once — the analog of the
+  reference workers stacking their shards into a local matrix. At
+  cluster scale each serving replica would load one bucketed shard of
+  the bands table (partition pruning on ``band_hash`` gives shard
+  routing for free); here a single process holds all of it, exactly
+  like the reference's single-node benchmark config.
+- **Serving probes in-process**: band lookup -> candidate union ->
+  vectorized estimated-Jaccard -> top-k, no job launch. Semantics are
+  identical to :func:`operators.lsh.lsh_topk` with the engine's
+  deterministic redefinitions (SURVEY §4.4): no order-dependent caps,
+  ties broken by (score desc, doc_id asc) — asserted equal in
+  ``tests/test_serving.py``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.config import MinHashParams
+
+
+@dataclass
+class ServingIndex:
+    """In-process LSH probe structure exported from the engine's
+    sigs/bands tables."""
+
+    params: MinHashParams
+    doc_ids: np.ndarray  # (N,) int64, sorted ascending
+    sigs: np.ndarray  # (N, num_perm) int64, row i <-> doc_ids[i]
+    buckets: list[dict[int, np.ndarray]]  # per band: band_hash -> row idxs
+
+    @classmethod
+    def from_dataframes(
+        cls, sigs_df: DataFrame, bands_df: DataFrame, params: MinHashParams
+    ) -> "ServingIndex":
+        """One-time export (the offline half; excluded from query
+        latency like the reference's startup build). Collects through
+        Arrow; at 100 TB you'd load one bucketed bands shard per
+        replica instead of the whole table."""
+        pdf = sigs_df.select("doc_id", "sig").toPandas().sort_values("doc_id")
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        sig_mat = np.array(pdf["sig"].tolist(), dtype=np.int64)
+        row_of = {int(d): i for i, d in enumerate(doc_ids)}
+
+        bpdf = bands_df.select("doc_id", "band_id", "band_hash").toPandas()
+        buckets: list[dict[int, np.ndarray]] = [dict() for _ in range(params.bands)]
+        grouped = bpdf.groupby(["band_id", "band_hash"])["doc_id"]
+        for (band_id, band_hash), members in grouped:
+            rows = np.fromiter(
+                (row_of[int(d)] for d in members), dtype=np.int64, count=len(members)
+            )
+            buckets[int(band_id)][int(band_hash)] = rows
+        return cls(params=params, doc_ids=doc_ids, sigs=sig_mat, buckets=buckets)
+
+    def query(self, vector, k: int = 10) -> list[tuple[int, float, int]]:
+        """Point query: [(doc_id, score, rank)] by (score desc, doc_id
+        asc) — the same contract as ``lsh.lsh_topk`` for one query.
+
+        The band keys of the query are derived from the same hash
+        family via a driver-side recompute (no Spark job): the caller
+        passes the raw 128-long signature vector, band hashes are
+        computed with the engine's band-key scheme.
+        """
+        q = np.asarray(vector, dtype=np.int64)
+        if q.shape[0] != self.params.num_perm:
+            raise ValueError(
+                f"query width {q.shape[0]} != num_perm {self.params.num_perm}"
+            )
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.serving_hash import (
+            band_hashes_local,
+        )
+
+        hashes = band_hashes_local(q, self.params)
+        hit_rows = [
+            self.buckets[b].get(h)
+            for b, h in enumerate(hashes)
+            if h in self.buckets[b]
+        ]
+        if not hit_rows:
+            return []
+        # membership-mask union: O(N + hits), cheaper than sort-based
+        # unique on dup-heavy corpora, and row order == doc_id order so
+        # the deterministic candidate cap (SURVEY §4.4 delta 2: keep
+        # the smallest doc_ids, reference max_candidates=2000) is a
+        # prefix slice.
+        mask = np.zeros(self.doc_ids.shape[0], dtype=bool)
+        for rows in hit_rows:
+            mask[rows] = True
+        cand = np.flatnonzero(mask)
+        if self.params.max_candidates is not None:
+            cand = cand[: self.params.max_candidates]
+        scores = (self.sigs[cand] == q).mean(axis=1)
+        order = np.lexsort((self.doc_ids[cand], -scores))[:k]
+        return [
+            (int(self.doc_ids[cand[i]]), float(scores[i]), rank + 1)
+            for rank, i in enumerate(order)
+        ]

@@ -1,0 +1,100 @@
+"""Serving tier (operators/serving.py): the exported in-process index
+must agree exactly with the distributed lsh_topk path, and the
+driver-side XXH64 must be bit-identical to Spark's xxhash64."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.config import (
+    HASH_FAMILY_XXHASH,
+    MinHashParams,
+)
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import lsh, minhash
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.serving import ServingIndex
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.serving_hash import (
+    band_key_local,
+    xxh64,
+)
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import load_table
+
+
+def test_xxh64_matches_spark(spark):
+    strs = ["", "a", "abc", "1,2,3,4", "x" * 7, "y" * 8, "z" * 31, "w" * 32,
+            "long-string-" * 10, "0" * 100]
+    df = spark.createDataFrame([(s,) for s in strs], "s string").select(
+        "s", F.xxhash64("s").alias("h")
+    )
+    got = {r["s"]: r["h"] for r in df.collect()}
+    for s in strs:
+        v = xxh64(s.encode(), seed=42)
+        signed = v - (1 << 64) if v >= (1 << 63) else v
+        assert signed == got[s], s
+
+
+@pytest.mark.parametrize("family", ["portable", HASH_FAMILY_XXHASH])
+def test_band_keys_match_spark_bands_table(spark, sf_dir, family):
+    params = MinHashParams(hash_family=family)
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    sigs = minhash.signatures(docs, params)
+    bands = lsh.bands_table(sigs, params)
+    srow = sigs.filter(F.col("doc_id") == 3).first()
+    expected = {
+        r["band_id"]: r["band_hash"]
+        for r in bands.filter(F.col("doc_id") == 3).collect()
+    }
+    for b in range(params.bands):
+        r = params.rows_per_band
+        sl = list(srow["sig"])[b * r : (b + 1) * r]
+        assert band_key_local(sl, family) == expected[b], f"band {b}"
+
+
+def test_serving_matches_lsh_topk(spark, sf_dir):
+    params = MinHashParams()
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash.signatures(docs, params).cache()
+    bands = lsh.bands_table(sigs, params).cache()
+    idx = ServingIndex.from_dataframes(sigs, bands, params)
+
+    queries = [r for r in sigs.filter(F.col("doc_id") < 5).collect()]
+    assert queries
+    for q in queries:
+        qs = sigs.filter(F.col("doc_id") == q["doc_id"]).select(
+            F.col("doc_id").alias("query_id"), "sig"
+        )
+        dist = [
+            (r["doc_id"], round(r["score"], 9), r["rank"])
+            for r in lsh.lsh_topk(sigs, bands, qs, params, k=5)
+            .orderBy("rank")
+            .collect()
+        ]
+        local = [(d, round(s, 9), r) for d, s, r in idx.query(list(q["sig"]), k=5)]
+        assert local == dist, q["doc_id"]
+
+
+def test_serving_point_latency_sub_10ms(spark, sf_dir):
+    params = MinHashParams()
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash.signatures(docs, params).cache()
+    bands = lsh.bands_table(sigs, params).cache()
+    idx = ServingIndex.from_dataframes(sigs, bands, params)
+    q = list(sigs.first()["sig"])
+    idx.query(q, k=5)  # warm
+    t0 = time.perf_counter()
+    for _ in range(20):
+        idx.query(q, k=5)
+    per_query = (time.perf_counter() - t0) / 20
+    assert per_query < 0.010, per_query  # reference's prebuilt-index figure: 6.1ms
+
+
+def test_serving_rejects_bad_width(spark, sf_dir):
+    params = MinHashParams()
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    sigs = minhash.signatures(docs, params)
+    bands = lsh.bands_table(sigs, params)
+    idx = ServingIndex.from_dataframes(sigs, bands, params)
+    with pytest.raises(ValueError):
+        idx.query([1, 2, 3], k=5)
