@@ -114,3 +114,29 @@ class ServingIndex:
             (int(self.doc_ids[cand[i]]), float(scores[i]), rank + 1)
             for rank, i in enumerate(order)
         ]
+
+
+def shard_dataframes(
+    sigs_df: DataFrame, bands_df: DataFrame, n_shards: int, shard: int
+):
+    """Doc-range shard of the index tables for one serving replica —
+    the reference's round-robin shard claim
+    (``app/src/worker_tasks.py:47-56``) re-expressed as a pushdown
+    filter on the stable key. Each replica exports only its slice; a
+    bucketed/partitioned bands table prunes the scan to that slice."""
+    from pyspark.sql import functions as F
+
+    pred = F.pmod(F.col("doc_id"), F.lit(n_shards)) == shard
+    return sigs_df.filter(pred), bands_df.filter(pred)
+
+
+def merge_topk(
+    replica_results: list[list[tuple[int, float, int]]], k: int
+) -> list[tuple[int, float, int]]:
+    """Global top-k merge of per-replica answers (reference
+    ``app/src/query_service.py:186-192``): concatenate, re-sort by
+    (score desc, doc_id asc), truncate, re-rank. Deterministic per
+    SURVEY §4.4 delta 3."""
+    flat = [(d, s) for res in replica_results for (d, s, _r) in res]
+    flat.sort(key=lambda t: (-t[1], t[0]))
+    return [(d, s, i + 1) for i, (d, s) in enumerate(flat[:k])]

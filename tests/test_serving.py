@@ -98,3 +98,30 @@ def test_serving_rejects_bad_width(spark, sf_dir):
     idx = ServingIndex.from_dataframes(sigs, bands, params)
     with pytest.raises(ValueError):
         idx.query([1, 2, 3], k=5)
+
+
+def test_sharded_replicas_merge_to_full_answer(spark, sf_dir):
+    """Reference scatter-gather (§3.1 steps 3-5): doc-range replicas
+    each answer locally; the merged top-k equals the single-index
+    answer."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.serving import (
+        merge_topk,
+        shard_dataframes,
+    )
+
+    params = MinHashParams()
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash.signatures(docs, params).cache()
+    bands = lsh.bands_table(sigs, params).cache()
+    full = ServingIndex.from_dataframes(sigs, bands, params)
+    n = 3
+    replicas = [
+        ServingIndex.from_dataframes(*shard_dataframes(sigs, bands, n, r), params)
+        for r in range(n)
+    ]
+    for q in sigs.filter(F.col("doc_id") < 5).collect():
+        vec = list(q["sig"])
+        want = [(d, round(s, 9), r) for d, s, r in full.query(vec, k=5)]
+        got = merge_topk([rep.query(vec, k=5) for rep in replicas], k=5)
+        got = [(d, round(s, 9), r) for d, s, r in got]
+        assert got == want, q["doc_id"]
