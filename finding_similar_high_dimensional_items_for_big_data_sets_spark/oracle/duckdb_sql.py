@@ -687,6 +687,25 @@ FROM events GROUP BY 1, 2
 """
 
 
+def sql_tpch_q5() -> str:
+    return """
+SELECT n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM orders, customer, lineitem, supplier, nation, region
+WHERE o_custkey = c_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 def sql_events_sessions() -> str:
     """Gaps-and-islands replica of Spark's ``session_window(ts, '30
     minutes')`` per user: an event at exactly ``prev_ts + gap`` still
@@ -882,6 +901,7 @@ def registry() -> dict[str, str]:
         "events_window_scan": sql_events_window_scan(),
         "events_hourly": sql_events_hourly(),
         "corpus_clean": sql_corpus_clean(),
+        "tpch_q5": sql_tpch_q5(),
         "events_sessions": sql_events_sessions(),
         "events_sliding": sql_events_sliding(),
         "lineitem_pricing": sql_lineitem_pricing(),

@@ -551,6 +551,41 @@ def q_orders_by_region(spark, sf_dir):
     )
 
 
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5-shaped local-supplier-volume query: 6-table join with
+    the customer-and-supplier-same-nation constraint. The two
+    dimension tables broadcast; the orders date filter and region
+    filter push to the scans, so the only shuffles are the three
+    fact-side equi-joins and the final 25-group aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def q_tpch_q3(spark, sf_dir):
     """TPC-H Q3-shaped shipping-priority query: 3-way join + grouped
     revenue + deterministic top-10. Exercises broadcast vs shuffle join
@@ -712,6 +747,7 @@ REGISTRY = {
     "padded_topk": q_padded_topk,
     "sig_stats": q_sig_stats,
     "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
     "events_window_scan": q_events_window_scan,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
