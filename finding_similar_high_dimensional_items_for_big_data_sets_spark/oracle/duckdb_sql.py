@@ -835,10 +835,10 @@ def sql_media_features() -> str:
 SELECT id AS media_id,
        CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
        128 AS n_bytes,
-       list_transform(generate_series(1, 16), j ->
-           CAST('0x' || substr(md5(repeat(md5('42' || CAST(id AS VARCHAR)), 8) || '0'),
-                               2 * j - 1, 2) AS INT)
-       ) AS features_u8
+       array_to_string(list_transform(generate_series(1, 16), j ->
+           CAST(CAST('0x' || substr(md5(repeat(md5('42' || CAST(id AS VARCHAR)), 8) || '0'),
+                               2 * j - 1, 2) AS INT) AS VARCHAR)
+       ), ',') AS features_u8
 FROM range(200) t(id)
 """
 

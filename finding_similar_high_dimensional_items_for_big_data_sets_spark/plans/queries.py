@@ -691,8 +691,15 @@ def q_media_features(spark, sf_dir):
         "media_id",
         "kind",
         "n_bytes",
-        F.transform(
-            "features", lambda x: F.round(x.cast("double") * 255).cast("int")
+        # ARRAY<INT> breaks the driver's pandas canonicalizer (lists are
+        # unhashable), so emit the byte vector as a CSV string — same
+        # convention as the hex/preview columns.
+        F.concat_ws(
+            ",",
+            F.transform(
+                "features",
+                lambda x: F.round(x.cast("double") * 255).cast("int").cast("string"),
+            ),
         ).alias("features_u8"),
     )
 

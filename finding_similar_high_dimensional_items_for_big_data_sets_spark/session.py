@@ -47,6 +47,12 @@ def get_spark(
         # hash family); everything hot stays JVM-side.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # The events fixture stores ts with isAdjustedToUTC=0; Spark's NTZ
+        # inference would read it as TIMESTAMP_NTZ, which withWatermark
+        # rejects. Read as TIMESTAMP and pin the session to UTC so the
+        # wall-clock values are unchanged.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ui.explainMode", "formatted")
         .config("spark.ui.showConsoleProgress", "false")
         # local[N] runs executors inside the driver JVM; size the heap

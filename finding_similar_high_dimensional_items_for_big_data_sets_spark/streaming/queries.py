@@ -24,6 +24,21 @@ from finding_similar_high_dimensional_items_for_big_data_sets_spark.config impor
 from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import lsh
 
 
+def _watermarked(events: DataFrame, watermark: str) -> DataFrame:
+    """Watermark ``ts``, casting TIMESTAMP_NTZ to TIMESTAMP first.
+
+    Parquet fixtures written with ``isAdjustedToUTC=0`` are inferred as
+    TIMESTAMP_NTZ when ``spark.sql.parquet.inferTimestampNTZ.enabled``
+    is on, and ``withWatermark`` rejects NTZ event-time columns. The
+    cast is a no-op when ``ts`` is already TIMESTAMP; sessions built by
+    :func:`..session.get_spark` pin the session timezone to UTC so the
+    wall-clock values are unchanged.
+    """
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events.withWatermark("ts", watermark)
+
+
 def hourly_event_stats(
     events: DataFrame, watermark: str = "10 minutes"
 ) -> DataFrame:
@@ -32,7 +47,7 @@ def hourly_event_stats(
     With a streaming input, the watermark bounds state and drops
     late-beyond-watermark rows; on batch input it's a plain window agg.
     """
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    src = _watermarked(events, watermark) if events.isStreaming else events
     return (
         src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -58,7 +73,7 @@ def sliding_event_rate(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Sliding-window event rate per type."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    src = _watermarked(events, watermark) if events.isStreaming else events
     return (
         src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -77,7 +92,7 @@ def user_session_stats(
     """Session windows per user: events within ``gap`` of each other
     form one session (no reference analog; Structured Streaming
     session_window built-in)."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    src = _watermarked(events, watermark) if events.isStreaming else events
     return (
         src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
