@@ -35,6 +35,12 @@ QED_P_FRACTION = 0.1
 # LSH self-join duplicate threshold for the pairs query.
 PAIR_THRESHOLD = 0.5
 
+# exact_dedup oracle fixture: every 20th doc gets a planted duplicate
+# (case/whitespace mutation) with doc_id shifted by this offset, so the
+# correctness compare is non-vacuous on fixtures without natural dupes.
+DEDUP_PLANT_OFFSET = 10_000_000
+DEDUP_PLANT_EVERY = 20
+
 # Random-hyperplane ANN config.
 ANN_PLANES = 8
 ANN_SEED = 42

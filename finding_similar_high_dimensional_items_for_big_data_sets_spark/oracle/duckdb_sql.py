@@ -304,7 +304,12 @@ FROM scored ORDER BY score DESC, vec_id LIMIT {C.K_BATCH}
 def sql_exact_dedup() -> str:
     norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
     return f"""
-WITH hashed AS (SELECT doc_id, {H(norm)} AS content_hash FROM documents),
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {C.DEDUP_PLANT_OFFSET} AS doc_id, upper(text) || '  ' AS text
+  FROM documents WHERE doc_id % {C.DEDUP_PLANT_EVERY} = 0),
+hashed AS (SELECT doc_id, {H(norm)} AS content_hash FROM corpus),
 grouped AS (
   SELECT doc_id, content_hash,
          min(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,

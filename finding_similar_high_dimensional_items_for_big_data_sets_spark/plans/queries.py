@@ -230,7 +230,20 @@ def q_qed_topk(spark, sf_dir):
 
 
 def q_exact_dedup(spark, sf_dir):
-    return dedup.exact_duplicates(_docs(spark, sf_dir))
+    """Exact dedup over the corpus plus planted duplicates.
+
+    The sf fixtures carry no natural exact duplicates, so a bare run
+    compares 0 vs 0 rows and proves nothing. Every 20th doc gets a
+    shifted-id copy differing only in case and trailing whitespace —
+    exactly what ``normalize_text`` must collapse — so the oracle
+    compares a non-empty, deterministic result.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % C.DEDUP_PLANT_EVERY == 0).select(
+        (F.col("doc_id") + F.lit(C.DEDUP_PLANT_OFFSET)).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("  ")).alias("text"),
+    )
+    return dedup.exact_duplicates(docs.unionByName(planted))
 
 
 def q_simhash(spark, sf_dir):
