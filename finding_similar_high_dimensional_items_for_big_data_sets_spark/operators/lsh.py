@@ -216,6 +216,96 @@ def score_candidates_vectorized(
     )
 
 
+def broadcast_sig_matrix(sigs: DataFrame, id_col: str = "doc_id"):
+    """Collect a signature table into a broadcast (ids, matrix) pair,
+    sorted by id, for the matrix pair scorer.
+
+    Part of the PREBUILT index (reference analog: the in-memory numpy
+    index its 6.1 ms/query figure assumes, built once at startup,
+    ``benchmarks/benchmark_runner.py:226``) — build it outside the
+    per-query path. Caller guarantees driver fit (the
+    :data:`VECTORIZE_MAX_SIGS` regime); beyond that, use the join
+    scorers, which never materialize the corpus on the driver.
+    """
+    import numpy as np
+
+    rows = sigs.select(id_col, "sig").collect()
+    order = sorted(range(len(rows)), key=lambda i: rows[i][id_col])
+    ids = np.array([rows[i][id_col] for i in order], dtype=np.int64)
+    mat = np.array([rows[i]["sig"] for i in order], dtype=np.int64)
+    return sigs.sparkSession.sparkContext.broadcast((ids, mat))
+
+
+def score_topk_candidates_matrix(
+    cand: DataFrame,
+    query_sigs: DataFrame,
+    corpus_matrix_bc,
+    params: MinHashParams,
+    k: int,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Low-latency batch scorer: est-Jaccard over DEDUPED candidate
+    pairs against broadcast query + corpus signature matrices, with a
+    per-partition partial top-k.
+
+    One narrow Arrow stage: each partition scores its (query_id,
+    doc_id) pairs with a single vectorized numpy compare and emits only
+    its local top-k per query, so the downstream global top-k window
+    shuffles O(partitions * queries * k) rows instead of every scored
+    pair. Partial-then-global top-k is lossless: every global top-k row
+    is within its own partition's top-k for that query. Match counts
+    are integer sums — scores bit-identical to the JVM fold, oracle-
+    safe; local ordering (score DESC, id ASC) matches the global
+    window, so ties stay deterministic.
+
+    Requires ``cand`` pre-deduped (distinct pairs) and a corpus matrix
+    from :func:`broadcast_sig_matrix` built over the SAME sigs that
+    built the bands (validated per batch).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = cand.sparkSession
+    num_perm = params.num_perm
+    qrows = query_sigs.select(query_id_col, "sig").collect()
+    qorder = sorted(range(len(qrows)), key=lambda i: qrows[i][query_id_col])
+    qids = np.array([qrows[i][query_id_col] for i in qorder], dtype=np.int64)
+    qmat = np.array([qrows[i]["sig"] for i in qorder], dtype=np.int64)
+    qbc = spark.sparkContext.broadcast((qids, qmat))
+
+    def score_iter(batches):
+        qids_l, qmat_l = qbc.value
+        cids_l, cmat_l = corpus_matrix_bc.value
+        parts = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = pdf[query_id_col].values.astype(np.int64)
+            d = pdf["doc_id"].values.astype(np.int64)
+            qi = np.searchsorted(qids_l, q)
+            di = np.searchsorted(cids_l, d)
+            if not (np.array_equal(cids_l[di], d) and np.array_equal(qids_l[qi], q)):
+                raise ValueError(
+                    "corpus/query matrix does not cover the candidate ids; "
+                    "rebuild broadcast_sig_matrix from the sigs that built the bands"
+                )
+            scores = (qmat_l[qi] == cmat_l[di]).sum(axis=1) / num_perm
+            parts.append(
+                pd.DataFrame({query_id_col: q, "doc_id": d, "score": scores})
+            )
+        if not parts:
+            return
+        pdf = pd.concat(parts)
+        pdf = pdf.sort_values(
+            [query_id_col, "score", "doc_id"], ascending=[True, False, True]
+        )
+        yield pdf.groupby(query_id_col, sort=False).head(k)
+
+    return cand.mapInPandas(
+        score_iter, schema=f"{query_id_col} long, doc_id long, score double"
+    )
+
+
 def topk(scored: DataFrame, k: int, query_id_col: str = "query_id") -> DataFrame:
     """Per-query top-k with deterministic ties (score DESC, doc_id ASC).
 
@@ -248,6 +338,8 @@ def lsh_topk(
     params: MinHashParams,
     k: int = 10,
     broadcast_query: bool = True,
+    n_queries: int | None = None,
+    corpus_matrix=None,
 ) -> DataFrame:
     """Full online-query path (reference ``POST /query``) as one job.
 
@@ -260,19 +352,39 @@ def lsh_topk(
     pass broadcast_query=False: the band join shuffles on
     (band_id, band_hash) with AQE skew handling, with the pair-join
     scorer.
+
+    ``n_queries``: caller-side query-count hint. Without it the scorer
+    choice costs one extra (tiny) Spark job per call — pass it on
+    latency-sensitive paths.
+
+    ``corpus_matrix``: prebuilt :func:`broadcast_sig_matrix` over
+    ``sigs``. When given (and the query set is past the fold regime),
+    scoring skips the per-doc signature join entirely — one narrow
+    Arrow stage with per-partition partial top-k
+    (:func:`score_topk_candidates_matrix`). This is the low-latency
+    serving configuration (index fits the driver); leave None at
+    corpus scales beyond :data:`VECTORIZE_MAX_SIGS`.
     """
     qb = query_bands(query_sigs, params)
     cand = candidates(bands, qb, broadcast_query, max_candidates=params.max_candidates)
-    if broadcast_query:
-        n_q = query_sigs.limit(SMALL_QUERY_FOLD + 1).count()
-        if n_q <= SMALL_QUERY_FOLD:
-            scored = score_candidates(cand, sigs, query_sigs, params)
-        else:
-            scored = score_candidates_vectorized(cand, sigs, query_sigs, params)
-    else:
+    if not broadcast_query:
         scored = score_candidates(
             cand, sigs, query_sigs, params, broadcast_query=broadcast_query
         )
+        return topk(scored, k)
+    n_q = (
+        n_queries
+        if n_queries is not None
+        else query_sigs.limit(SMALL_QUERY_FOLD + 1).count()
+    )
+    if n_q <= SMALL_QUERY_FOLD:
+        scored = score_candidates(cand, sigs, query_sigs, params)
+    elif corpus_matrix is not None:
+        scored = score_topk_candidates_matrix(
+            cand, query_sigs, corpus_matrix, params, k
+        )
+    else:
+        scored = score_candidates_vectorized(cand, sigs, query_sigs, params)
     return topk(scored, k)
 
 
@@ -411,11 +523,13 @@ def _self_join_pairs_raw(
     sigs: DataFrame,
     params: MinHashParams,
     threshold: float,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """The uncompressed band-bucket self-match (see self_join_pairs)."""
     pairs = band_pair_candidates(bands, min_matching_bands(threshold, params))
-    small = sigs.limit(VECTORIZE_MAX_SIGS + 1).count() <= VECTORIZE_MAX_SIGS
-    if small:
+    if n_docs is None:
+        n_docs = sigs.limit(VECTORIZE_MAX_SIGS + 1).count()
+    if n_docs <= VECTORIZE_MAX_SIGS:
         return _score_pairs_vectorized(pairs, sigs, params, threshold)
     return _score_pairs_fold(pairs, sigs, params, threshold)
 
@@ -426,9 +540,17 @@ def self_join_pairs(
     params: MinHashParams,
     threshold: float = 0.5,
     compress_identical: bool = True,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """LSH self-join: near-duplicate candidate pairs above a similarity
     threshold (M6 dedup building block).
+
+    ``n_docs``: caller-side corpus-size hint for the vectorize gate
+    (counted with one extra Spark job when omitted). With
+    ``compress_identical`` the gate counts DISTINCT signatures, so the
+    hint is only consulted when it already rules the broadcast scorer
+    out (hint > VECTORIZE_MAX_SIGS implies distinct sigs may still fit
+    — the count then runs as before).
 
     Returns (doc_a, doc_b, score) with doc_a < doc_b, distinct pairs.
 
@@ -450,7 +572,11 @@ def self_join_pairs(
     vs one inflated quadratically by every exact-dup cluster.
     """
     if not compress_identical:
-        return _self_join_pairs_raw(bands, sigs, params, threshold)
+        return _self_join_pairs_raw(bands, sigs, params, threshold, n_docs)
+    # distinct-sig count <= corpus count, so an under-max hint stays
+    # valid for the representative set; an over-max hint proves nothing
+    # about distinct sigs and falls back to counting.
+    rep_hint = n_docs if n_docs is not None and n_docs <= VECTORIZE_MAX_SIGS else None
     groups = sigs.groupBy("sig").agg(
         F.min("doc_id").alias("doc_id"),
         F.sort_array(F.collect_list("doc_id")).alias("members"),
@@ -459,7 +585,7 @@ def self_join_pairs(
     rep_bands = bands.join(
         rep_sigs.select("doc_id"), "doc_id", "left_semi"
     )
-    rep_pairs = _self_join_pairs_raw(rep_bands, rep_sigs, params, threshold)
+    rep_pairs = _self_join_pairs_raw(rep_bands, rep_sigs, params, threshold, rep_hint)
     memb = groups.select(F.col("doc_id").alias("rep"), "members")
     cross = (
         rep_pairs.join(

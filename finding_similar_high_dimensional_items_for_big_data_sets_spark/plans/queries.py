@@ -135,7 +135,7 @@ def q_lsh_topk(spark, sf_dir):
     qs = sigs.filter(F.col("doc_id") == C.QUERY_DOC).select(
         F.col("doc_id").alias("query_id"), "sig"
     )
-    return lsh.lsh_topk(sigs, bands, qs, C.PARAMS, k=C.K_DOC)
+    return lsh.lsh_topk(sigs, bands, qs, C.PARAMS, k=C.K_DOC, n_queries=1)
 
 
 def q_lsh_pairs(spark, sf_dir):
@@ -423,7 +423,7 @@ def _batch_lsh_and_truth(spark, sf_dir):
     qs = sigs.filter(F.col("doc_id") < C.BATCH_DOCS).select(
         F.col("doc_id").alias("query_id"), "sig"
     )
-    pred = lsh.lsh_topk(sigs, bands, qs, C.PARAMS, k=C.K_BATCH)
+    pred = lsh.lsh_topk(sigs, bands, qs, C.PARAMS, k=C.K_BATCH, n_queries=C.BATCH_DOCS)
     truth = bruteforce.est_jaccard_topk(sigs, qs, C.PARAMS.num_perm, k=C.K_BATCH)
     return pred, truth
 
@@ -452,7 +452,7 @@ def q_lsh_topk_preview(spark, sf_dir):
     qs = sigs.filter(F.col("doc_id") == C.QUERY_DOC).select(
         F.col("doc_id").alias("query_id"), "sig"
     )
-    top = lsh.lsh_topk(sigs, bands, qs, C.PARAMS, k=C.K_DOC)
+    top = lsh.lsh_topk(sigs, bands, qs, C.PARAMS, k=C.K_DOC, n_queries=1)
     prev = lsh.with_preview(top, sigs, n=10).select(
         "query_id",
         "doc_id",
@@ -474,7 +474,7 @@ def q_padded_topk(spark, sf_dir):
     qs = sigs.filter(F.col("doc_id") == C.QUERY_DOC).select(
         F.col("doc_id").alias("query_id"), "sig"
     )
-    top = lsh.lsh_topk(sigs, bands, qs, C.PARAMS, k=C.K_DOC)
+    top = lsh.lsh_topk(sigs, bands, qs, C.PARAMS, k=C.K_DOC, n_queries=1)
     ids = top.groupBy("query_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("rank", "doc_id"))),
