@@ -21,6 +21,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -141,18 +142,32 @@ def sample_frames(
         for pdf in batches:
             if real:
                 raise NotImplementedError("real frame decoder unavailable")
-            rows = {"media_id": [], "frame_idx": [], "frame_payload": []}
-            for _, r in pdf.iterrows():
-                if r["kind"] != "video":
-                    continue
-                n_frames = max(1, int(r["duration_ms"]) // every_ms)
-                payload = r["payload"] or b""
-                for i in range(n_frames):
-                    rows["media_id"].append(r["media_id"])
-                    rows["frame_idx"].append(i)
-                    start = (i * 16) % max(1, len(payload))
-                    rows["frame_payload"].append(payload[start : start + 16])
-            yield pd.DataFrame(rows)
+            vids = pdf[pdf["kind"] == "video"]
+            payloads = [p if p is not None else b"" for p in vids["payload"]]
+            n_frames = np.maximum(
+                1, vids["duration_ms"].to_numpy(dtype="int64") // every_ms
+            )
+            # Vectorized ragged expansion: repeat each video's id/payload
+            # n_frames times and build the per-video 0..n-1 frame index
+            # without a per-row loop (arange minus repeated group offsets).
+            media_id = np.repeat(vids["media_id"].to_numpy(dtype="int64"), n_frames)
+            offsets = np.cumsum(n_frames) - n_frames
+            frame_idx = np.arange(int(n_frames.sum())) - np.repeat(offsets, n_frames)
+            lens = np.repeat(
+                np.maximum(1, np.fromiter(map(len, payloads), dtype="int64", count=len(payloads))),
+                n_frames,
+            )
+            starts = (frame_idx * 16) % lens
+            rep_payloads = np.repeat(np.array(payloads, dtype=object), n_frames)
+            yield pd.DataFrame(
+                {
+                    "media_id": media_id,
+                    "frame_idx": frame_idx.astype("int32"),
+                    "frame_payload": [
+                        p[s : s + 16] for p, s in zip(rep_payloads, starts)
+                    ],
+                }
+            )
 
     return media.mapInPandas(run, FRAMES_SCHEMA)
 

@@ -235,6 +235,7 @@ def connected_components(
     )
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     labels = labels.cache()
+    converged = False
     for i in range(max_iter):
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.node)
@@ -256,8 +257,17 @@ def connected_components(
         if i % 5 == 4:
             labels = labels.localCheckpoint()
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # Silent wrong labels are worse than a loud failure: a component
+        # whose diameter exceeds max_iter would get split into several
+        # groups without this guard.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; raise max_iter (rounds needed = graph diameter)"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("group_id"))
 
 

