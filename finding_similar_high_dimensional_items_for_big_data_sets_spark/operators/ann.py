@@ -32,6 +32,24 @@ def random_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[floa
     return rs.randn(n_planes, dim).tolist()
 
 
+def auto_n_planes(
+    n_rows: int, target_bucket_size: int = 256, lo: int = 8, hi: int = 24
+) -> int:
+    """Plane count scaled to the corpus: 2^planes ~= n_rows / target,
+    so the EXPECTED bucket population stays ~target_bucket_size as the
+    corpus grows (a fixed plane count makes every within-bucket join
+    quadratic at 100x the rows). Clamped to [lo, hi]: below 2^lo
+    buckets the partitioning is too coarse to matter, above 2^hi the
+    per-row bucket computation (one dot product per plane) dominates.
+    """
+    import math
+
+    if n_rows <= 0:
+        return lo
+    needed = math.ceil(math.log2(max(1.0, n_rows / float(target_bucket_size))))
+    return max(lo, min(hi, needed))
+
+
 def random_centroids(dim: int, n_cells: int = 16, seed: int = 43) -> list[list[float]]:
     rs = np.random.RandomState(seed)
     return rs.randn(n_cells, dim).tolist()
@@ -108,21 +126,30 @@ def ann_lsh_topk(
     embeddings: DataFrame,
     query: list[float],
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     seed: int = 42,
     n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Bucket-probe ANN: filter to the query's sign bucket(s)
     (``n_probe`` > 1 adds the lowest-margin bit-flip buckets for
     recall), exact cosine on survivors, deterministic top-k.
     Output: (vec_id, cos_sim, rank).
 
+    ``n_planes=None`` sizes the bucket count to the corpus via
+    ``auto_n_planes`` (``n_rows`` hint, else one count job) so probe
+    cost stays ~n_probe * target_bucket_size as the corpus grows.
+
     At scale the corpus is bucketed once (one map stage, no shuffle);
     a probe reads ~``n_probe * N / 2^n_planes`` vectors. With the
     corpus written partitioned by bucket, the IN-filter prunes
     partitions at the source."""
+    if n_planes is None:
+        n_planes = auto_n_planes(
+            n_rows if n_rows is not None else embeddings.count()
+        )
     dim = len(query)
     buckets = probe_buckets(query, n_planes, seed, n_probe)
     bucketed = with_hyperplane_bucket(embeddings, dim, n_planes, seed, vec_col)

@@ -275,10 +275,12 @@ def embedding_cosine_duplicates(
     embeddings: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
+    compress_identical: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine similarity >= threshold.
 
@@ -286,36 +288,121 @@ def embedding_cosine_duplicates(
     near-identical in cosine almost surely share the full sign
     pattern; candidate pairs are verified with exact cosine. Shuffles
     only on the bucket key. Output: (vec_a, vec_b, cos_sim).
+
+    Scale levers (both on by default for library callers):
+    - ``n_planes=None`` sizes the bucket count to the corpus via
+      ``ann.auto_n_planes`` (2^planes ~= N / 256) using the ``n_rows``
+      hint, or one count job if no hint — a FIXED plane count makes
+      every within-bucket join quadratic at 100x the rows.
+    - ``compress_identical`` groups exactly-identical vectors before
+      the bucket self-join (the adversarial skew case: a clone-heavy
+      corpus drives every clone into one bucket no matter how many
+      planes). Scoring then runs once per DISTINCT vector pair; member
+      ids are re-expanded only into the true output.
     """
     from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        auto_n_planes,
         hyperplane_bucket,
     )
 
-    bucketed = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col),
-        hyperplane_bucket(F.col(vec_col), dim, n_planes=n_planes, seed=seed).alias(
+    if n_planes is None:
+        n_planes = auto_n_planes(
+            n_rows if n_rows is not None else embeddings.count()
+        )
+
+    if not compress_identical:
+        bucketed = embeddings.select(
+            F.col(id_col),
+            F.col(vec_col),
+            hyperplane_bucket(F.col(vec_col), dim, n_planes=n_planes, seed=seed).alias(
+                "bucket"
+            ),
+        )
+        left = bucketed.select(
+            F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a"), "bucket"
+        )
+        right = bucketed.select(
+            F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b"), "bucket"
+        )
+        return (
+            left.join(right, "bucket")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select(
+                "vec_a",
+                "vec_b",
+                # round(6) BEFORE the threshold filter so 1-ULP fold
+                # differences vs the oracle can't flip boundary pairs.
+                F.round(cosine_similarity(F.col("emb_a"), F.col("emb_b")), 6).alias(
+                    "cos_sim"
+                ),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+            .distinct()
+        )
+
+    # One group per distinct vector value; scoring joins touch only
+    # representatives, so a clone mega-bucket costs O(distinct^2) in the
+    # quadratic stage instead of O(N^2).
+    groups = embeddings.groupBy(F.col(vec_col).alias("vec")).agg(
+        F.min(id_col).alias("rep"),
+        F.sort_array(F.collect_list(id_col)).alias("members"),
+    )
+    bucketed = groups.select(
+        "rep",
+        "vec",
+        "members",
+        hyperplane_bucket(F.col("vec"), dim, n_planes=n_planes, seed=seed).alias(
             "bucket"
         ),
     )
-    left = bucketed.select(
-        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a"), "bucket"
+    la = bucketed.select(
+        F.col("rep").alias("rep_a"),
+        F.col("vec").alias("emb_a"),
+        F.col("members").alias("members_a"),
+        "bucket",
     )
-    right = bucketed.select(
-        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b"), "bucket"
+    lb = bucketed.select(
+        F.col("rep").alias("rep_b"),
+        F.col("vec").alias("emb_b"),
+        F.col("members").alias("members_b"),
+        "bucket",
     )
-    return (
-        left.join(right, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+    cross = (
+        la.join(lb, "bucket")
+        .filter(F.col("rep_a") < F.col("rep_b"))
         .select(
-            "vec_a",
-            "vec_b",
-            # round(6) BEFORE the threshold filter so 1-ULP fold
-            # differences vs the oracle can't flip boundary pairs.
+            "members_a",
+            "members_b",
             F.round(cosine_similarity(F.col("emb_a"), F.col("emb_b")), 6).alias(
                 "cos_sim"
             ),
         )
         .filter(F.col("cos_sim") >= threshold)
-        .distinct()
+        .select(
+            F.explode("members_a").alias("ma"), "members_b", "cos_sim"
+        )
+        .select(
+            "ma", F.explode("members_b").alias("mb"), "cos_sim"
+        )
+        .select(
+            F.least("ma", "mb").alias("vec_a"),
+            F.greatest("ma", "mb").alias("vec_b"),
+            "cos_sim",
+        )
     )
+    # Identical-vector pairs: score once per group through the SAME
+    # cosine fold (self-cosine, ~1.0 modulo rounding) so values match
+    # the uncompressed path bit-for-bit.
+    within = (
+        groups.filter(F.size("members") > 1)
+        .select(
+            "members",
+            F.round(cosine_similarity(F.col("vec"), F.col("vec")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.explode("members").alias("ma"), "members", "cos_sim")
+        .select("ma", F.explode("members").alias("mb"), "cos_sim")
+        .filter(F.col("ma") < F.col("mb"))
+        .select(F.col("ma").alias("vec_a"), F.col("mb").alias("vec_b"), "cos_sim")
+    )
+    return cross.unionByName(within).distinct()

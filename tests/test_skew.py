@@ -67,3 +67,82 @@ def test_compression_shrinks_the_quadratic_stage(skewed):
     groups = sigs.groupBy("sig").agg(F.count(F.lit(1)).alias("n"))
     assert groups.agg(F.max("n")).collect()[0][0] == N_DUP
     assert groups.count() <= N_UNIQ + 1
+
+
+# --- hyperplane-bucket family under scale and clone skew --------------------
+
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import (  # noqa: E402
+    ann,
+    dedup,
+)
+
+EMB_DIM = 8
+N_CLONES = 80
+N_UNIQ_VECS = 40
+
+
+@pytest.fixture(scope="module")
+def clone_embeddings(spark):
+    import numpy as np
+
+    rs = np.random.RandomState(7)
+    clone_vec = [float(x) for x in rs.randn(EMB_DIM)]
+    rows = [(i, clone_vec) for i in range(N_CLONES)]
+    rows += [
+        (1000 + i, [float(x) for x in rs.randn(EMB_DIM)]) for i in range(N_UNIQ_VECS)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_auto_n_planes_scales_with_corpus():
+    # fixed floor at small N (the sf fixtures), then log2 growth: a
+    # 100x corpus gets ~log2(100) ~ 6-7 more planes, keeping the
+    # EXPECTED bucket population near the target instead of 100x-ing it
+    assert ann.auto_n_planes(500) == 8
+    assert ann.auto_n_planes(256 * (1 << 10)) == 10
+    assert ann.auto_n_planes(256 * (1 << 20)) == 20
+    assert ann.auto_n_planes(10**12) == 24  # hi clamp
+    assert ann.auto_n_planes(0) == 8
+    sizes = [ann.auto_n_planes(n) for n in (10**4, 10**6, 10**8, 10**10)]
+    assert sizes == sorted(sizes)
+    # in the unclamped regime the expected bucket size stays bounded
+    for n in (10**6, 10**7, 10**8):
+        planes = ann.auto_n_planes(n)
+        assert n / (1 << planes) <= 2 * 256
+
+
+def test_embedding_clone_skew_compressed_matches_uncompressed(clone_embeddings):
+    fast = dedup.embedding_cosine_duplicates(
+        clone_embeddings, dim=EMB_DIM, threshold=0.9, compress_identical=True
+    )
+    slow = dedup.embedding_cosine_duplicates(
+        clone_embeddings, dim=EMB_DIM, threshold=0.9, compress_identical=False
+    )
+    a = {(r["vec_a"], r["vec_b"], r["cos_sim"]) for r in fast.collect()}
+    b = {(r["vec_a"], r["vec_b"], r["cos_sim"]) for r in slow.collect()}
+    assert a == b
+    # every clone pair present at self-cosine 1.0
+    clone_pairs = {(x, y) for (x, y, s) in a if x < N_CLONES and y < N_CLONES}
+    assert len(clone_pairs) == N_CLONES * (N_CLONES - 1) // 2
+    assert all(s == 1.0 for (x, y, s) in a if x < N_CLONES and y < N_CLONES)
+
+
+def test_embedding_clone_skew_quadratic_stage_is_on_distinct_vectors(clone_embeddings):
+    # the clone mega-bucket is irreducible by plane count (identical
+    # vectors always share a bucket); compression must collapse the
+    # scoring input to one representative per distinct vector
+    groups = clone_embeddings.groupBy("embedding").count()
+    assert groups.count() == N_UNIQ_VECS + 1
+    assert groups.agg(F.max("count")).collect()[0][0] == N_CLONES
+
+
+def test_embedding_auto_planes_equals_explicit(clone_embeddings):
+    auto = dedup.embedding_cosine_duplicates(
+        clone_embeddings, dim=EMB_DIM, threshold=0.9, n_planes=None, n_rows=120
+    )
+    explicit = dedup.embedding_cosine_duplicates(
+        clone_embeddings, dim=EMB_DIM, threshold=0.9, n_planes=ann.auto_n_planes(120)
+    )
+    assert {tuple(r) for r in auto.collect()} == {
+        tuple(r) for r in explicit.collect()
+    }
