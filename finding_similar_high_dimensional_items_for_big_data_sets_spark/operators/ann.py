@@ -158,7 +158,11 @@ def ann_lsh_topk(
     scored = bucketed.filter(F.col("bucket").isin(buckets)).select(
         id_col, F.round(cosine_similarity(F.col(vec_col), qlit), 6).alias("cos_sim")
     )
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    # constant partition key: the window runs over the k surviving rows
+    # only, and silences Spark's move-everything-to-one-partition warning
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
     return (
         scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
@@ -225,7 +229,9 @@ def ivf_topk(
     scored = assigned.filter(F.col("cell").isin(probe_cells)).select(
         id_col, F.round(l2_distance(F.col(vec_col), qlit), 6).alias("dist")
     )
-    w = Window.orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
     return (
         scored.orderBy(F.col("dist").asc(), F.col(id_col).asc())
         .limit(k)

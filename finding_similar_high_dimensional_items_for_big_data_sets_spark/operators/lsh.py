@@ -570,7 +570,16 @@ def self_join_pairs(
     group build is one extra groupBy on the (small) sig column; at
     100 TB it is the difference between a band join on unique content
     vs one inflated quadratically by every exact-dup cluster.
+
+    Losslessness REQUIRES an uncapped bands table: under
+    ``params.max_bucket_size`` the cap keeps the smallest doc_ids per
+    bucket, and dropping a group representative while keeping a
+    non-representative member changes which pairs the representative
+    path can see. Compression is therefore disabled automatically when
+    the params carry a bucket cap.
     """
+    if params.max_bucket_size is not None:
+        compress_identical = False
     if not compress_identical:
         return _self_join_pairs_raw(bands, sigs, params, threshold, n_docs)
     # distinct-sig count <= corpus count, so an under-max hint stays

@@ -60,8 +60,12 @@ def histogram_edges(
 
 def bin_index(value: Column, lo: Column, width: Column, n_bins: int) -> Column:
     """searchsorted-style bin lookup (F7, reference ``app/src/qed.py:47,59``):
-    clamped to [0, n_bins-1]; right edge closed like np.histogram."""
-    raw = F.floor((value - lo) / width).cast("int")
+    clamped to [0, n_bins-1]; right edge closed like np.histogram.
+    A constant dimension has width 0 — guard to width 1 so every value
+    (== lo) lands in bin 0 instead of NaN (same policy as
+    ``query_windows`` / ``bin_window_filter``)."""
+    safe_width = F.when(width != 0, width).otherwise(F.lit(1.0))
+    raw = F.floor((value - lo) / safe_width).cast("int")
     return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
 
 
@@ -167,8 +171,12 @@ def qed_prune_score_topk(
         .limit(k)
         .withColumn(
             "rank",
+            # constant partition key over the k surviving rows silences
+            # the single-partition window warning without a plan change
             F.row_number().over(
-                Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+                Window.partitionBy(F.lit(0)).orderBy(
+                    F.col("score").desc(), F.col(id_col).asc()
+                )
             ),
         )
     )

@@ -72,8 +72,10 @@ EDGES = (
     f"(max(value) - min(value)) / {C.QED_BINS} AS width "
     f"FROM ({EMB_DIMS}) GROUP BY dim"
 )
+# zero-width (constant-dim) guard mirrors operators/qed.bin_index
 _BIN = lambda v, lo, w: (
-    f"least(greatest(CAST(floor(({v} - {lo}) / {w}) AS INT), 0), {C.QED_BINS - 1})"
+    f"least(greatest(CAST(floor(({v} - {lo}) / "
+    f"(CASE WHEN {w} = 0 THEN 1.0 ELSE {w} END)) AS INT), 0), {C.QED_BINS - 1})"
 )
 
 # L2 / cosine folds mirroring functions/arrays.py exactly:

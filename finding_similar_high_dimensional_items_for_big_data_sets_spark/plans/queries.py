@@ -48,11 +48,14 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # persistent artifacts (the reference builds its LSH index once at
 # startup, app/src/query_service.py:109-122). Registry queries share
 # one cached copy per (session, sf_dir) instead of re-deriving them.
-_INDEX_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_INDEX_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _cached(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
-    key = (id(spark), sf_dir, kind)
+    # Keyed on the Spark application id, not id(spark): a stopped
+    # session's id() can be reused by a new object after GC, which would
+    # hand out DataFrames bound to a dead context.
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
     df = _INDEX_CACHE.get(key)
     if df is None:
         df = build().cache()
