@@ -1,0 +1,132 @@
+"""Network query endpoint: the reference's ``POST /query`` REST
+surface (``app/src/query_service.py:34-46,139-196``) bound to the
+engine's in-process :class:`~.serving.ServingIndex`.
+
+The reference serves FastAPI over a Dask cluster; this environment
+ships no web framework, so the binding is the stdlib
+``http.server.ThreadingHTTPServer`` — deliberately thin, because all
+request semantics already live in library code:
+
+- envelope: ``{"vector": List[int], "k": int = 10}`` with the same
+  validation rules as :func:`sources.query_source.validate_envelopes`
+  (non-null vector of exactly ``num_perm`` integers, ``k`` floored at
+  1, default 10);
+- response: ``{"candidates": [{"id", "score", "vector_preview"}]}``
+  matching ``sources.sinks.topk_response`` / reference
+  ``query_service.py:196``, preview = first 10 signature values
+  (reference ``worker_tasks.py:164``).
+
+Scale note: one process serves one exported index (or one shard via
+``serving.shard_dataframes`` + ``serving.merge_topk`` at a router
+tier). Queries never launch Spark jobs — Spark builds the artifact,
+the endpoint probes it, same division of labor as the reference's
+offline build / online probe split.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.serving import (
+    ServingIndex,
+)
+
+DEFAULT_K = 10
+PREVIEW_N = 10
+
+
+class QueryService:
+    """Transport-free request handler: dict in, (status, dict) out.
+    The HTTP layer below is a socket binding for exactly this."""
+
+    def __init__(self, index: ServingIndex, preview_n: int = PREVIEW_N):
+        self.index = index
+        self.preview_n = preview_n
+
+    def handle_query(self, payload) -> tuple[int, dict]:
+        if not isinstance(payload, dict):
+            return 400, {"error": "body must be a JSON object"}
+        vector = payload.get("vector")
+        if not isinstance(vector, list) or any(
+            not isinstance(v, int) or isinstance(v, bool) for v in vector
+        ):
+            return 400, {"error": "vector must be a list of integers"}
+        if len(vector) != self.index.params.num_perm:
+            return 400, {
+                "error": (
+                    f"vector width {len(vector)} != num_perm "
+                    f"{self.index.params.num_perm}"
+                )
+            }
+        k = payload.get("k", DEFAULT_K)
+        if not isinstance(k, int) or isinstance(k, bool):
+            return 400, {"error": "k must be an integer"}
+        k = max(1, k)
+        hits = self.index.query(vector, k=k)
+        return 200, {
+            "candidates": [
+                {
+                    "id": doc_id,
+                    "score": score,
+                    "vector_preview": self._preview(doc_id),
+                }
+                for (doc_id, score, _rank) in hits
+            ]
+        }
+
+    def _preview(self, doc_id: int) -> list[int]:
+        row = int(np.searchsorted(self.index.doc_ids, doc_id))
+        return [int(v) for v in self.index.sigs[row, : self.preview_n]]
+
+
+def _make_handler(service: QueryService):
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802 (http.server API)
+            if self.path.rstrip("/") != "/query":
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"null")
+            except (ValueError, json.JSONDecodeError):
+                self._reply(400, {"error": "invalid JSON body"})
+                return
+            status, body = service.handle_query(payload)
+            self._reply(status, body)
+
+        def do_GET(self):  # noqa: N802
+            if self.path.rstrip("/") == "/health":
+                self._reply(
+                    200, {"status": "ok", "n_docs": int(service.index.doc_ids.size)}
+                )
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def _reply(self, status: int, body: dict) -> None:
+            data = json.dumps(body).encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, fmt, *args):  # silence per-request stderr
+            pass
+
+    return Handler
+
+
+def start_server(
+    index: ServingIndex, host: str = "127.0.0.1", port: int = 0
+) -> tuple[ThreadingHTTPServer, threading.Thread]:
+    """Bind the query service to a socket (``port=0`` = ephemeral).
+    Returns (server, daemon thread); call ``server.shutdown()`` then
+    ``server.server_close()`` to stop."""
+    server = ThreadingHTTPServer((host, port), _make_handler(QueryService(index)))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, thread

@@ -1,0 +1,95 @@
+"""HTTP query endpoint (operators/serving_http.py): the reference's
+POST /query envelope and response over a real socket, backed by the
+exported serving index."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.config import MinHashParams
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import lsh, minhash
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.serving import ServingIndex
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import serving_http
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import load_table
+
+PARAMS = MinHashParams()
+
+
+@pytest.fixture(scope="module")
+def endpoint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    sigs = minhash.signatures(docs, PARAMS).cache()
+    bands = lsh.bands_table(sigs, PARAMS).cache()
+    index = ServingIndex.from_dataframes(sigs, bands, PARAMS)
+    qsig = [int(v) for v in sigs.filter(F.col("doc_id") == 13).first()["sig"]]
+    server, thread = serving_http.start_server(index)
+    host, port = server.server_address
+    yield f"http://{host}:{port}", qsig, index
+    server.shutdown()
+    server.server_close()
+
+
+def _post(url: str, body: dict | str):
+    data = (body if isinstance(body, str) else json.dumps(body)).encode()
+    req = urllib.request.Request(
+        url + "/query", data=data, headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_query_self_hit_rank1(endpoint):
+    url, qsig, index = endpoint
+    status, body = _post(url, {"vector": qsig, "k": 5})
+    assert status == 200
+    cands = body["candidates"]
+    assert 1 <= len(cands) <= 5
+    assert cands[0]["id"] == 13
+    assert cands[0]["score"] == 1.0
+    assert cands[0]["vector_preview"] == qsig[:10]
+    # response agrees with the in-process index verbatim
+    direct = index.query(qsig, k=5)
+    assert [(c["id"], c["score"]) for c in cands] == [
+        (d, s) for (d, s, _r) in direct
+    ]
+
+
+def test_k_defaults_to_10(endpoint):
+    url, qsig, _ = endpoint
+    status, body = _post(url, {"vector": qsig})
+    assert status == 200
+    assert len(body["candidates"]) <= 10
+
+
+def test_invalid_envelopes_are_400(endpoint):
+    url, qsig, _ = endpoint
+    for bad in (
+        {"vector": None},
+        {"vector": qsig[:7]},  # wrong width
+        {"vector": ["x"] * len(qsig)},  # non-integer elements
+        {"vector": qsig, "k": "five"},
+        [1, 2, 3],  # not an object
+    ):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(url, bad)
+        assert ei.value.code == 400
+        assert "error" in json.loads(ei.value.read())
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(url, "{not json")
+    assert ei.value.code == 400
+
+
+def test_health_and_404(endpoint):
+    url, _, index = endpoint
+    with urllib.request.urlopen(url + "/health") as resp:
+        body = json.loads(resp.read())
+    assert body["status"] == "ok"
+    assert body["n_docs"] == index.doc_ids.size
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(url + "/nope")
+    assert ei.value.code == 404
