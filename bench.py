@@ -203,18 +203,29 @@ def main():
     timings["ann_lsh_point"] = t
 
     # --- pipeline ops over the full corpus ---
+    # One untimed warm call per block: the first-ever execution pays
+    # whole-stage codegen compilation and cold parquet reads (the
+    # portable-hash expressions alone compile for ~1s), which best-of-N
+    # cannot separate from plan cost when all N reps land in the same
+    # cold window — measured corpus_clean 1.76s cold-window vs 0.48s
+    # warmed. The scale-relevant figure is the warm plan cost.
     t, _ = timed(
         lambda: lsh.self_join_pairs(bands, sigs, params, 0.8, n_docs=n_docs).count()
     )
     timings["dedup_lsh_pairs"] = t
+    Q.q_text_stats(spark, sf_dir).count()
     t, _ = timed(lambda: Q.q_text_stats(spark, sf_dir).count())
     timings["text_stats_full"] = t
+    dedup.exact_duplicates(docs).count()
     t, _ = timed(lambda: dedup.exact_duplicates(docs).count())
     timings["dedup_exact"] = t
+    Q.q_corpus_clean(spark, sf_dir).count()
     t, _ = timed(lambda: Q.q_corpus_clean(spark, sf_dir).count())
     timings["corpus_clean_full"] = t
+    Q.q_lineitem_pricing(spark, sf_dir).collect()
     t, _ = timed(lambda: Q.q_lineitem_pricing(spark, sf_dir).collect())
     timings["lineitem_pricing"] = t
+    Q.q_events_hourly(spark, sf_dir).collect()
     t, _ = timed(lambda: Q.q_events_hourly(spark, sf_dir).collect())
     timings["events_hourly"] = t
 

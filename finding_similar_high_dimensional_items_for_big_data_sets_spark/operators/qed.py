@@ -171,10 +171,11 @@ def qed_prune_score_topk(
         .limit(k)
         .withColumn(
             "rank",
-            # constant partition key over the k surviving rows silences
-            # the single-partition window warning without a plan change
+            # constant-valued but non-foldable partition key (pmod(id,1))
+            # over the k surviving rows keeps the partition spec alive so
+            # WindowExec stops warning about a global window
             F.row_number().over(
-                Window.partitionBy(F.lit(0)).orderBy(
+                Window.partitionBy(F.pmod(F.col(id_col), F.lit(1))).orderBy(
                     F.col("score").desc(), F.col(id_col).asc()
                 )
             ),
