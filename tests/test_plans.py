@@ -1,0 +1,84 @@
+"""Physical-plan audits: the scale claims (broadcast point probes,
+column pruning, filter pushdown, broadcast dims) asserted against the
+executed plans, so a regression that silently reintroduces a shuffle
+or a full-width scan fails CI instead of a 100 TB run."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.config import MinHashParams
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import lsh, minhash
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.plans import queries as Q
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import load_table
+
+PARAMS = MinHashParams()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def index(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash.signatures(docs, PARAMS).cache()
+    bands = lsh.bands_table(sigs, PARAMS).cache()
+    return sigs, bands
+
+
+def test_point_query_probe_is_broadcast_join(spark, index):
+    sigs, bands = index
+    qs = sigs.filter(F.col("doc_id") == 3).select(
+        F.col("doc_id").alias("query_id"), "sig"
+    )
+    top = lsh.lsh_topk(sigs, bands, qs, PARAMS, k=5, n_queries=1)
+    plan = _plan(top)
+    # <=32 query band rows broadcast against the index: the bands table
+    # itself must NOT be re-shuffled to serve a point query
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning(band_id") == 0
+
+
+def test_two_column_projection_prunes_parquet_scan(spark, sf_dir):
+    df = Q.q_shingle_stats(spark, sf_dir)
+    plan = _plan(df)
+    scan = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in scan and "doc_id" in scan
+    # the documents table carries more columns; none may be scanned
+    all_cols = set(load_table(spark, sf_dir, "documents").columns)
+    extra = all_cols - {"doc_id", "text"}
+    assert extra, "fixture should have extra columns for this test to bite"
+    for col in extra:
+        assert col not in scan, f"column {col} scanned but never used"
+
+
+def test_filters_reach_the_parquet_source(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    df = events.filter(F.col("user_id") == 7).select("user_id", "event_type")
+    plan = _plan(df)
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "user_id" in pushed and "EqualTo" in pushed
+
+
+def test_small_dims_broadcast_in_tpch_join(spark, sf_dir):
+    plan = _plan(Q.q_orders_by_region(spark, sf_dir))
+    # region (5 rows) and nation (25 rows) must ride broadcasts; the
+    # only hash-shuffle joins allowed are on the fact-table keys
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_dedup_pairs_band_join_shuffles_on_compact_key_only(spark, index):
+    sigs, bands = index
+    # raw path: the compressed variant adds ONE deliberate groupBy on
+    # the sig column (the distinct-signature build), which would muddy
+    # this audit of the band join itself
+    pairs = lsh.self_join_pairs(
+        bands, sigs, PARAMS, 0.8, n_docs=500, compress_identical=False
+    )
+    plan = _plan(pairs)
+    # the quadratic stage groups bucket members: the shuffle key is the
+    # compact (band_id, band_hash) pair, never signature payloads
+    assert "Exchange hashpartitioning(band_id" in plan
+    assert "Exchange hashpartitioning(sig" not in plan
