@@ -44,10 +44,16 @@ def HMOD(e: str) -> str:
 
 TOKS = "SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents"
 HS = f"SELECT doc_id, list_transform(list_distinct(t), s -> {HMOD('s')}) AS h FROM ({TOKS})"
+# Permutation coefficients ride a one-row cross join instead of inline
+# list literals: DuckDB re-CONSTRUCTS a literal list on every lambda
+# evaluation, which made each signature derivation O(num_perm^2 * |h|)
+# element copies — measured 40.6s -> 0.07s for the sf0.01 corpus with
+# the hoisted constants, bit-identical values.
+CONSTS = f"(SELECT ({A}) AS ca, ({B}) AS cb) consts"
 SIGS = (
     f"SELECT doc_id, list_transform(range({NP}), p -> coalesce("
-    f"list_min(list_transform(h, x -> (({A})[p+1]*x + ({B})[p+1]) % {P})), {P})) AS sigl "
-    f"FROM ({HS})"
+    f"list_min(list_transform(h, x -> (ca[p+1]*x + cb[p+1]) % {P})), {P})) AS sigl "
+    f"FROM ({HS}), {CONSTS}"
 )
 _BAND_STR = (
     f"array_to_string(list_transform("
@@ -135,8 +141,8 @@ def sql_content_hashes() -> str:
 def sql_minhash_signatures() -> str:
     return (
         f"SELECT doc_id, CAST(p.perm_id AS INT) AS perm_id, "
-        f"coalesce(list_min(list_transform(h, x -> (({A})[perm_id+1]*x + ({B})[perm_id+1]) % {P})), {P}) AS sig_value "
-        f"FROM ({HS}), (SELECT unnest(range({NP})) AS perm_id) p"
+        f"coalesce(list_min(list_transform(h, x -> (ca[perm_id+1]*x + cb[perm_id+1]) % {P})), {P}) AS sig_value "
+        f"FROM ({HS}), (SELECT unnest(range({NP})) AS perm_id) p, {CONSTS}"
     )
 
 
@@ -154,7 +160,7 @@ def sql_lsh_bucket_cap() -> str:
 
 def sql_lsh_candidate_cap() -> str:
     return f"""
-WITH bands AS ({BANDS}),
+WITH bands AS MATERIALIZED ({BANDS}),
 qb AS (SELECT band_id, band_hash FROM bands WHERE doc_id = {C.QUERY_DOC}),
 cand AS (SELECT DISTINCT CAST({C.QUERY_DOC} AS BIGINT) AS query_id, bands.doc_id
          FROM bands JOIN qb USING (band_id, band_hash))
@@ -166,8 +172,8 @@ WHERE rn <= 25
 
 def sql_lsh_topk() -> str:
     return f"""
-WITH sigs AS ({SIGS}),
-bands AS ({BANDS}),
+WITH sigs AS MATERIALIZED ({SIGS}),
+bands AS MATERIALIZED ({BANDS}),
 qb AS (SELECT band_id, band_hash FROM bands WHERE doc_id = {C.QUERY_DOC}),
 cand AS (SELECT DISTINCT bands.doc_id FROM bands JOIN qb USING (band_id, band_hash)),
 qsig AS (SELECT sigl AS q FROM sigs WHERE doc_id = {C.QUERY_DOC}),
@@ -181,23 +187,28 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {C.K_DOC}
 
 
 def sql_lsh_pairs() -> str:
+    # MATERIALIZED: DuckDB 1.0 inlines plain CTEs per reference, which
+    # would re-derive the whole signature/band pipeline for each of the
+    # self-join's two sides; the scored subquery evaluates the 128-term
+    # fold once per pair instead of once in SELECT and again in WHERE.
     return f"""
-WITH sigs AS ({SIGS}),
-bands AS ({BANDS}),
+WITH sigs AS MATERIALIZED ({SIGS}),
+bands AS MATERIALIZED ({BANDS}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b USING (band_id, band_hash)
   WHERE a.doc_id < b.doc_id)
-SELECT doc_a, doc_b,
-  list_sum(list_transform(range({NP}), i -> CASE WHEN sa.sigl[i+1] = sb.sigl[i+1] THEN 1 ELSE 0 END)) / {NP} AS score
-FROM pairs p JOIN sigs sa ON sa.doc_id = p.doc_a JOIN sigs sb ON sb.doc_id = p.doc_b
-WHERE list_sum(list_transform(range({NP}), i -> CASE WHEN sa.sigl[i+1] = sb.sigl[i+1] THEN 1 ELSE 0 END)) / {NP} >= {C.PAIR_THRESHOLD}
+SELECT doc_a, doc_b, score FROM (
+  SELECT doc_a, doc_b,
+    list_sum(list_transform(range({NP}), i -> CASE WHEN sa.sigl[i+1] = sb.sigl[i+1] THEN 1 ELSE 0 END)) / {NP} AS score
+  FROM pairs p JOIN sigs sa ON sa.doc_id = p.doc_a JOIN sigs sb ON sb.doc_id = p.doc_b)
+WHERE score >= {C.PAIR_THRESHOLD}
 """
 
 
 def sql_est_jaccard_topk_batch() -> str:
     return f"""
-WITH sigs AS ({SIGS}),
+WITH sigs AS MATERIALIZED ({SIGS}),
 queries AS (SELECT doc_id AS query_id, sigl AS q FROM sigs WHERE doc_id < {C.BATCH_DOCS}),
 scored AS (
   SELECT q.query_id, s.doc_id, {_EST_JACCARD} AS score FROM sigs s, queries q)
@@ -210,7 +221,7 @@ SELECT query_id, doc_id, score, rank FROM (
 def sql_true_jaccard_topk() -> str:
     sh = f"SELECT doc_id, list_distinct(t) AS sh FROM ({TOKS})"
     return f"""
-WITH shingled AS ({sh}),
+WITH shingled AS MATERIALIZED ({sh}),
 q AS (SELECT sh AS qsh FROM shingled WHERE doc_id = {C.QUERY_DOC}),
 scored AS (
   SELECT CAST({C.QUERY_DOC} AS BIGINT) AS query_id, s.doc_id,
@@ -363,7 +374,7 @@ def sql_simhash_dup_pairs() -> str:
 WITH hashed AS ({hs}),
 voted AS (SELECT doc_id, {votes} AS v FROM hashed),
 fp AS (SELECT doc_id, {sh} AS sh FROM voted),
-chunks AS (
+chunks AS MATERIALIZED (
   SELECT doc_id, sh, CAST(c AS INT) AS chunk_id, (sh >> (CAST(c AS INT) * 16)) & 65535 AS chunk
   FROM fp, (SELECT unnest(range(4)) AS c)),
 pairs AS (
@@ -381,7 +392,7 @@ def sql_embedding_dup_pairs() -> str:
         f"({_norm('a.embedding', C.EMB_DIM)} * {_norm('b.embedding', C.EMB_DIM)})"
     )
     return f"""
-WITH bucketed AS (SELECT vec_id, embedding, {_bucket_expr('embedding')} AS bucket FROM embeddings),
+WITH bucketed AS MATERIALIZED (SELECT vec_id, embedding, {_bucket_expr('embedding')} AS bucket FROM embeddings),
 scored AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 6) AS cos_sim
   FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
@@ -656,8 +667,8 @@ def sql_ngram_jaccard_pairs() -> str:
     hs = f"SELECT doc_id, sh, list_transform(sh, s -> {HMOD('s')}) AS h FROM ({grams})"
     sigs = (
         f"SELECT doc_id, sh, list_transform(range({NP}), p -> coalesce("
-        f"list_min(list_transform(h, x -> (({A})[p+1]*x + ({B})[p+1]) % {P})), {P})) AS sigl "
-        f"FROM ({hs})"
+        f"list_min(list_transform(h, x -> (ca[p+1]*x + cb[p+1]) % {P})), {P})) AS sigl "
+        f"FROM ({hs}), {CONSTS}"
     )
     band_str = (
         f"array_to_string(list_transform("
@@ -673,15 +684,16 @@ def sql_ngram_jaccard_pairs() -> str:
         "CAST(len(list_distinct(list_concat(ga.sh, gb.sh))) AS DOUBLE) END"
     )
     return f"""
-WITH grams AS ({grams}),
-bands AS ({bands}),
+WITH grams AS MATERIALIZED ({grams}),
+bands AS MATERIALIZED ({bands}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b USING (band_id, band_hash)
   WHERE a.doc_id < b.doc_id)
-SELECT doc_a, doc_b, {jac} AS jaccard
-FROM pairs p JOIN grams ga ON ga.doc_id = p.doc_a JOIN grams gb ON gb.doc_id = p.doc_b
-WHERE {jac} >= {thr}
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b, {jac} AS jaccard
+  FROM pairs p JOIN grams ga ON ga.doc_id = p.doc_a JOIN grams gb ON gb.doc_id = p.doc_b)
+WHERE jaccard >= {thr}
 """
 
 
