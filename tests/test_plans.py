@@ -42,6 +42,10 @@ def test_point_query_probe_is_broadcast_join(spark, index):
 
 
 def test_two_column_projection_prunes_parquet_scan(spark, sf_dir):
+    # a cached documents relation from an earlier test would swap the
+    # parquet scan for InMemoryTableScan and hide ReadSchema; cached
+    # frames elsewhere re-materialize lazily, so this is safe
+    spark.catalog.clearCache()
     df = Q.q_shingle_stats(spark, sf_dir)
     plan = _plan(df)
     scan = next(l for l in plan.splitlines() if "ReadSchema" in l)
@@ -55,6 +59,7 @@ def test_two_column_projection_prunes_parquet_scan(spark, sf_dir):
 
 
 def test_filters_reach_the_parquet_source(spark, sf_dir):
+    spark.catalog.clearCache()
     events = load_table(spark, sf_dir, "events")
     df = events.filter(F.col("user_id") == 7).select("user_id", "event_type")
     plan = _plan(df)
