@@ -48,7 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
     qs = sigs.filter(F.col("doc_id") == C.QUERY_DOC).select(
         F.col("doc_id").alias("query_id"), "sig"
     )
-    return lsh.lsh_topk(sigs, bands, qs, C.PARAMS, k=C.K_DOC)
+    return lsh.lsh_topk(sigs, bands, qs, C.PARAMS, k=C.K_DOC, n_queries=1)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
