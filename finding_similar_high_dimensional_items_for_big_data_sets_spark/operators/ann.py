@@ -172,6 +172,38 @@ def ann_lsh_topk(
     )
 
 
+def ann_lsh_topk_store(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a :func:`sources.tables.write_embeddings_partitioned`
+    store: the bucket IN-filter hits the PARTITION column, so pruning
+    happens at the source listing — unprobed buckets are never read
+    (asserted against PartitionFilters in tests). Semantics identical
+    to :func:`ann_lsh_topk` at the same (n_planes, seed)."""
+    buckets = probe_buckets(query, n_planes, seed, n_probe)
+    store = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    qlit = F.array(*[F.lit(float(v)) for v in query])
+    scored = store.select(
+        id_col, F.round(cosine_similarity(F.col(vec_col), qlit), 6).alias("cos_sim")
+    )
+    w = Window.partitionBy(F.pmod(F.col(id_col), F.lit(1))).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: list[list[float]],

@@ -100,6 +100,36 @@ def write_bands_bucketed(
     )
 
 
+def write_embeddings_partitioned(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> None:
+    """ANN store: corpus written PARTITIONED on its hyperplane bucket.
+
+    A probe filters ``bucket IN (<probe set>)``; with the bucket as a
+    partition column the filter prunes whole directories at the source
+    (PartitionFilters, no row ever read), so each query touches
+    ~``n_probe * N / 2^n_planes`` rows of a 100 TB corpus. The bucket
+    assignment is the one-time build cost, exactly like the bands
+    table."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        hyperplane_bucket,
+    )
+
+    (
+        embeddings.withColumn(
+            "bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes, seed)
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
 def synthetic_documents(
     spark: SparkSession,
     n_docs: int,

@@ -74,6 +74,30 @@ def test_small_dims_broadcast_in_tpch_join(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_partitioned_ann_store_prunes_unprobed_buckets(spark, sf_dir, tmp_path):
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import ann
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        write_embeddings_partitioned,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.first()["embedding"])
+    store = str(tmp_path / "ann_store")
+    write_embeddings_partitioned(emb, store, dim=dim, n_planes=4)
+    query = [float(v) for v in emb.first()["embedding"]]
+    probed = ann.ann_lsh_topk_store(
+        spark, store, query, k=5, n_planes=4, n_probe=2
+    )
+    plan = _plan(probed)
+    scan = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    # the bucket IN-filter must land on the PARTITION column (directory
+    # pruning at the source), not as a post-scan row filter
+    assert "bucket" in scan.split("PartitionFilters")[1][:120]
+    # identical answers to the in-memory probe at the same config
+    mem = ann.ann_lsh_topk(emb, query, k=5, n_planes=4, n_probe=2)
+    assert sorted(map(tuple, probed.collect())) == sorted(map(tuple, mem.collect()))
+
+
 def test_dedup_pairs_band_join_shuffles_on_compact_key_only(spark, index):
     sigs, bands = index
     # raw path: the compressed variant adds ONE deliberate groupBy on
