@@ -168,3 +168,20 @@ def test_bucketed_bands_table_probe_is_shuffle_free(spark, sigs):
         assert a == b
     finally:
         spark.sql("DROP TABLE IF EXISTS test_bands_idx")
+
+
+def test_matrix_scorer_identical_to_fold_at_any_query_count(sigs):
+    """corpus_matrix now routes EVERY query count through the matrix
+    scorer (the caller's serving-regime signal); results must stay
+    bit-identical to the JVM fold path for point AND batch queries."""
+    bands = lsh.bands_table(sigs, PARAMS).cache()
+    mat = lsh.broadcast_sig_matrix(sigs)
+    for pred in (F.col("doc_id") == 13, F.col("doc_id") < 10):
+        qs = sigs.filter(pred).select(F.col("doc_id").alias("query_id"), "sig")
+        fold = lsh.lsh_topk(sigs, bands, qs, PARAMS, k=5, n_queries=None)
+        fast = lsh.lsh_topk(
+            sigs, bands, qs, PARAMS, k=5, corpus_matrix=mat
+        )
+        a = sorted(map(tuple, fold.collect()))
+        b = sorted(map(tuple, fast.collect()))
+        assert a == b and len(a) > 0
