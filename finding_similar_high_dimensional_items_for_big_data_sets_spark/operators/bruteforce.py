@@ -87,6 +87,88 @@ def cosine_topk(
     ).select(query_id_col, id_col, "cos_sim", "rank")
 
 
+def cosine_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Arrow-vectorized exact cosine top-k: one numpy matmul per corpus
+    partition against the broadcast query matrix, with per-partition
+    local top-k (lossless: each corpus row lives in exactly one
+    partition, so local winners are globally distinct and every global
+    top-k row is in its partition's local top-k).
+
+    The JVM fold path (:func:`cosine_topk`) evaluates a 64-term
+    ``aggregate`` per (query, doc) pair — measured 1.4 s for 20 x 5k at
+    sf0.1 where the matmul is microseconds. Keep the fold as the
+    default: its sequential IEEE op order is what the DuckDB
+    ``list_reduce`` oracle reproduces bit-for-bit; SIMD/pairwise
+    summation here can differ in the last ULP (scores are rounded to
+    6 dp like the fold, so rankings agree except on ties finer than
+    1e-6). Requires non-zero-norm vectors (the fold path instead yields
+    NULL scores via try_divide).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids = np.array([r[query_id_col] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[query_vec_col] for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    if len(qrows) and not qnorm.all():
+        raise ValueError("zero-norm query vector; use cosine_topk (fold path)")
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (qids, qmat / np.where(qnorm == 0, 1.0, qnorm))
+    )
+
+    def score_iter(batches):
+        qids_l, qn_l = bc.value
+        nq = len(qids_l)
+        if nq == 0:
+            return
+        parts = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.vstack(pdf[vec_col].values).astype(np.float64)
+            cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
+            if not cnorm.all():
+                raise ValueError(
+                    "zero-norm corpus vector; use cosine_topk (fold path)"
+                )
+            scores = np.round((cmat / cnorm) @ qn_l.T, 6)  # (nd, nq)
+            nd = len(pdf)
+            parts.append(
+                pd.DataFrame(
+                    {
+                        query_id_col: np.tile(qids_l, nd),
+                        id_col: np.repeat(
+                            pdf[id_col].values.astype(np.int64), nq
+                        ),
+                        "cos_sim": scores.ravel(),
+                    }
+                )
+            )
+        if not parts:
+            return
+        pdf = pd.concat(parts)
+        pdf = pdf.sort_values(
+            [query_id_col, "cos_sim", id_col], ascending=[True, False, True]
+        )
+        yield pdf.groupby(query_id_col, sort=False).head(k)
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score_iter, schema=f"{query_id_col} long, {id_col} long, cos_sim double"
+    )
+    return _per_query_topk(
+        scored, k, [F.col("cos_sim").desc(), F.col(id_col).asc()], query_id_col
+    ).select(query_id_col, id_col, "cos_sim", "rank")
+
+
 def est_jaccard_topk(
     sigs: DataFrame,
     query_sigs: DataFrame,

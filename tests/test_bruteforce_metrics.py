@@ -84,3 +84,27 @@ def test_mrr_zero_when_no_hits(spark):
     truth = spark.createDataFrame([(1, 8, 1), (1, 9, 2)], "query_id int, doc_id int, rank int")
     row = metrics.quality_metrics(pred, truth, k=2).collect()[0]
     assert row["recall_at_k"] == 0.0 and row["mrr"] == 0.0
+
+
+def test_cosine_topk_vectorized_matches_fold(spark, emb):
+    """The Arrow matmul path must rank identically to the JVM fold
+    (scores agree at the shared 6-dp rounding) for point and batch."""
+    for pred in (F.col("vec_id") == 7, F.col("vec_id") < 8):
+        q = emb.filter(pred).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        fold = bruteforce.cosine_topk(emb, q, k=5).collect()
+        fast = bruteforce.cosine_topk_vectorized(emb, q, k=5).collect()
+        a = sorted((r["query_id"], r["rank"], r["vec_id"], round(r["cos_sim"], 6)) for r in fold)
+        b = sorted((r["query_id"], r["rank"], r["vec_id"], round(r["cos_sim"], 6)) for r in fast)
+        assert a == b and len(a) > 0
+
+
+def test_cosine_topk_vectorized_rejects_zero_norm(spark, emb):
+    q = spark.createDataFrame(
+        [(99, [0.0] * 64)], "query_id long, query_vec array<double>"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="zero-norm"):
+        bruteforce.cosine_topk_vectorized(emb, q, k=5).collect()

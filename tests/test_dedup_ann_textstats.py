@@ -189,3 +189,24 @@ def test_multiprobe_buckets_deterministic_and_superset(spark, sf_dir):
     # multi-probe may displace tail results but scores only improve
     assert max(r["cos_sim"] for r in r3) >= max(r["cos_sim"] for r in r1)
     assert ids1 & ids3
+
+
+def test_ivf_train_reduces_inertia_and_probes_work(emb):
+    """Lloyd iterations must not increase inertia, and a trained
+    quantizer must serve ivf_topk identically in shape/ordering."""
+    cents0 = ann.random_centroids(64, n_cells=8, seed=43)
+    i0 = ann.ivf_inertia(emb, cents0)
+    trained = ann.ivf_train(emb, n_cells=8, n_iters=3, seed=43)
+    i1 = ann.ivf_inertia(emb, trained)
+    assert i1 <= i0 * (1 + 1e-12), (i0, i1)
+    assert len(trained) == 8 and len(trained[0]) == 64
+
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    rows = ann.ivf_topk(emb, qvec, k=5, n_probe=2, centroids=trained).collect()
+    assert 0 < len(rows) <= 5
+    ranked = sorted(rows, key=lambda r: r["rank"])
+    dists = [r["dist"] for r in ranked]
+    assert dists == sorted(dists)
+    # probing every trained cell is exhaustive -> exact top-1 is the query itself
+    full = ann.ivf_topk(emb, qvec, k=1, n_probe=8, centroids=trained).collect()
+    assert full[0]["vec_id"] == 7
