@@ -49,3 +49,32 @@ def write_metrics_csv(metrics: DataFrame, path: str) -> None:
     """S9: metrics table -> CSV with header (one file — metrics frames
     are tiny aggregates by construction)."""
     metrics.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+def save_curl_for_query(
+    vectors: DataFrame,
+    doc_id: int,
+    k: int = 5,
+    out_path: str = "curl_query.sh",
+    url: str = "http://localhost:8000/query",
+    id_col: str = "doc_id",
+    vec_col: str = "sig",
+) -> str:
+    """S10: write a ``curl_query.sh`` replaying one vector as a
+    ``POST /query`` (reference ``benchmarks/benchmark_runner.py:36-66``,
+    payload ``{"vector": [...], "k": k}``). The reference loads row
+    ``index`` of ``sigs.npy``; here the row comes from any
+    (id, vector) DataFrame — signatures, embeddings, or a migrated
+    ``.npy`` shard (sources.migration). Returns the script path.
+    """
+    row = vectors.filter(F.col(id_col) == doc_id).select(vec_col).first()
+    if row is None:
+        raise ValueError(f"{id_col}={doc_id} not found")
+    payload = json.dumps({"vector": [float(v) for v in row[vec_col]], "k": k})
+    cmd = (
+        f'curl -X POST "{url}" -H "Content-Type: application/json" '
+        f'-d "{payload.replace(chr(34), chr(92) + chr(34))}"'
+    )
+    with open(out_path, "w") as f:
+        f.write(cmd + "\n")
+    return out_path

@@ -86,3 +86,24 @@ def test_streaming_envelopes_through_lsh_probe(spark, tmp_path, corpus):
         assert any(r["query_id"] == 42 and r["doc_id"] == 7 for r in rows)
     finally:
         q.stop()
+
+
+def test_save_curl_for_query_roundtrips(spark, sf_dir, tmp_path):
+    """S10 sink: the script must POST the exact vector + k as JSON
+    (reference benchmarks/benchmark_runner.py:36-66 payload shape)."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources import sinks
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash.signatures(docs, MinHashParams())
+    out = sinks.save_curl_for_query(
+        sigs, doc_id=13, k=5, out_path=str(tmp_path / "curl_query.sh")
+    )
+    text = open(out).read().strip()
+    assert text.startswith('curl -X POST "http://localhost:8000/query"')
+    payload = json.loads(text.split('-d "', 1)[1][:-1].replace('\\"', '"'))
+    assert payload["k"] == 5
+    expect = [float(v) for v in sigs.filter(F.col("doc_id") == 13).first()["sig"]]
+    assert payload["vector"] == expect
+
+    with pytest.raises(ValueError, match="not found"):
+        sinks.save_curl_for_query(sigs, doc_id=-5, out_path=str(tmp_path / "x.sh"))
