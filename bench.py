@@ -247,10 +247,9 @@ def main():
     # cannot separate from plan cost when all N reps land in the same
     # cold window — measured corpus_clean 1.76s cold-window vs 0.48s
     # warmed. The scale-relevant figure is the warm plan cost.
-    t, _ = timed(
+    t_pairs1, _ = timed(
         lambda: lsh.self_join_pairs(bands, sigs, params, 0.8, n_docs=n_docs).count()
     )
-    timings["dedup_lsh_pairs"] = t
     Q.q_text_stats(spark, sf_dir).count()
     t, _ = timed(lambda: Q.q_text_stats(spark, sf_dir).count())
     timings["text_stats_full"] = t
@@ -266,6 +265,16 @@ def main():
     Q.q_events_hourly(spark, sf_dir).collect()
     t, _ = timed(lambda: Q.q_events_hourly(spark, sf_dir).collect())
     timings["events_hourly"] = t
+    # second spaced window for the suite's least stable number: the
+    # host's multi-second stall phases outlast one rep-set, so two
+    # windows separated by the blocks above rarely both land in a
+    # stall (same rationale as the parity block's split batch timing;
+    # identical code measured 33 -> 53 s across rounds on this box).
+    t_pairs2, _ = timed(
+        lambda: lsh.self_join_pairs(bands, sigs, params, 0.8, n_docs=n_docs).count(),
+        reps=2,
+    )
+    timings["dedup_lsh_pairs"] = min(t_pairs1, t_pairs2)
 
     # --- reference-parity block: the reference's own benchmark config
     # (BASELINE.md: N=20,000 synthetic docs, vocab 20, avg 40 words,

@@ -108,11 +108,29 @@ class ServingIndex:
         cand = np.flatnonzero(mask)
         if self.params.max_candidates is not None:
             cand = cand[: self.params.max_candidates]
-        scores = (self.sigs[cand] == q).mean(axis=1)
-        order = np.lexsort((self.doc_ids[cand], -scores))[:k]
+        n = self.doc_ids.shape[0]
+        if cand.shape[0] * 2 > n:
+            # dense probe (collision-heavy corpus): a fancy-index gather
+            # copies |cand| x num_perm int64 (~20 MB at 20k docs) before
+            # comparing; scanning all rows sequentially and selecting
+            # counts afterwards is cheaper past ~half density.
+            counts = (self.sigs == q).sum(axis=1)[cand]
+        else:
+            counts = (self.sigs[cand] == q).sum(axis=1)
+        # top-k via one O(n) partition on a composite integer key that
+        # encodes the (score desc, doc_id asc) contract exactly:
+        # match-count majorizes, lower row index (== lower doc_id, ids
+        # sorted) breaks ties. Replaces a full two-key lexsort.
+        key = counts * np.int64(n + 1) - cand
+        if key.shape[0] > k:
+            sel = np.argpartition(-key, k - 1)[:k]
+        else:
+            sel = np.arange(key.shape[0])
+        sel = sel[np.argsort(-key[sel], kind="stable")]
+        inv = 1.0 / self.params.num_perm
         return [
-            (int(self.doc_ids[cand[i]]), float(scores[i]), rank + 1)
-            for rank, i in enumerate(order)
+            (int(self.doc_ids[cand[i]]), float(counts[i]) * inv, rank + 1)
+            for rank, i in enumerate(sel)
         ]
 
 
