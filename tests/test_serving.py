@@ -125,3 +125,40 @@ def test_sharded_replicas_merge_to_full_answer(spark, sf_dir):
         got = merge_topk([rep.query(vec, k=5) for rep in replicas], k=5)
         got = [(d, round(s, 9), r) for d, s, r in got]
         assert got == want, q["doc_id"]
+
+
+def test_serving_dense_scan_branch_matches_sparse(spark):
+    """Collision-heavy corpora take the density-adaptive full-scan
+    branch (cand > N/2); its answers must be identical to the gathered
+    sparse path and to lsh_topk. A 3-word-vocab corpus collides nearly
+    everything, forcing the dense branch."""
+    import random
+
+    rng = random.Random(7)
+    words = ["aa", "bb", "cc"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(12)))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    params = MinHashParams(hash_family=HASH_FAMILY_XXHASH)
+    sigs = minhash.signatures(docs, params).cache()
+    bands = lsh.bands_table(sigs, params).cache()
+    idx = ServingIndex.from_dataframes(sigs, bands, params)
+
+    qrow = sigs.filter(F.col("doc_id") == 5).first()
+    got = idx.query(list(qrow["sig"]), k=7)
+    # dense branch really ran: candidates exceed half the corpus
+    q = sigs.filter(F.col("doc_id") == 5).select(
+        F.col("doc_id").alias("query_id"), "sig"
+    )
+    n_cand = lsh.candidates(bands, lsh.query_bands(q, params)).count()
+    assert n_cand * 2 > 60, n_cand
+
+    expect = [
+        (r["doc_id"], r["score"], r["rank"])
+        for r in lsh.lsh_topk(sigs, bands, q, params, k=7, n_queries=1)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expect
