@@ -100,6 +100,62 @@ def write_bands_bucketed(
     )
 
 
+def append_to_index(
+    new_docs: DataFrame,
+    params,
+    sigs_path: str,
+    bands_table: str,
+) -> None:
+    """Incremental index maintenance: sign + band ONLY the new docs and
+    append them to the persisted index — at 100 TB you never rebuild
+    from scratch.
+
+    The signature table appends as parquet; the bands table appends to
+    the BUCKETED index (:func:`write_bands_bucketed`): each append
+    writes its own bucket-hashed file set under the existing spec, so
+    readers still get shuffle-free probe joins (multiple files per
+    bucket merge at scan). The reference has no incremental path — its
+    workers rebuild in-memory tables at startup
+    (``app/src/worker_tasks.py:84-117``); an immutable append-only
+    table is the Spark-native equivalent of not doing that.
+
+    Caller contract: doc_ids of ``new_docs`` are new (the stable-key
+    invariant every table relies on), and the index was built UNCAPPED
+    (``params.max_bucket_size`` unset) — a bucket cap is a global
+    smallest-ids property that per-append capping cannot maintain.
+    """
+    if params.max_bucket_size is not None:
+        raise ValueError(
+            "append_to_index requires an uncapped index: max_bucket_size "
+            "keeps the globally smallest doc_ids per bucket, which an "
+            "append cannot re-decide; rebuild capped indexes instead"
+        )
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import (
+        lsh,
+        minhash,
+    )
+
+    sigs = minhash.signatures(new_docs, params)
+    sigs.write.mode("append").parquet(sigs_path)
+    bands = lsh.bands_table(sigs, params)
+    # An append must restate the existing bucket spec verbatim (Spark
+    # rejects a mismatch); read the bucket count from the catalog so
+    # the caller cannot diverge from the table it is appending to.
+    spark = new_docs.sparkSession
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE EXTENDED {bands_table}").collect()
+    }
+    num_buckets = int(desc["Num Buckets"])
+    (
+        bands.write.mode("append")
+        .format("parquet")
+        .bucketBy(num_buckets, "band_id", "band_hash")
+        .sortBy("band_id", "band_hash")
+        .saveAsTable(bands_table)
+    )
+
+
 def write_embeddings_partitioned(
     embeddings: DataFrame,
     path: str,

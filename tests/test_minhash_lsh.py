@@ -185,3 +185,53 @@ def test_matrix_scorer_identical_to_fold_at_any_query_count(sigs):
         a = sorted(map(tuple, fold.collect()))
         b = sorted(map(tuple, fast.collect()))
         assert a == b and len(a) > 0
+
+
+def test_append_to_index_equals_full_rebuild(spark, docs, tmp_path):
+    """Incremental maintenance: build on half the corpus, append the
+    other half; probes must equal a full rebuild and the appended
+    table must still serve shuffle-free bucketed probes."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources import tables as T
+
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    sigs_full_p = str(tmp_path / "sigs_full")
+    sigs_inc_p = str(tmp_path / "sigs_inc")
+    try:
+        sigs_full = minhash.signatures(docs, PARAMS)
+        sigs_full.write.mode("overwrite").parquet(sigs_full_p)
+        T.write_bands_bucketed(lsh.bands_table(sigs_full, PARAMS), "t_idx_full", num_buckets=4)
+
+        sigs_a = minhash.signatures(half_a, PARAMS)
+        sigs_a.write.mode("overwrite").parquet(sigs_inc_p)
+        T.write_bands_bucketed(lsh.bands_table(sigs_a, PARAMS), "t_idx_inc", num_buckets=4)
+        T.append_to_index(half_b, PARAMS, sigs_inc_p, "t_idx_inc")
+
+        sigs_i = spark.read.parquet(sigs_inc_p)
+        q = sigs_i.filter(F.col("doc_id") == 13).select(
+            F.col("doc_id").alias("query_id"), "sig"
+        )
+        full = lsh.lsh_topk(
+            spark.read.parquet(sigs_full_p), spark.table("t_idx_full"), q,
+            PARAMS, k=10, n_queries=1,
+        ).collect()
+        inc = lsh.lsh_topk(
+            sigs_i, spark.table("t_idx_inc"), q, PARAMS, k=10, n_queries=1
+        ).collect()
+        assert sorted(map(tuple, full)) == sorted(map(tuple, inc)) and len(full) == 10
+
+        cand = lsh.candidates(
+            spark.table("t_idx_inc"), lsh.query_bands(q, PARAMS), broadcast_query=False
+        )
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        assert plan.count("Exchange hashpartitioning(band_id") == 0
+
+        # capped indexes must refuse the append
+        with pytest.raises(ValueError, match="uncapped"):
+            T.append_to_index(
+                half_b, MinHashParams(max_bucket_size=3), sigs_inc_p, "t_idx_inc"
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_idx_full")
+        spark.sql("DROP TABLE IF EXISTS t_idx_inc")
