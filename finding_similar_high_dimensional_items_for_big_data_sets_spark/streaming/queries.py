@@ -146,3 +146,40 @@ def streaming_lsh_probe(
         broadcast_query=False,
     )
     return scored.filter(F.col("score") >= threshold)
+
+
+def stream_index_maintenance(
+    stream_docs: DataFrame,
+    params: MinHashParams,
+    sigs_path: str,
+    bands_table: str,
+    checkpoint: str,
+    trigger_kwargs: dict | None = None,
+):
+    """Continuous index maintenance: a stream of NEW documents keeps
+    the persisted LSH index fresh — the streaming half of
+    :func:`..sources.tables.append_to_index`.
+
+    Each micro-batch signs + bands only its own documents and appends
+    them through ``foreachBatch`` (streaming sinks cannot write bucketed
+    tables directly, batch writers can), so the index stays the same
+    shuffle-free bucketed probe layout whether rows arrived in batch or
+    on the stream. Exactly-once is the checkpoint's epoch dedup over
+    the idempotence contract of append_to_index: doc_ids are new by the
+    stable-key invariant. Returns the started StreamingQuery; callers
+    control the trigger via ``trigger_kwargs`` (default availableNow
+    for catch-up; pass ``{"processingTime": "..."}`` for continuous).
+    """
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        append_to_index,
+    )
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_to_index(batch_df, params, sigs_path, bands_table)
+
+    writer = stream_docs.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    return writer.trigger(**(trigger_kwargs or {"availableNow": True})).start()
