@@ -186,6 +186,34 @@ def write_embeddings_partitioned(
     )
 
 
+def append_embeddings_partitioned(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ANN-store maintenance: bucket ONLY the new vectors
+    (same hyperplane family — the caller must pass the store's
+    n_planes/seed, or probes will look in the wrong partitions) and
+    append them under their partition directories. Source-level bucket
+    pruning is unaffected: pruning is by directory, and appends only
+    add files inside directories."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        hyperplane_bucket,
+    )
+
+    (
+        embeddings.withColumn(
+            "bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes, seed)
+        )
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
 def synthetic_documents(
     spark: SparkSession,
     n_docs: int,

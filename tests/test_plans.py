@@ -111,3 +111,31 @@ def test_dedup_pairs_band_join_shuffles_on_compact_key_only(spark, index):
     # compact (band_id, band_hash) pair, never signature payloads
     assert "Exchange hashpartitioning(band_id" in plan
     assert "Exchange hashpartitioning(sig" not in plan
+
+
+def test_ann_store_append_matches_full_build(spark, sf_dir, tmp_path):
+    """Appending new vectors to the partitioned ANN store must leave
+    probes identical to a store built over the full corpus at once."""
+    from pyspark.sql import functions as F
+
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import ann
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        append_embeddings_partitioned,
+        write_embeddings_partitioned,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.first()["embedding"])
+    full, inc = str(tmp_path / "ann_full"), str(tmp_path / "ann_inc")
+    write_embeddings_partitioned(emb, full, dim=dim, n_planes=4)
+    write_embeddings_partitioned(
+        emb.filter(F.col("vec_id") % 2 == 0), inc, dim=dim, n_planes=4
+    )
+    append_embeddings_partitioned(
+        emb.filter(F.col("vec_id") % 2 == 1), inc, dim=dim, n_planes=4
+    )
+    query = [float(v) for v in emb.first()["embedding"]]
+    a = ann.ann_lsh_topk_store(spark, full, query, k=5, n_planes=4, n_probe=2)
+    b = ann.ann_lsh_topk_store(spark, inc, query, k=5, n_planes=4, n_probe=2)
+    got_a, got_b = sorted(map(tuple, a.collect())), sorted(map(tuple, b.collect()))
+    assert got_a == got_b and len(got_a) == 5
