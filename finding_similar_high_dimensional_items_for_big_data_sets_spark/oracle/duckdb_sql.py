@@ -186,6 +186,27 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {C.K_DOC}
 """
 
 
+def sql_lsh_topk_batch() -> str:
+    """Batch twin of sql_lsh_topk: query bands are the band rows of the
+    query docs themselves; per-query distinct candidates, est-Jaccard,
+    rank window."""
+    return f"""
+WITH sigs AS MATERIALIZED ({SIGS}),
+bands AS MATERIALIZED ({BANDS}),
+queries AS (SELECT doc_id AS query_id, sigl AS q FROM sigs WHERE doc_id < {C.BATCH_DOCS}),
+qb AS (SELECT doc_id AS query_id, band_id, band_hash FROM bands WHERE doc_id < {C.BATCH_DOCS}),
+cand AS (SELECT DISTINCT qb.query_id, bands.doc_id
+         FROM bands JOIN qb USING (band_id, band_hash)),
+scored AS (
+  SELECT c.query_id, s.doc_id, {_EST_JACCARD} AS score
+  FROM cand c JOIN sigs s ON s.doc_id = c.doc_id
+  JOIN queries q ON q.query_id = c.query_id)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM scored) WHERE rank <= {C.K_BATCH}
+"""
+
+
 def sql_lsh_pairs() -> str:
     # MATERIALIZED: DuckDB 1.0 inlines plain CTEs per reference, which
     # would re-derive the whole signature/band pipeline for each of the
@@ -939,6 +960,7 @@ def registry() -> dict[str, str]:
         "lsh_bucket_cap": sql_lsh_bucket_cap(),
         "lsh_candidate_cap": sql_lsh_candidate_cap(),
         "lsh_topk": sql_lsh_topk(),
+        "lsh_topk_batch": sql_lsh_topk_batch(),
         "lsh_pairs": sql_lsh_pairs(),
         "est_jaccard_topk_batch": sql_est_jaccard_topk_batch(),
         "true_jaccard_topk": sql_true_jaccard_topk(),

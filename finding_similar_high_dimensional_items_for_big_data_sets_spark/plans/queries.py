@@ -141,6 +141,20 @@ def q_lsh_topk(spark, sf_dir):
     return lsh.lsh_topk(sigs, bands, qs, C.PARAMS, k=C.K_DOC, n_queries=1)
 
 
+def q_lsh_topk_batch(spark, sf_dir):
+    """Batch POST /query: first BATCH_DOCS docs as queries through the
+    full LSH path. Covers the Arrow-vectorized multi-query scorer
+    (n > SMALL_QUERY_FOLD routes off the JVM fold) under the oracle."""
+    sigs = _sigs(spark, sf_dir)
+    bands = _bands(spark, sf_dir)
+    qs = sigs.filter(F.col("doc_id") < C.BATCH_DOCS).select(
+        F.col("doc_id").alias("query_id"), "sig"
+    )
+    return lsh.lsh_topk(
+        sigs, bands, qs, C.PARAMS, k=C.K_BATCH, n_queries=C.BATCH_DOCS
+    )
+
+
 def q_lsh_pairs(spark, sf_dir):
     """J1 self-join: near-duplicate pairs above PAIR_THRESHOLD."""
     sigs = _sigs(spark, sf_dir)
@@ -775,6 +789,7 @@ REGISTRY = {
     "lsh_bucket_cap": q_lsh_bucket_cap,
     "lsh_candidate_cap": q_lsh_candidate_cap,
     "lsh_topk": q_lsh_topk,
+    "lsh_topk_batch": q_lsh_topk_batch,
     "lsh_pairs": q_lsh_pairs,
     "est_jaccard_topk_batch": q_est_jaccard_topk_batch,
     "true_jaccard_topk": q_true_jaccard_topk,
