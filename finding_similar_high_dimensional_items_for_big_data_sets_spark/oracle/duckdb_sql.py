@@ -485,6 +485,41 @@ FROM kept WHERE rn = 1
 """
 
 
+def sql_corpus_dedup_pipeline() -> str:
+    """Composed twin of q_corpus_dedup_pipeline: corpus_clean survivors
+    -> survivor-restricted LSH pair graph -> recursive-CTE connected
+    components -> min-doc_id representative per component + group size.
+    """
+    clean = sql_corpus_clean().strip()
+    return f"""
+WITH RECURSIVE clean AS MATERIALIZED ({clean}),
+sigs AS MATERIALIZED ({SIGS}),
+bands AS MATERIALIZED ({BANDS}),
+kb AS (SELECT b.* FROM bands b JOIN clean USING (doc_id)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kb a JOIN kb b USING (band_id, band_hash)
+  WHERE a.doc_id < b.doc_id),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand p JOIN sigs sa ON sa.doc_id = p.doc_a JOIN sigs sb ON sb.doc_id = p.doc_b
+  WHERE list_sum(list_transform(range({NP}), i -> CASE WHEN sa.sigl[i+1] = sb.sigl[i+1] THEN 1 ELSE 0 END)) / {NP} >= {C.PAIR_THRESHOLD}),
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM clean
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+  WHERE r.label < e.src),
+comp AS (SELECT node AS doc_id, min(label) AS group_id FROM reach GROUP BY node),
+sizes AS (SELECT group_id, CAST(count(*) AS BIGINT) AS group_size FROM comp GROUP BY group_id)
+SELECT c.doc_id, s.group_size, cl.n_tokens, cl.quality
+FROM comp c JOIN sizes s USING (group_id) JOIN clean cl ON cl.doc_id = c.doc_id
+WHERE c.doc_id = c.group_id
+"""
+
+
 def sql_lang_id() -> str:
     toks_lower = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
     langs = sorted(LANG_MARKERS)
@@ -961,6 +996,7 @@ def registry() -> dict[str, str]:
         "lsh_candidate_cap": sql_lsh_candidate_cap(),
         "lsh_topk": sql_lsh_topk(),
         "lsh_topk_batch": sql_lsh_topk_batch(),
+        "corpus_dedup_pipeline": sql_corpus_dedup_pipeline(),
         "lsh_pairs": sql_lsh_pairs(),
         "est_jaccard_topk_batch": sql_est_jaccard_topk_batch(),
         "true_jaccard_topk": sql_true_jaccard_topk(),

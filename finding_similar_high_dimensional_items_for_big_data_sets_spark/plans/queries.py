@@ -395,6 +395,36 @@ def q_corpus_clean(spark, sf_dir):
     )
 
 
+def q_corpus_dedup_pipeline(spark, sf_dir):
+    """Full training-data prep pipeline, end to end: quality filter ->
+    exact dedup (corpus_clean) -> MinHash-LSH near-dup pairs among the
+    survivors -> connected components -> ONE representative per
+    duplicate group (the component's min doc_id), with its group size
+    and token accounting.
+
+    This is the composition a 100 TB pretraining pipeline runs before
+    tokenization. Every stage is an already-oracle-checked operator;
+    the composed DuckDB twin (recursive-CTE components over the
+    survivor-restricted pair graph) checks the wiring BETWEEN them.
+    Scale shape: quality filter before any shuffle; exact dedup on the
+    8-byte hash; banded (never all-pairs) near-dup join; CC label
+    propagation on the (sparse) pair graph only.
+    """
+    clean = q_corpus_clean(spark, sf_dir)
+    keep = clean.select("doc_id")
+    sigs = _sigs(spark, sf_dir).join(keep, "doc_id", "left_semi")
+    bands = _bands(spark, sf_dir).join(keep, "doc_id", "left_semi")
+    pairs = lsh.self_join_pairs(bands, sigs, C.PARAMS, C.PAIR_THRESHOLD)
+    comp = dedup.connected_components(pairs.select("doc_a", "doc_b"), keep)
+    sizes = comp.groupBy("group_id").agg(F.count(F.lit(1)).alias("group_size"))
+    reps = comp.filter(F.col("doc_id") == F.col("group_id"))
+    return (
+        reps.join(sizes, "group_id")
+        .join(clean, "doc_id")
+        .select("doc_id", "group_size", "n_tokens", "quality")
+    )
+
+
 def q_lang_id(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", textstats.lang_id(F.col("text")).alias("lang_guess")
@@ -790,6 +820,7 @@ REGISTRY = {
     "lsh_candidate_cap": q_lsh_candidate_cap,
     "lsh_topk": q_lsh_topk,
     "lsh_topk_batch": q_lsh_topk_batch,
+    "corpus_dedup_pipeline": q_corpus_dedup_pipeline,
     "lsh_pairs": q_lsh_pairs,
     "est_jaccard_topk_batch": q_est_jaccard_topk_batch,
     "true_jaccard_topk": q_true_jaccard_topk,
