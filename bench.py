@@ -239,6 +239,21 @@ def main():
     timings["ivf_point_trained"] = t
     quality["ivf_recall_at_k"] = recall(ivf_rand)
     quality["ivf_trained_recall_at_k"] = recall(ivf_tr)
+    # cell-partitioned IVF store: assignment runs once at build
+    # (untimed, like the bands index); the probe prunes unprobed cell
+    # directories at the source and skips the per-query assignment
+    # expression entirely.
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        write_ivf_partitioned,
+    )
+
+    ivf_store = "/tmp/bench_ivf_store"
+    write_ivf_partitioned(emb, ivf_store, cents)
+    ann.ivf_topk_store(spark, ivf_store, qvec, cents, k=K).collect()  # warm
+    t, _ = timed(
+        lambda: ann.ivf_topk_store(spark, ivf_store, qvec, cents, k=K).collect()
+    )
+    timings["ivf_point_store"] = t
 
     # --- pipeline ops over the full corpus ---
     # One untimed warm call per block: the first-ever execution pays

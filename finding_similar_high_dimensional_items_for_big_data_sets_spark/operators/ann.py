@@ -233,6 +233,52 @@ def ivf_assign(
     return embeddings.withColumn("cell", cell)
 
 
+def probe_cells(
+    query: list[float], centroids: list[list[float]], n_probe: int
+) -> list[int]:
+    """The ``n_probe`` cells nearest the query (sequential-fold sums,
+    ties by cell index — same contract as ivf_topk's inline choice)."""
+    cdist = [
+        sum(((c[i] - query[i]) ** 2 for i in range(len(query))), 0.0)
+        for c in centroids
+    ]
+    order = sorted(range(len(centroids)), key=lambda c: (cdist[c], c))
+    return order[:n_probe]
+
+
+def ivf_topk_store(
+    spark,
+    path: str,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a cell-PARTITIONED IVF store
+    (:func:`sources.tables.write_ivf_partitioned`): the cell IN-filter
+    hits the partition column, so unprobed cells are pruned at the
+    source listing — and the per-query job never evaluates the
+    n_cells x dim assignment expression (that codegen alone costs ~1 s
+    per fresh plan at 16x64; assignment is index-build work).
+    Semantics identical to :func:`ivf_topk` at the same centroids."""
+    cells = probe_cells(query, centroids, n_probe)
+    store = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    qlit = F.array(*[F.lit(float(v)) for v in query])
+    scored = store.select(
+        id_col, F.round(l2_distance(F.col(vec_col), qlit), 6).alias("dist")
+    )
+    w = Window.partitionBy(F.pmod(F.col(id_col), F.lit(1))).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
 def ivf_train(
     embeddings: DataFrame,
     n_cells: int = 16,

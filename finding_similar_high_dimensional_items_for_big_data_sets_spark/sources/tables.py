@@ -186,6 +186,30 @@ def write_embeddings_partitioned(
     )
 
 
+def write_ivf_partitioned(
+    embeddings: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """IVF store: corpus written PARTITIONED on its coarse-quantizer
+    cell (:func:`operators.ann.ivf_assign`). Probes filter
+    ``cell IN (<probe set>)`` against the partition column — directory
+    pruning at the source, and the expensive assignment expression runs
+    once at build, never per query. Pass :func:`operators.ann.ivf_train`
+    output for a trained quantizer."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        ivf_assign,
+    )
+
+    (
+        ivf_assign(embeddings, centroids, vec_col=vec_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
 def append_embeddings_partitioned(
     embeddings: DataFrame,
     path: str,

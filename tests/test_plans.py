@@ -139,3 +139,26 @@ def test_ann_store_append_matches_full_build(spark, sf_dir, tmp_path):
     b = ann.ann_lsh_topk_store(spark, inc, query, k=5, n_planes=4, n_probe=2)
     got_a, got_b = sorted(map(tuple, a.collect())), sorted(map(tuple, b.collect()))
     assert got_a == got_b and len(got_a) == 5
+
+
+def test_partitioned_ivf_store_prunes_and_matches_inline(spark, sf_dir, tmp_path):
+    """The IVF store probe must prune unprobed cells at the source
+    (PartitionFilters) and answer identically to the inline ivf_topk
+    at the same centroids."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import ann
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        write_ivf_partitioned,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.first()["embedding"])
+    cents = ann.random_centroids(dim, n_cells=8, seed=43)
+    store = str(tmp_path / "ivf_store")
+    write_ivf_partitioned(emb, store, cents)
+    query = [float(v) for v in emb.first()["embedding"]]
+    probed = ann.ivf_topk_store(spark, store, query, cents, k=5, n_probe=3)
+    plan = _plan(probed)
+    scan = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cell" in scan.split("PartitionFilters")[1][:120]
+    mem = ann.ivf_topk(emb, query, k=5, n_cells=8, n_probe=3, centroids=cents)
+    assert sorted(map(tuple, probed.collect())) == sorted(map(tuple, mem.collect()))
