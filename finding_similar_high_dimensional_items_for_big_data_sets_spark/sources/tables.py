@@ -210,6 +210,28 @@ def write_ivf_partitioned(
     )
 
 
+def append_ivf_partitioned(
+    embeddings: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF-store maintenance: assign ONLY the new vectors
+    against the store's centroids (the caller must pass the same
+    quantizer the store was built with) and append under their cell
+    directories."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        ivf_assign,
+    )
+
+    (
+        ivf_assign(embeddings, centroids, vec_col=vec_col)
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
 def append_embeddings_partitioned(
     embeddings: DataFrame,
     path: str,

@@ -153,8 +153,15 @@ def test_partitioned_ivf_store_prunes_and_matches_inline(spark, sf_dir, tmp_path
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.first()["embedding"])
     cents = ann.random_centroids(dim, n_cells=8, seed=43)
+    from pyspark.sql import functions as F
+
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        append_ivf_partitioned,
+    )
+
     store = str(tmp_path / "ivf_store")
-    write_ivf_partitioned(emb, store, cents)
+    write_ivf_partitioned(emb.filter(F.col("vec_id") % 2 == 0), store, cents)
+    append_ivf_partitioned(emb.filter(F.col("vec_id") % 2 == 1), store, cents)
     query = [float(v) for v in emb.first()["embedding"]]
     probed = ann.ivf_topk_store(spark, store, query, cents, k=5, n_probe=3)
     plan = _plan(probed)
