@@ -107,19 +107,47 @@ def probe_buckets(
     query: list[float], n_planes: int = 8, seed: int = 42, n_probe: int = 1
 ) -> list[int]:
     """Multi-probe bucket set: the query's sign bucket plus the
-    ``n_probe - 1`` buckets reached by flipping the hyperplane bits
-    with the smallest |margin| (the classic multi-probe LSH heuristic:
-    the nearest-to-the-boundary planes are the likeliest to disagree
-    for true neighbors). Deterministic: margin ties break by plane
-    index."""
+    ``n_probe - 1`` buckets reached by flipping the perturbation SET of
+    hyperplane bits with the smallest total |margin| (multi-probe LSH:
+    near-boundary planes are the likeliest to disagree for true
+    neighbors; a neighbor differing in several planes needs a
+    multi-bit flip, so sets — not single bits — are enumerated, in
+    nondecreasing cost via the classic shift/expand heap). A
+    single-bit-only variant silently caps useful n_probe at
+    n_planes + 1 and leaves recall flat however many probes are asked
+    for. Deterministic: cost ties break by the sorted-plane index
+    tuple; for n_probe <= 3 the sequence equals the single-flip one
+    (base, then the two cheapest single flips), which the DuckDB
+    oracle mirrors."""
+    import heapq
+
     planes = random_planes(len(query), n_planes, seed)
     margins = [_seq_dot(p, query) for p in planes]
     qbucket = 0
     for j, m in enumerate(margins):
         if m >= 0:
             qbucket |= 1 << j
+    out = [qbucket]
+    if n_probe <= 1 or n_planes == 0:
+        return out
     order = sorted(range(n_planes), key=lambda j: (abs(margins[j]), j))
-    return [qbucket] + [qbucket ^ (1 << j) for j in order[: max(0, n_probe - 1)]]
+    cost = [abs(margins[j]) for j in order]
+    # heap over subsets of sorted-plane positions; (total cost, subset)
+    # pops in nondecreasing cost, ties by subset tuple — deterministic.
+    heap = [(cost[0], (0,))]
+    while heap and len(out) < n_probe:
+        c, s = heapq.heappop(heap)
+        mask = 0
+        for i in s:
+            mask |= 1 << order[i]
+        out.append(qbucket ^ mask)
+        last = s[-1]
+        if last + 1 < n_planes:
+            # shift: replace the max element; expand: add the next one.
+            # Together they enumerate every non-empty subset exactly once.
+            heapq.heappush(heap, (c - cost[last] + cost[last + 1], s[:-1] + (last + 1,)))
+            heapq.heappush(heap, (c + cost[last + 1], s + (last + 1,)))
+    return out
 
 
 def ann_lsh_topk(

@@ -210,3 +210,44 @@ def test_ivf_train_reduces_inertia_and_probes_work(emb):
     # probing every trained cell is exhaustive -> exact top-1 is the query itself
     full = ann.ivf_topk(emb, qvec, k=1, n_probe=8, centroids=trained).collect()
     assert full[0]["vec_id"] == 7
+
+
+def test_probe_buckets_enumerates_multibit_sets():
+    """n_probe must not silently cap at n_planes+1: perturbation SETS
+    come out in nondecreasing total-|margin| order, all distinct."""
+    from unittest.mock import patch
+
+    margins = [0.5, 0.1, 0.9, 0.3]
+    with patch.object(ann, "random_planes", lambda dim, n, seed: [[m] for m in margins]):
+        out = ann.probe_buckets([1.0], n_planes=4, n_probe=16)
+    assert len(out) == 16 and len(set(out)) == 16
+    base = out[0]
+    # first probes: the two cheapest single flips (planes 1 then 3),
+    # then the {1,3} pair (0.4) BEFORE plane 0 alone (0.5)
+    assert out[1] == base ^ 0b0010
+    assert out[2] == base ^ 0b1000
+    assert out[3] == base ^ 0b1010
+    assert out[4] == base ^ 0b0001
+
+
+def test_exhaustive_multiprobe_equals_exact_cosine(emb):
+    """Probing every bucket (n_probe = 2^n_planes) is a full scan: the
+    ANN answer must equal the exact cosine top-k."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import bruteforce
+    from pyspark.sql import functions as F
+
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    got = [
+        (r["vec_id"], r["rank"])
+        for r in ann.ann_lsh_topk(emb, qvec, k=5, n_planes=4, n_probe=16)
+        .orderBy("rank")
+        .collect()
+    ]
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    expect = [
+        (r["vec_id"], r["rank"])
+        for r in bruteforce.cosine_topk(emb, q, k=5).orderBy("rank").collect()
+    ]
+    assert got == expect
