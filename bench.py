@@ -205,26 +205,42 @@ def main():
         lambda: bruteforce.cosine_topk_vectorized(emb, qe, k=K).collect()
     )
     timings["cosine_exact_batch_20"] = t
-    t, ann_rows = timed(lambda: ann.ann_lsh_topk(emb, qvec, k=K).collect())
+    t, _ = timed(lambda: ann.ann_lsh_topk(emb, qvec, k=K).collect())
     timings["ann_lsh_point"] = t
-    t, ann_mp_rows = timed(
-        lambda: ann.ann_lsh_topk(emb, qvec, k=K, n_probe=4).collect()
+    # batch probes (one job for all 20 queries) give a STABLE mean
+    # recall — a single query's recall jumps 0.0-1.0 with how many
+    # sketch bits its neighbors happen to differ in. probe=32 of 256
+    # buckets: multiprobe at a fine bucketing dominates coarser
+    # bucketings at equal scan fraction (measured 0.44 vs 0.36 mean
+    # recall at ~12.5% scanned), so the probe count — not the plane
+    # count — is the recall knob.
+    t, ann_b1 = timed(lambda: ann.ann_lsh_topk_batch(emb, qe, k=K).collect())
+    timings["ann_batch_20"] = t
+    t, ann_b32 = timed(
+        lambda: ann.ann_lsh_topk_batch(emb, qe, k=K, n_probe=32).collect()
     )
-    timings["ann_multiprobe_point"] = t
-    # bucket-probe recall vs the exact scan for the same point query
-    exact_ids = {
-        r["vec_id"] for r in cos_exact if r["query_id"] == 7
-    }
+    timings["ann_multiprobe_batch_20"] = t
+
+    exact_by_q: dict[int, set] = {}
+    for r in cos_exact:
+        exact_by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def mean_recall(rows):
+        got: dict[int, set] = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        vals = [
+            len(got.get(q, set()) & ex) / len(ex)
+            for q, ex in exact_by_q.items()
+        ]
+        return sum(vals) / len(vals) if vals else 0.0
+
+    quality["ann_lsh_recall_at_k"] = mean_recall(ann_b1)
+    quality["ann_multiprobe_recall_at_k"] = mean_recall(ann_b32)
 
     def recall(rows):
-        return (
-            len({r["vec_id"] for r in rows} & exact_ids) / len(exact_ids)
-            if exact_ids
-            else 0.0
-        )
-
-    quality["ann_lsh_recall_at_k"] = recall(ann_rows)
-    quality["ann_multiprobe_recall_at_k"] = recall(ann_mp_rows)
+        ex = exact_by_q.get(7, set())
+        return len({r["vec_id"] for r in rows} & ex) / len(ex) if ex else 0.0
 
     # IVF: Lloyd-trained quantizer vs the seeded random one (training
     # is index-build work — one tiny shuffle per iteration — reported

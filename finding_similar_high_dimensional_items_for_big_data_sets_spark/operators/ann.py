@@ -200,6 +200,69 @@ def ann_lsh_topk(
     )
 
 
+def ann_lsh_topk_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch bucket-probe ANN: one job for a whole query set.
+
+    Per-query probe sets are computed driver-side (the query set is
+    small — same contract as the LSH batch path) and broadcast as a
+    (query_id, bucket) table; the corpus is bucketed once (map stage,
+    no shuffle) and joined against it. Each vector lives in exactly ONE
+    bucket, so no candidate dedup is needed. Scoring is exact cosine on
+    survivors; per-query top-k window. Output:
+    (query_id, vec_id, cos_sim, rank) — identical per query to
+    :func:`ann_lsh_topk` at the same config.
+    """
+    spark = embeddings.sparkSession
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, cos_sim double, rank int"
+        )
+    dim = len(qrows[0][query_vec_col])
+    probe_rows = [
+        (int(r[query_id_col]), int(b))
+        for r in qrows
+        for b in probe_buckets(
+            [float(v) for v in r[query_vec_col]], n_planes, seed, n_probe
+        )
+    ]
+    probe_df = spark.createDataFrame(
+        probe_rows, f"{query_id_col} long, bucket int"
+    )
+    bucketed = with_hyperplane_bucket(embeddings, dim, n_planes, seed, vec_col)
+    qv = queries.select(query_id_col, query_vec_col)
+    scored = (
+        bucketed.join(F.broadcast(probe_df), "bucket")
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
 def ann_lsh_topk_store(
     spark,
     path: str,

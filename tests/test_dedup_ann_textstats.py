@@ -251,3 +251,21 @@ def test_exhaustive_multiprobe_equals_exact_cosine(emb):
         for r in bruteforce.cosine_topk(emb, q, k=5).orderBy("rank").collect()
     ]
     assert got == expect
+
+
+def test_ann_batch_matches_per_query_loop(emb):
+    """The batch probe job must answer each query exactly like the
+    per-query ann_lsh_topk at the same (planes, seed, probes)."""
+    from pyspark.sql import functions as F
+
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = ann.ann_lsh_topk_batch(emb, qs, k=3, n_planes=4, n_probe=3)
+    got = sorted(map(tuple, batch.collect()))
+    expect = []
+    for r in qs.collect():
+        qvec = [float(v) for v in r["query_vec"]]
+        for row in ann.ann_lsh_topk(emb, qvec, k=3, n_planes=4, n_probe=3).collect():
+            expect.append((r["query_id"], row["vec_id"], row["cos_sim"], row["rank"]))
+    assert got == sorted(expect) and len(got) > 0
