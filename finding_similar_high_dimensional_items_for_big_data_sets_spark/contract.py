@@ -52,3 +52,8 @@ EMB_DIM = 64
 IVF_CELLS = 16
 IVF_PROBE = 4
 IVF_SEED = 43
+
+# Multiprobe embedding-dedup blocking: emit bit flips for planes with
+# |dot| < margin * ||v||; same threshold as the single-bucket query so
+# the two are directly comparable (multiprobe rows are a superset).
+ANN_PROBE_MARGIN = 0.2

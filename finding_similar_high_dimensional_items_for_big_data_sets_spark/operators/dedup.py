@@ -406,3 +406,84 @@ def embedding_cosine_duplicates(
         .select(F.col("ma").alias("vec_a"), F.col("mb").alias("vec_b"), "cos_sim")
     )
     return cross.unionByName(within).distinct()
+
+
+def embedding_cosine_duplicates_multiprobe(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    probe_margin: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs with margin-gated MULTIPROBE blocking.
+
+    Single-bucket blocking misses every pair whose members straddle a
+    hyperplane: at cos >= 0.9 with 8 planes only ~29% of true pairs
+    share the full sign pattern. Here each vector also emits the
+    single-bit flips of planes whose |dot| < probe_margin * ||v|| (a
+    straddled plane has both members near its boundary w.h.p.), and
+    pairs block on ANY shared emitted bucket. Single-bit emission on
+    BOTH sides covers pairs differing in <= 2 planes (A emits A^i, B
+    emits B^j; A^i = B^j iff A^B = {i, j}), lifting pair recall at the
+    0.9 threshold from ~0.29 to ~0.9 while emission stays
+    1 + n_planes * P(|dot| < margin*||v||) rows per vector — a small
+    constant factor on the blocking volume, never O(N^2).
+
+    Verification is exact cosine >= threshold, so extra probes only add
+    recall, never false positives. Shuffles on the emitted bucket key.
+    Output: (vec_a, vec_b, cos_sim), a SUPERSET of the single-bucket
+    operator's pairs at the same (planes, seed).
+    """
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.arrays import (
+        l2_norm,
+    )
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        _dot_lit,
+        random_planes,
+    )
+
+    planes = random_planes(dim, n_planes, seed)
+    vec = F.col(vec_col)
+    dots = [F.round(_dot_lit(vec, p), 10) for p in planes]
+    # round(10): the margin gate compares two float folds; pinning both
+    # engines to 10 dp keeps boundary emissions identical (cosine
+    # scoring keeps its own round(6) contract).
+    bucket = dots[0] * F.lit(0)
+    for j, d in enumerate(dots):
+        bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    bucket = bucket.cast("int")
+    gate = F.round(l2_norm(vec) * F.lit(float(probe_margin)), 10)
+    flips = F.array(
+        *[
+            F.when(F.abs(d) < gate, bucket.bitwiseXOR(F.lit(1 << j)))
+            for j, d in enumerate(dots)
+        ]
+    )
+    probes = F.concat(
+        F.array(bucket), F.filter(flips, lambda x: x.isNotNull())
+    )
+    probed = embeddings.select(
+        F.col(id_col), vec.alias("__v"), F.explode(probes).alias("__pb")
+    )
+    left = probed.select(
+        F.col(id_col).alias("vec_a"), F.col("__v").alias("__va"), "__pb"
+    )
+    right = probed.select(
+        F.col(id_col).alias("vec_b"), F.col("__v").alias("__vb"), "__pb"
+    )
+    return (
+        left.join(right, "__pb")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )

@@ -422,6 +422,51 @@ SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.3
 """
 
 
+def sql_embedding_dup_pairs_multiprobe() -> str:
+    """Twin of dedup.embedding_cosine_duplicates_multiprobe: bucket +
+    margin-gated single-bit flips per vector, pairs on any shared
+    emitted bucket, exact-cosine verify. Dots and the margin gate are
+    rounded to 10 dp on both engines so boundary emissions agree."""
+    planes = random_planes(C.EMB_DIM, C.ANN_PLANES, C.ANN_SEED)
+    dots = [
+        f"round({_dot_lit('embedding', planes[j])}, 10)"
+        for j in range(C.ANN_PLANES)
+    ]
+    bucket = (
+        "CAST(("
+        + " + ".join(
+            f"(CASE WHEN d{j} >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(C.ANN_PLANES)
+        )
+        + ") AS INT)"
+    )
+    dot_cols = ", ".join(f"{d} AS d{j}" for j, d in enumerate(dots))
+    flip_elems = ", ".join(
+        f"CASE WHEN abs(d{j}) < gate THEN xor(bucket, {1 << j}) END"
+        for j in range(C.ANN_PLANES)
+    )
+    cos = (
+        f"{_dot('a.embedding', 'b.embedding', C.EMB_DIM)} / "
+        f"({_norm('a.embedding', C.EMB_DIM)} * {_norm('b.embedding', C.EMB_DIM)})"
+    )
+    return f"""
+WITH dotted AS MATERIALIZED (
+  SELECT vec_id, embedding, {dot_cols},
+         round({_norm('embedding', C.EMB_DIM)} * {C.ANN_PROBE_MARGIN}, 10) AS gate
+  FROM embeddings),
+with_bucket AS (SELECT *, {bucket} AS bucket FROM dotted),
+probed AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         unnest(list_concat([bucket], list_filter([{flip_elems}], x -> x IS NOT NULL))) AS pbucket
+  FROM with_bucket),
+scored AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 6) AS cos_sim
+  FROM probed a JOIN probed b ON a.pbucket = b.pbucket
+  WHERE a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.3
+"""
+
+
 def sql_text_stats() -> str:
     toks = "list_filter(string_split(text, ' '), x -> x <> '')"
     nospace = "regexp_replace(text, '\\s+', '', 'g')"
@@ -997,6 +1042,7 @@ def registry() -> dict[str, str]:
         "lsh_topk": sql_lsh_topk(),
         "lsh_topk_batch": sql_lsh_topk_batch(),
         "corpus_dedup_pipeline": sql_corpus_dedup_pipeline(),
+        "embedding_dup_pairs_multiprobe": sql_embedding_dup_pairs_multiprobe(),
         "lsh_pairs": sql_lsh_pairs(),
         "est_jaccard_topk_batch": sql_est_jaccard_topk_batch(),
         "true_jaccard_topk": sql_true_jaccard_topk(),

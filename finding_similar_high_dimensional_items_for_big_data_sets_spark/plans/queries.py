@@ -425,6 +425,20 @@ def q_corpus_dedup_pipeline(spark, sf_dir):
     )
 
 
+def q_embedding_dup_pairs_multiprobe(spark, sf_dir):
+    """Embedding near-dups with margin-gated multiprobe blocking — the
+    recall-repaired twin of embedding_dup_pairs (superset of its rows
+    at the same planes/seed/threshold)."""
+    return dedup.embedding_cosine_duplicates_multiprobe(
+        _emb(spark, sf_dir),
+        dim=C.EMB_DIM,
+        threshold=0.3,
+        n_planes=C.ANN_PLANES,
+        seed=C.ANN_SEED,
+        probe_margin=C.ANN_PROBE_MARGIN,
+    )
+
+
 def q_lang_id(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", textstats.lang_id(F.col("text")).alias("lang_guess")
@@ -821,6 +835,7 @@ REGISTRY = {
     "lsh_topk": q_lsh_topk,
     "lsh_topk_batch": q_lsh_topk_batch,
     "corpus_dedup_pipeline": q_corpus_dedup_pipeline,
+    "embedding_dup_pairs_multiprobe": q_embedding_dup_pairs_multiprobe,
     "lsh_pairs": q_lsh_pairs,
     "est_jaccard_topk_batch": q_est_jaccard_topk_batch,
     "true_jaccard_topk": q_true_jaccard_topk,

@@ -269,3 +269,21 @@ def test_ann_batch_matches_per_query_loop(emb):
         for row in ann.ann_lsh_topk(emb, qvec, k=3, n_planes=4, n_probe=3).collect():
             expect.append((r["query_id"], row["vec_id"], row["cos_sim"], row["rank"]))
     assert got == sorted(expect) and len(got) > 0
+
+
+def test_multiprobe_dedup_is_superset_of_single_bucket(emb):
+    """Margin-gated multiprobe blocking may only ADD pairs (the
+    vector's own bucket is always emitted); every pair still clears
+    the exact-cosine threshold."""
+    single = dedup.embedding_cosine_duplicates(
+        emb, dim=64, threshold=0.3, n_planes=8, seed=42
+    )
+    multi = dedup.embedding_cosine_duplicates_multiprobe(
+        emb, dim=64, threshold=0.3, n_planes=8, seed=42, probe_margin=0.2
+    )
+    s = {(r["vec_a"], r["vec_b"]) for r in single.collect()}
+    rows = multi.collect()
+    m = {(r["vec_a"], r["vec_b"]) for r in rows}
+    assert s <= m
+    assert len(m) > len(s)  # the extra probes must recover missed pairs
+    assert all(r["cos_sim"] >= 0.3 for r in rows)
