@@ -287,6 +287,15 @@ def main():
     dedup.exact_duplicates(docs).count()
     t, _ = timed(lambda: dedup.exact_duplicates(docs).count())
     timings["dedup_exact"] = t
+
+    def emb_dedup():
+        return dedup.embedding_cosine_duplicates_multiprobe(
+            emb, dim=64, threshold=0.9, n_planes=8, seed=42
+        ).count()
+
+    emb_dedup()
+    t, _ = timed(emb_dedup)
+    timings["dedup_embedding_multiprobe"] = t
     Q.q_corpus_clean(spark, sf_dir).count()
     t, _ = timed(lambda: Q.q_corpus_clean(spark, sf_dir).count())
     timings["corpus_clean_full"] = t

@@ -417,6 +417,7 @@ def embedding_cosine_duplicates_multiprobe(
     probe_margin: float = 0.2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    compress_identical: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs with margin-gated MULTIPROBE blocking.
 
@@ -437,36 +438,84 @@ def embedding_cosine_duplicates_multiprobe(
     Output: (vec_a, vec_b, cos_sim), a SUPERSET of the single-bucket
     operator's pairs at the same (planes, seed).
     """
-    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.arrays import (
-        l2_norm,
-    )
-    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
-        _dot_lit,
-        random_planes,
-    )
+    if compress_identical:
+        # Clone skew: identical vectors emit identical probe sets, so a
+        # clone mega-cluster would go quadratic inside EVERY probed
+        # bucket. Same lossless compression as the single-bucket
+        # operator: probe + join on one representative per distinct
+        # vector value, expand members afterwards.
+        groups = embeddings.groupBy(F.col(vec_col).alias("vec")).agg(
+            F.min(id_col).alias("rep"),
+            F.sort_array(F.collect_list(id_col)).alias("members"),
+        )
+        probed = groups.select(
+            F.col("rep"),
+            F.col("vec").alias("__v"),
+            "members",
+            F.explode(
+                _probe_array("vec", dim, n_planes, seed, probe_margin)
+            ).alias("__pb"),
+        )
+        la = probed.select(
+            F.col("rep").alias("rep_a"),
+            F.col("__v").alias("__va"),
+            F.col("members").alias("members_a"),
+            "__pb",
+        )
+        lb = probed.select(
+            F.col("rep").alias("rep_b"),
+            F.col("__v").alias("__vb"),
+            F.col("members").alias("members_b"),
+            "__pb",
+        )
+        cross = (
+            la.join(lb, "__pb")
+            .filter(F.col("rep_a") < F.col("rep_b"))
+            .select(
+                "members_a",
+                "members_b",
+                F.round(
+                    cosine_similarity(F.col("__va"), F.col("__vb")), 6
+                ).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+            .select(F.explode("members_a").alias("ma"), "members_b", "cos_sim")
+            .select("ma", F.explode("members_b").alias("mb"), "cos_sim")
+            .select(
+                F.least("ma", "mb").alias("vec_a"),
+                F.greatest("ma", "mb").alias("vec_b"),
+                "cos_sim",
+            )
+        )
+        within = (
+            groups.filter(F.size("members") > 1)
+            .select(
+                "members",
+                F.round(
+                    cosine_similarity(F.col("vec"), F.col("vec")), 6
+                ).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+            .select(F.posexplode("members").alias("__i", "ma"), "members", "cos_sim")
+            .select(
+                "ma",
+                F.explode(
+                    F.slice("members", F.col("__i") + 2, F.size("members"))
+                ).alias("mb"),
+                "cos_sim",
+            )
+            .select(
+                F.col("ma").alias("vec_a"), F.col("mb").alias("vec_b"), "cos_sim"
+            )
+        )
+        return cross.unionByName(within).distinct()
 
-    planes = random_planes(dim, n_planes, seed)
-    vec = F.col(vec_col)
-    dots = [F.round(_dot_lit(vec, p), 10) for p in planes]
-    # round(10): the margin gate compares two float folds; pinning both
-    # engines to 10 dp keeps boundary emissions identical (cosine
-    # scoring keeps its own round(6) contract).
-    bucket = dots[0] * F.lit(0)
-    for j, d in enumerate(dots):
-        bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    bucket = bucket.cast("int")
-    gate = F.round(l2_norm(vec) * F.lit(float(probe_margin)), 10)
-    flips = F.array(
-        *[
-            F.when(F.abs(d) < gate, bucket.bitwiseXOR(F.lit(1 << j)))
-            for j, d in enumerate(dots)
-        ]
-    )
-    probes = F.concat(
-        F.array(bucket), F.filter(flips, lambda x: x.isNotNull())
-    )
     probed = embeddings.select(
-        F.col(id_col), vec.alias("__v"), F.explode(probes).alias("__pb")
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        F.explode(
+            _probe_array(vec_col, dim, n_planes, seed, probe_margin)
+        ).alias("__pb"),
     )
     left = probed.select(
         F.col(id_col).alias("vec_a"), F.col("__v").alias("__va"), "__pb"
@@ -487,3 +536,34 @@ def embedding_cosine_duplicates_multiprobe(
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
     )
+
+
+def _probe_array(vec_col: str, dim: int, n_planes: int, seed: int, probe_margin: float):
+    """Probe-bucket array column: the vector's sign bucket plus the
+    single-bit flips of planes with |dot| < probe_margin * ||v||.
+    round(10) on dots and gate: the margin compare must pick identical
+    emissions on Spark and the DuckDB oracle (cosine scoring keeps its
+    own round(6) contract)."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.arrays import (
+        l2_norm,
+    )
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        _dot_lit,
+        random_planes,
+    )
+
+    planes = random_planes(dim, n_planes, seed)
+    vec = F.col(vec_col)
+    dots = [F.round(_dot_lit(vec, p), 10) for p in planes]
+    bucket = dots[0] * F.lit(0)
+    for j, d in enumerate(dots):
+        bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    bucket = bucket.cast("int")
+    gate = F.round(l2_norm(vec) * F.lit(float(probe_margin)), 10)
+    flips = F.array(
+        *[
+            F.when(F.abs(d) < gate, bucket.bitwiseXOR(F.lit(1 << j)))
+            for j, d in enumerate(dots)
+        ]
+    )
+    return F.concat(F.array(bucket), F.filter(flips, lambda x: x.isNotNull()))

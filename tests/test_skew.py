@@ -146,3 +146,20 @@ def test_embedding_auto_planes_equals_explicit(clone_embeddings):
     assert {tuple(r) for r in auto.collect()} == {
         tuple(r) for r in explicit.collect()
     }
+
+
+def test_multiprobe_embedding_clone_skew_compression_lossless(clone_embeddings):
+    """Multiprobe blocking under clone skew: the compressed path must
+    equal the uncompressed one exactly (identical vectors emit
+    identical probe sets, so compression is lossless there too)."""
+    fast = dedup.embedding_cosine_duplicates_multiprobe(
+        clone_embeddings, dim=EMB_DIM, threshold=0.9, compress_identical=True
+    )
+    slow = dedup.embedding_cosine_duplicates_multiprobe(
+        clone_embeddings, dim=EMB_DIM, threshold=0.9, compress_identical=False
+    )
+    a = {(r["vec_a"], r["vec_b"], r["cos_sim"]) for r in fast.collect()}
+    b = {(r["vec_a"], r["vec_b"], r["cos_sim"]) for r in slow.collect()}
+    assert a == b and len(a) > 0
+    clone_pairs = {(x, y) for (x, y, s) in a if x < N_CLONES and y < N_CLONES}
+    assert len(clone_pairs) == N_CLONES * (N_CLONES - 1) // 2
