@@ -6,13 +6,20 @@
   seeded random hyperplanes, probe only the query's bucket(s), verify
   with exact cosine. At 100 TB the corpus is bucketed once (one
   shuffle at build), and each query touches ~N / 2^n_planes vectors.
-- ``ivf_assign`` / ``ivf_topk``: IVF-style coarse quantizer using
-  seeded random centroids (deterministic, no training dependency):
-  assign every vector to its nearest centroid, probe the query's
-  ``n_probe`` nearest centroid cells.
+- ``ivf_assign`` / ``ivf_topk``: IVF-style coarse quantizer — seeded
+  random centroids by default (deterministic, DuckDB-reproducible) or
+  ``ivf_train``'s Lloyd-refined ones: assign every vector to its
+  nearest centroid, probe the query's ``n_probe`` nearest cells.
+- On-disk stores (``sources.tables.write_embeddings_partitioned`` /
+  ``write_ivf_partitioned``) partition the corpus by bucket/cell, so
+  ``ann_lsh_topk_store`` / ``ivf_topk_store`` prune unprobed
+  directories at the source and skip the per-query assignment
+  expressions entirely.
 
-All math is JVM-side higher-order expressions; planes/centroids are
-driver-computed literals (seeded numpy), broadcast by Catalyst.
+Probe-path math is JVM-side higher-order expressions; planes/centroids
+are driver-computed literals (seeded numpy), broadcast by Catalyst.
+``ivf_train`` is the one numpy stage (broadcast centroids, tiny
+per-partition partial sums).
 """
 
 from __future__ import annotations

@@ -345,11 +345,11 @@ def lsh_topk(
 
     query_sigs(query_id, sig) -> (query_id, doc_id, score, rank).
     For a handful of queries the query side is broadcast (zero
-    shuffle); scoring is the pure-JVM fold below
-    ``SMALL_QUERY_FOLD`` queries (point queries never touch Python
-    workers) and Arrow-vectorized against the broadcast query matrix
-    above it (measured 2.2x at batch 100). For unbounded query sets
-    pass broadcast_query=False: the band join shuffles on
+    shuffle); WITHOUT a corpus_matrix, scoring is the pure-JVM fold
+    below ``SMALL_QUERY_FOLD`` queries (no Python workers) and
+    Arrow-vectorized against the broadcast query matrix above it
+    (measured 2.2x at batch 100). For unbounded query sets pass
+    broadcast_query=False: the band join shuffles on
     (band_id, band_hash) with AQE skew handling, with the pair-join
     scorer.
 
