@@ -565,6 +565,19 @@ WHERE c.doc_id = c.group_id
 """
 
 
+def sql_char_shingle_stats() -> str:
+    """Char 3-grams: strings shorter than k yield the whole string
+    (mirrors functions.text.char_shingles)."""
+    grams = (
+        "CASE WHEN length(text) < 3 THEN [text] "
+        "ELSE list_transform(range(length(text) - 2), i -> substr(text, CAST(i + 1 AS INT), 3)) END"
+    )
+    return (
+        f"SELECT doc_id, CAST(len(list_distinct({grams})) AS INT) AS n_char_shingles "
+        f"FROM documents"
+    )
+
+
 def sql_lang_id() -> str:
     toks_lower = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
     langs = sorted(LANG_MARKERS)
@@ -1043,6 +1056,9 @@ def registry() -> dict[str, str]:
         "lsh_topk_batch": sql_lsh_topk_batch(),
         "corpus_dedup_pipeline": sql_corpus_dedup_pipeline(),
         "embedding_dup_pairs_multiprobe": sql_embedding_dup_pairs_multiprobe(),
+        "lsh_topk_batch_shuffle": sql_lsh_topk_batch(),
+        "est_jaccard_topk_batch_fold": sql_est_jaccard_topk_batch(),
+        "char_shingle_stats": sql_char_shingle_stats(),
         "lsh_pairs": sql_lsh_pairs(),
         "est_jaccard_topk_batch": sql_est_jaccard_topk_batch(),
         "true_jaccard_topk": sql_true_jaccard_topk(),

@@ -91,6 +91,19 @@ def q_shingle_stats(spark, sf_dir):
     )
 
 
+def q_char_shingle_stats(spark, sf_dir):
+    """F3: distinct char 3-gram count per doc (the char-shingle path
+    the word-based contract queries never exercise)."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.text import (
+        char_shingles,
+    )
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(char_shingles(F.col("text"), 3)).alias("n_char_shingles"),
+    )
+
+
 def q_content_hashes(spark, sf_dir):
     """A2/F4: portable content hash of normalized text per doc."""
     docs = _docs(spark, sf_dir)
@@ -152,6 +165,34 @@ def q_lsh_topk_batch(spark, sf_dir):
     )
     return lsh.lsh_topk(
         sigs, bands, qs, C.PARAMS, k=C.K_BATCH, n_queries=C.BATCH_DOCS
+    )
+
+
+def q_lsh_topk_batch_shuffle(spark, sf_dir):
+    """Same semantics as lsh_topk_batch through the NON-broadcast plan
+    (broadcast_query=False: band join shuffles on (band_id, band_hash),
+    pair-join fold scorer) — oracle coverage for the unbounded-query
+    code path the broadcast contract queries never execute."""
+    sigs = _sigs(spark, sf_dir)
+    bands = _bands(spark, sf_dir)
+    qs = sigs.filter(F.col("doc_id") < C.BATCH_DOCS).select(
+        F.col("doc_id").alias("query_id"), "sig"
+    )
+    return lsh.lsh_topk(
+        sigs, bands, qs, C.PARAMS, k=C.K_BATCH, broadcast_query=False
+    )
+
+
+def q_est_jaccard_topk_batch_fold(spark, sf_dir):
+    """The pure-JVM cross-join fold twin of est_jaccard_topk_batch
+    (vectorized=False) — covers the path used when query sets exceed
+    the driver-collect regime."""
+    sigs = _sigs(spark, sf_dir)
+    qs = sigs.filter(F.col("doc_id") < C.BATCH_DOCS).select(
+        F.col("doc_id").alias("query_id"), "sig"
+    )
+    return bruteforce.est_jaccard_topk(
+        sigs, qs, C.PARAMS.num_perm, k=C.K_BATCH, vectorized=False
     )
 
 
@@ -836,6 +877,9 @@ REGISTRY = {
     "lsh_topk_batch": q_lsh_topk_batch,
     "corpus_dedup_pipeline": q_corpus_dedup_pipeline,
     "embedding_dup_pairs_multiprobe": q_embedding_dup_pairs_multiprobe,
+    "lsh_topk_batch_shuffle": q_lsh_topk_batch_shuffle,
+    "est_jaccard_topk_batch_fold": q_est_jaccard_topk_batch_fold,
+    "char_shingle_stats": q_char_shingle_stats,
     "lsh_pairs": q_lsh_pairs,
     "est_jaccard_topk_batch": q_est_jaccard_topk_batch,
     "true_jaccard_topk": q_true_jaccard_topk,
