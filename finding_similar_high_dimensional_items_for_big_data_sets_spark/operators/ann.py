@@ -275,8 +275,8 @@ def ann_lsh_topk_store(
     path: str,
     query: list[float],
     k: int = 10,
-    n_planes: int = 8,
-    seed: int = 42,
+    n_planes: int | None = None,
+    seed: int | None = None,
     n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -285,7 +285,19 @@ def ann_lsh_topk_store(
     store: the bucket IN-filter hits the PARTITION column, so pruning
     happens at the source listing — unprobed buckets are never read
     (asserted against PartitionFilters in tests). Semantics identical
-    to :func:`ann_lsh_topk` at the same (n_planes, seed)."""
+    to :func:`ann_lsh_topk` at the same (n_planes, seed).
+
+    ``n_planes``/``seed`` default to the store's ``_index_meta``
+    sidecar (written by ``write_embeddings_partitioned``) — pass them
+    only for pre-metadata stores."""
+    if n_planes is None or seed is None:
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+            read_store_meta,
+        )
+
+        meta = read_store_meta(path)
+        n_planes = n_planes if n_planes is not None else int(meta["n_planes"])
+        seed = seed if seed is not None else int(meta["seed"])
     buckets = probe_buckets(query, n_planes, seed, n_probe)
     store = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
     qlit = F.array(*[F.lit(float(v)) for v in query])
@@ -348,7 +360,7 @@ def ivf_topk_store(
     spark,
     path: str,
     query: list[float],
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None = None,
     k: int = 10,
     n_probe: int = 4,
     id_col: str = "vec_id",
@@ -360,7 +372,15 @@ def ivf_topk_store(
     source listing — and the per-query job never evaluates the
     n_cells x dim assignment expression (that codegen alone costs ~1 s
     per fresh plan at 16x64; assignment is index-build work).
-    Semantics identical to :func:`ivf_topk` at the same centroids."""
+    Semantics identical to :func:`ivf_topk` at the same centroids.
+    ``centroids=None`` loads the quantizer from the store's
+    ``_index_meta`` sidecar (written by ``write_ivf_partitioned``)."""
+    if centroids is None:
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+            read_store_meta,
+        )
+
+        centroids = read_store_meta(path)["centroids"]
     cells = probe_cells(query, centroids, n_probe)
     store = spark.read.parquet(path).filter(F.col("cell").isin(cells))
     qlit = F.array(*[F.lit(float(v)) for v in query])

@@ -156,6 +156,40 @@ def append_to_index(
     )
 
 
+def _write_store_meta(path: str, meta: dict) -> None:
+    """Sidecar ``_index_meta.json`` inside the store directory (the
+    underscore prefix makes parquet readers ignore it, like _SUCCESS).
+    Records the quantizer config the data was written under, so appends
+    can refuse a mismatched config instead of silently splitting the
+    store across two incompatible bucketings."""
+    import json
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_index_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def read_store_meta(path: str) -> dict:
+    import json
+
+    with open(os.path.join(path, "_index_meta.json")) as f:
+        return json.load(f)
+
+
+def _check_store_meta(path: str, expect: dict) -> None:
+    try:
+        meta = read_store_meta(path)
+    except FileNotFoundError:
+        return  # pre-metadata store; caller keeps the old contract
+    mismatch = {k: (meta.get(k), v) for k, v in expect.items() if meta.get(k) != v}
+    if mismatch:
+        raise ValueError(
+            f"store {path} was written with a different quantizer config: "
+            f"{mismatch} (got, append) — probes would look in the wrong "
+            "partitions; rebuild or pass the store's own config"
+        )
+
+
 def write_embeddings_partitioned(
     embeddings: DataFrame,
     path: str,
@@ -184,6 +218,10 @@ def write_embeddings_partitioned(
         .partitionBy("bucket")
         .parquet(path)
     )
+    _write_store_meta(
+        path,
+        {"kind": "ann_hyperplane", "dim": dim, "n_planes": n_planes, "seed": seed},
+    )
 
 
 def write_ivf_partitioned(
@@ -208,6 +246,9 @@ def write_ivf_partitioned(
         .partitionBy("cell")
         .parquet(path)
     )
+    _write_store_meta(
+        path, {"kind": "ivf", "centroids": [list(map(float, c)) for c in centroids]}
+    )
 
 
 def append_ivf_partitioned(
@@ -224,6 +265,9 @@ def append_ivf_partitioned(
         ivf_assign,
     )
 
+    _check_store_meta(
+        path, {"kind": "ivf", "centroids": [list(map(float, c)) for c in centroids]}
+    )
     (
         ivf_assign(embeddings, centroids, vec_col=vec_col)
         .write.mode("append")
@@ -250,6 +294,10 @@ def append_embeddings_partitioned(
         hyperplane_bucket,
     )
 
+    _check_store_meta(
+        path,
+        {"kind": "ann_hyperplane", "dim": dim, "n_planes": n_planes, "seed": seed},
+    )
     (
         embeddings.withColumn(
             "bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes, seed)
@@ -298,3 +346,52 @@ def synthetic_documents(
             F.array_join(words, " ").alias("text"),
         )
     )
+
+
+def compact_index(
+    spark: SparkSession,
+    bands_table: str,
+    validate_sigs_path: str | None = None,
+) -> None:
+    """Compact an append-maintained bucketed index: many small appends
+    leave one file set per append inside every bucket; scans then pay
+    per-file open cost and lose intra-bucket sort locality. Rewrite the
+    table once under its own bucket spec (one shuffle — the same cost
+    as the original build, amortized over many appends).
+
+    ``validate_sigs_path``: optionally assert the signature table's
+    doc_ids are unique first (the stable-key invariant appends rely
+    on) — a duplicate means some append violated the new-ids contract
+    and compaction would bake it in.
+    """
+    if validate_sigs_path is not None:
+        dup = (
+            spark.read.parquet(validate_sigs_path)
+            .groupBy("doc_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"duplicate doc_id {dup[0]['doc_id']} in {validate_sigs_path}; "
+                "an append violated the new-ids contract — dedup before compacting"
+            )
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE EXTENDED {bands_table}").collect()
+    }
+    num_buckets = int(desc["Num Buckets"])
+    tmp = f"{bands_table}__compact_tmp"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    (
+        spark.table(bands_table)
+        .write.mode("overwrite")
+        .bucketBy(num_buckets, "band_id", "band_hash")
+        .sortBy("band_id", "band_hash")
+        .format("parquet")
+        .saveAsTable(tmp)
+    )
+    spark.sql(f"DROP TABLE {bands_table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {bands_table}")

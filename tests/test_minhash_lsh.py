@@ -235,3 +235,64 @@ def test_append_to_index_equals_full_rebuild(spark, docs, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_idx_full")
         spark.sql("DROP TABLE IF EXISTS t_idx_inc")
+
+
+def test_compact_index_merges_append_files_losslessly(spark, docs, tmp_path):
+    """After several appends the bucketed table holds one file set per
+    append; compaction must shrink the file count, keep the bucket
+    spec, and leave probes identical. The doc_id-uniqueness validation
+    must catch a contract-violating duplicate append."""
+    import glob
+    import os
+
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources import tables as T
+
+    thirds = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    sigs_p = str(tmp_path / "sigs_c")
+    try:
+        sigs_0 = minhash.signatures(thirds[0], PARAMS)
+        sigs_0.write.mode("overwrite").parquet(sigs_p)
+        T.write_bands_bucketed(lsh.bands_table(sigs_0, PARAMS), "t_idx_c", num_buckets=4)
+        for part in thirds[1:]:
+            T.append_to_index(part, PARAMS, sigs_p, "t_idx_c")
+
+        loc = next(
+            r["data_type"]
+            for r in spark.sql("DESCRIBE EXTENDED t_idx_c").collect()
+            if r["col_name"] == "Location"
+        ).removeprefix("file:")
+        n_before = len(glob.glob(os.path.join(loc, "part-*")))
+        sigs_all = spark.read.parquet(sigs_p)
+        q = sigs_all.filter(F.col("doc_id") == 13).select(
+            F.col("doc_id").alias("query_id"), "sig"
+        )
+        before = sorted(
+            map(tuple, lsh.lsh_topk(sigs_all, spark.table("t_idx_c"), q, PARAMS, k=10, n_queries=1).collect())
+        )
+
+        T.compact_index(spark, "t_idx_c", validate_sigs_path=sigs_p)
+
+        loc2 = next(
+            r["data_type"]
+            for r in spark.sql("DESCRIBE EXTENDED t_idx_c").collect()
+            if r["col_name"] == "Location"
+        ).removeprefix("file:")
+        n_after = len(glob.glob(os.path.join(loc2, "part-*")))
+        assert n_after < n_before, (n_before, n_after)
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql("DESCRIBE EXTENDED t_idx_c").collect()
+        }
+        assert int(desc["Num Buckets"]) == 4
+        after = sorted(
+            map(tuple, lsh.lsh_topk(sigs_all, spark.table("t_idx_c"), q, PARAMS, k=10, n_queries=1).collect())
+        )
+        assert before == after and len(after) == 10
+
+        # duplicate doc_ids (an append that broke the contract) must refuse
+        sigs_0.write.mode("append").parquet(sigs_p)
+        with pytest.raises(ValueError, match="duplicate doc_id"):
+            T.compact_index(spark, "t_idx_c", validate_sigs_path=sigs_p)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_idx_c")
+        spark.sql("DROP TABLE IF EXISTS t_idx_c__compact_tmp")

@@ -88,6 +88,11 @@ def test_partitioned_ann_store_prunes_unprobed_buckets(spark, sf_dir, tmp_path):
     probed = ann.ann_lsh_topk_store(
         spark, store, query, k=5, n_planes=4, n_probe=2
     )
+    # the store's _index_meta sidecar must supply the config when omitted
+    from_meta = ann.ann_lsh_topk_store(spark, store, query, k=5, n_probe=2)
+    assert sorted(map(tuple, from_meta.collect())) == sorted(
+        map(tuple, probed.collect())
+    )
     plan = _plan(probed)
     scan = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     # the bucket IN-filter must land on the PARTITION column (directory
@@ -164,8 +169,42 @@ def test_partitioned_ivf_store_prunes_and_matches_inline(spark, sf_dir, tmp_path
     append_ivf_partitioned(emb.filter(F.col("vec_id") % 2 == 1), store, cents)
     query = [float(v) for v in emb.first()["embedding"]]
     probed = ann.ivf_topk_store(spark, store, query, cents, k=5, n_probe=3)
+    from_meta = ann.ivf_topk_store(spark, store, query, k=5, n_probe=3)
+    assert sorted(map(tuple, from_meta.collect())) == sorted(
+        map(tuple, probed.collect())
+    )
     plan = _plan(probed)
     scan = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "cell" in scan.split("PartitionFilters")[1][:120]
     mem = ann.ivf_topk(emb, query, k=5, n_cells=8, n_probe=3, centroids=cents)
     assert sorted(map(tuple, probed.collect())) == sorted(map(tuple, mem.collect()))
+
+
+def test_store_append_rejects_mismatched_quantizer(spark, sf_dir, tmp_path):
+    """_index_meta must stop an append under a different quantizer
+    config — probes would silently look in the wrong partitions."""
+    import pytest as _pytest
+
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import ann
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        append_embeddings_partitioned,
+        append_ivf_partitioned,
+        write_embeddings_partitioned,
+        write_ivf_partitioned,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.first()["embedding"])
+    s1 = str(tmp_path / "s1")
+    write_embeddings_partitioned(emb, s1, dim=dim, n_planes=4, seed=42)
+    with _pytest.raises(ValueError, match="different quantizer"):
+        append_embeddings_partitioned(emb, s1, dim=dim, n_planes=8, seed=42)
+    with _pytest.raises(ValueError, match="different quantizer"):
+        append_embeddings_partitioned(emb, s1, dim=dim, n_planes=4, seed=7)
+
+    s2 = str(tmp_path / "s2")
+    c1 = ann.random_centroids(dim, n_cells=4, seed=43)
+    c2 = ann.random_centroids(dim, n_cells=4, seed=44)
+    write_ivf_partitioned(emb, s2, c1)
+    with _pytest.raises(ValueError, match="different quantizer"):
+        append_ivf_partitioned(emb, s2, c2)
