@@ -116,6 +116,10 @@ def cosine_topk_vectorized(
     import pandas as pd
 
     qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, cos_sim double, rank int"
+        )
     qids = np.array([r[query_id_col] for r in qrows], dtype=np.int64)
     qmat = np.array([r[query_vec_col] for r in qrows], dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)

@@ -108,3 +108,12 @@ def test_cosine_topk_vectorized_rejects_zero_norm(spark, emb):
 
     with _pytest.raises(ValueError, match="zero-norm"):
         bruteforce.cosine_topk_vectorized(emb, q, k=5).collect()
+
+
+def test_cosine_topk_vectorized_empty_query_set(spark, emb):
+    q = emb.filter(F.col("vec_id") == -1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = bruteforce.cosine_topk_vectorized(emb, q, k=5)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "cos_sim", "rank"]

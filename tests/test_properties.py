@@ -121,3 +121,33 @@ def test_padding_semantics(ids, k):
     assert len(padded) == k
     assert padded[: min(len(ids), k)] == ids[:k]
     assert all(v == -1 for v in padded[min(len(ids), k) :])
+
+
+def test_probe_buckets_exhaustive_and_cost_ordered():
+    """Property: for any margin configuration, probing 2^n buckets
+    enumerates every bucket exactly once, in nondecreasing total
+    flipped-|margin| cost."""
+    from unittest.mock import patch
+
+    import random as _random
+
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import ann
+
+    rng = _random.Random(99)
+    for trial in range(10):
+        n = rng.randint(1, 6)
+        margins = [rng.uniform(-2, 2) for _ in range(n)]
+        with patch.object(
+            ann, "random_planes", lambda dim, np_, seed: [[m] for m in margins]
+        ):
+            out = ann.probe_buckets([1.0], n_planes=n, n_probe=1 << n)
+        assert sorted(out) == list(range(1 << n)), (margins, out)
+        base = out[0]
+        costs = [
+            sum(abs(margins[j]) for j in range(n) if (b ^ base) >> j & 1)
+            for b in out
+        ]
+        assert all(costs[i] <= costs[i + 1] + 1e-12 for i in range(len(costs) - 1)), (
+            margins,
+            costs,
+        )
