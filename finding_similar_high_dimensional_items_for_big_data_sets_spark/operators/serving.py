@@ -71,6 +71,22 @@ class ServingIndex:
             buckets[int(band_id)][int(band_hash)] = rows
         return cls(params=params, doc_ids=doc_ids, sigs=sig_mat, buckets=buckets)
 
+    @classmethod
+    def from_paths(
+        cls,
+        spark,
+        sigs_path: str,
+        bands_table: str,
+        params: MinHashParams,
+    ) -> "ServingIndex":
+        """Load a replica straight from the PERSISTED index artifacts
+        (the parquet signature table + the bucketed bands table that
+        :func:`sources.tables.append_to_index` maintains) — build,
+        persist, append, serve, without re-deriving anything."""
+        return cls.from_dataframes(
+            spark.read.parquet(sigs_path), spark.table(bands_table), params
+        )
+
     def query(self, vector, k: int = 10) -> list[tuple[int, float, int]]:
         """Point query: [(doc_id, score, rank)] by (score desc, doc_id
         asc) — the same contract as ``lsh.lsh_topk`` for one query.

@@ -162,3 +162,28 @@ def test_serving_dense_scan_branch_matches_sparse(spark):
         .collect()
     ]
     assert got == expect
+
+
+def test_serving_from_persisted_index(spark, sf_dir, tmp_path):
+    """build -> persist -> append -> serve: the replica loaded from the
+    on-disk artifacts must answer exactly like one built from the
+    in-memory frames."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources import tables as T
+
+    params = MinHashParams()
+    docs = load_table(spark, sf_dir, "documents")
+    sigs_p = str(tmp_path / "s_sigs")
+    try:
+        half_a = docs.filter(F.col("doc_id") % 2 == 0)
+        sigs_a = minhash.signatures(half_a, params)
+        sigs_a.write.mode("overwrite").parquet(sigs_p)
+        T.write_bands_bucketed(lsh.bands_table(sigs_a, params), "t_srv_idx", num_buckets=4)
+        T.append_to_index(docs.filter(F.col("doc_id") % 2 == 1), params, sigs_p, "t_srv_idx")
+
+        idx = ServingIndex.from_paths(spark, sigs_p, "t_srv_idx", params)
+        sigs_all = minhash.signatures(docs, params)
+        mem = ServingIndex.from_dataframes(sigs_all, lsh.bands_table(sigs_all, params), params)
+        svec = list(sigs_all.filter(F.col("doc_id") == 13).first()["sig"])
+        assert idx.query(svec, k=7) == mem.query(svec, k=7)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_srv_idx")
