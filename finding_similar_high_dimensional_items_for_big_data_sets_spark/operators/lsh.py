@@ -643,3 +643,25 @@ def with_preview(result: DataFrame, sigs: DataFrame, n: int = 10) -> DataFrame:
         sigs.select("doc_id", F.slice("sig", 1, n).alias("vector_preview")),
         "doc_id",
     )
+
+
+def bucket_stats(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Index health summary: bucket-count/size distribution of the
+    bands table — the operational skew signal (a mega-bucket here is
+    what motivates ``max_bucket_size`` / AQE skew handling before a
+    probe ever runs). One row:
+    (n_buckets, n_rows, max_bucket, avg_bucket, n_singleton_buckets).
+    Exact aggregates only (no percentile sketches), so the DuckDB
+    oracle matches bit-for-bit."""
+    sizes = bands.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("sz").alias("n_rows"),
+        F.max("sz").alias("max_bucket"),
+        F.round(F.avg("sz"), 6).alias("avg_bucket"),
+        F.sum(F.when(F.col("sz") == 1, 1).otherwise(0)).alias(
+            "n_singleton_buckets"
+        ),
+    )

@@ -207,6 +207,19 @@ SELECT query_id, doc_id, score, rank FROM (
 """
 
 
+def sql_bucket_stats() -> str:
+    return f"""
+WITH bands AS MATERIALIZED ({BANDS}),
+sizes AS (SELECT band_id, band_hash, count(*) AS sz FROM bands GROUP BY band_id, band_hash)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(sz) AS BIGINT) AS n_rows,
+       CAST(max(sz) AS BIGINT) AS max_bucket,
+       round(avg(sz), 6) AS avg_bucket,
+       CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton_buckets
+FROM sizes
+"""
+
+
 def sql_lsh_pairs() -> str:
     # MATERIALIZED: DuckDB 1.0 inlines plain CTEs per reference, which
     # would re-derive the whole signature/band pipeline for each of the
@@ -1059,6 +1072,7 @@ def registry() -> dict[str, str]:
         "lsh_topk_batch_shuffle": sql_lsh_topk_batch(),
         "est_jaccard_topk_batch_fold": sql_est_jaccard_topk_batch(),
         "char_shingle_stats": sql_char_shingle_stats(),
+        "bucket_stats": sql_bucket_stats(),
         "lsh_pairs": sql_lsh_pairs(),
         "est_jaccard_topk_batch": sql_est_jaccard_topk_batch(),
         "true_jaccard_topk": sql_true_jaccard_topk(),

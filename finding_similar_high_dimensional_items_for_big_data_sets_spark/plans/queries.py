@@ -196,6 +196,12 @@ def q_est_jaccard_topk_batch_fold(spark, sf_dir):
     )
 
 
+def q_bucket_stats(spark, sf_dir):
+    """Index health: bucket-size distribution of the bands table (the
+    operational skew monitor behind the cap/AQE decisions)."""
+    return lsh.bucket_stats(_bands(spark, sf_dir))
+
+
 def q_lsh_pairs(spark, sf_dir):
     """J1 self-join: near-duplicate pairs above PAIR_THRESHOLD."""
     sigs = _sigs(spark, sf_dir)
@@ -880,6 +886,7 @@ REGISTRY = {
     "lsh_topk_batch_shuffle": q_lsh_topk_batch_shuffle,
     "est_jaccard_topk_batch_fold": q_est_jaccard_topk_batch_fold,
     "char_shingle_stats": q_char_shingle_stats,
+    "bucket_stats": q_bucket_stats,
     "lsh_pairs": q_lsh_pairs,
     "est_jaccard_topk_batch": q_est_jaccard_topk_batch,
     "true_jaccard_topk": q_true_jaccard_topk,
