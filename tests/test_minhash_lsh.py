@@ -296,3 +296,11 @@ def test_compact_index_merges_append_files_losslessly(spark, docs, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_idx_c")
         spark.sql("DROP TABLE IF EXISTS t_idx_c__compact_tmp")
+
+
+def test_bucket_stats_invariants(sigs):
+    bands = lsh.bands_table(sigs, PARAMS)
+    row = lsh.bucket_stats(bands).collect()[0]
+    assert row["n_rows"] == bands.count()
+    assert 1 <= row["max_bucket"] and row["avg_bucket"] <= row["max_bucket"]
+    assert row["n_singleton_buckets"] <= row["n_buckets"]
