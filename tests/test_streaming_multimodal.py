@@ -268,3 +268,49 @@ def test_stream_index_maintenance_matches_batch_build(spark, tmp_path):
         assert len(got) == 10
     finally:
         spark.sql("DROP TABLE IF EXISTS t_stream_idx")
+
+
+def test_stream_index_maintenance_checkpoint_resume_no_duplicates(spark, tmp_path):
+    """Exactly-once across restarts: a second run over the same
+    checkpoint must pick up only files added since the first run —
+    doc_ids in the index stay unique."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.config import MinHashParams
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import minhash
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources import tables as T
+
+    params = MinHashParams()
+    docs = T.load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    part1 = docs.filter(F.col("doc_id") % 3 == 1)
+    part2 = docs.filter(F.col("doc_id") % 3 == 2)
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    sigs_p = str(tmp_path / "sigs_ckpt")
+    src = str(tmp_path / "src_ckpt")
+    ckpt = str(tmp_path / "ckpt_resume")
+    try:
+        sigs_0 = minhash.signatures(base, params)
+        sigs_0.write.mode("overwrite").parquet(sigs_p)
+        T.write_bands_bucketed(
+            lsh.bands_table(sigs_0, params), "t_ckpt_idx", num_buckets=4
+        )
+        part1.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        SQ.stream_index_maintenance(
+            stream, params, sigs_p, "t_ckpt_idx", ckpt
+        ).awaitTermination(120)
+        n_after_first = spark.read.parquet(sigs_p).count()
+        assert n_after_first == base.count() + part1.count()
+
+        # restart over the SAME checkpoint with new files added
+        part2.write.mode("append").parquet(src)
+        stream2 = spark.readStream.schema(docs.schema).parquet(src)
+        SQ.stream_index_maintenance(
+            stream2, params, sigs_p, "t_ckpt_idx", ckpt
+        ).awaitTermination(120)
+        sigs_all = spark.read.parquet(sigs_p)
+        assert sigs_all.count() == docs.count()
+        # exactly-once: no doc signed twice
+        assert sigs_all.select("doc_id").distinct().count() == docs.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ckpt_idx")
