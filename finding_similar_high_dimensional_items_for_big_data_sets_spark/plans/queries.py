@@ -455,7 +455,10 @@ def q_corpus_dedup_pipeline(spark, sf_dir):
     survivor-restricted pair graph) checks the wiring BETWEEN them.
     Scale shape: quality filter before any shuffle; exact dedup on the
     8-byte hash; banded (never all-pairs) near-dup join; CC label
-    propagation on the (sparse) pair graph only.
+    propagation on the (sparse) pair graph only. Reuses the PREBUILT
+    sigs/bands artifacts (left_semi to survivors) like a real system
+    with a maintained index; a from-scratch run would sign only the
+    survivors instead.
     """
     clean = q_corpus_clean(spark, sf_dir)
     keep = clean.select("doc_id")
