@@ -383,6 +383,12 @@ def main():
         reps=9,
     )
     ref_parity["lsh_point_warm_ms"] = t * 1000
+    # Decomposed (min over 9 reps at 20k docs): qsig collect 57 ms,
+    # query-bands job 143 ms, candidates job 201 ms pre-distinct /
+    # 226 ms distinct (the dedup exchange itself costs ~25 ms), full
+    # query ~670 ms. The number is a stack of local-mode job/stage
+    # scheduling floors, NOT any single shuffle — the serving tier
+    # below is the low-latency path; don't chase this one.
 
     # serving tier: Spark-built index exported once (like the
     # reference's startup build, outside the timed region), probed
