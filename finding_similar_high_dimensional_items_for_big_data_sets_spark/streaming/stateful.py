@@ -10,9 +10,10 @@ O(distinct keys), independent of stream length per key.
 
 Scale notes: ``applyInPandasWithState`` shuffles by the group key into
 the state store — the same hash partitioning a batch groupBy would do —
-and processes each group's rows as Arrow batches. Skewed keys are
-bounded because within-batch rows per key collapse to one candidate row
-before crossing to Python.
+and processes each group's rows as Arrow batches. A skewed key's rows
+do cross to Python (chunked Arrow iteration, never one giant frame),
+but its STATE stays one flag row / one k-list however many rows arrive,
+so the state store cannot be skewed.
 """
 
 from __future__ import annotations
