@@ -211,13 +211,14 @@ def ann_lsh_topk_batch(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     seed: int = 42,
     n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Batch bucket-probe ANN: one job for a whole query set.
 
@@ -229,7 +230,17 @@ def ann_lsh_topk_batch(
     survivors; per-query top-k window. Output:
     (query_id, vec_id, cos_sim, rank) — identical per query to
     :func:`ann_lsh_topk` at the same config.
+
+    ``n_planes=None`` sizes the bucket count to the corpus via
+    ``auto_n_planes`` (``n_rows`` hint, else one count job), mirroring
+    the point path — probe cost per query then stays
+    ~n_probe * target_bucket_size as the corpus grows instead of the
+    bucket population scaling linearly with N at a fixed plane count.
     """
+    if n_planes is None:
+        n_planes = auto_n_planes(
+            n_rows if n_rows is not None else embeddings.count()
+        )
     spark = embeddings.sparkSession
     qrows = queries.select(query_id_col, query_vec_col).collect()
     if not qrows:

@@ -412,12 +412,13 @@ def embedding_cosine_duplicates_multiprobe(
     embeddings: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     seed: int = 42,
     probe_margin: float = 0.2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     compress_identical: bool = True,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs with margin-gated MULTIPROBE blocking.
 
@@ -437,7 +438,21 @@ def embedding_cosine_duplicates_multiprobe(
     recall, never false positives. Shuffles on the emitted bucket key.
     Output: (vec_a, vec_b, cos_sim), a SUPERSET of the single-bucket
     operator's pairs at the same (planes, seed).
+
+    ``n_planes=None`` sizes the bucket count to the corpus via
+    ``ann.auto_n_planes`` using the ``n_rows`` hint (one count job
+    without it) — same auto-scale lever as the single-bucket operator:
+    the margin gate bounds EMISSION per vector, but within-bucket join
+    volume still grows quadratically at a fixed plane count.
     """
+    if n_planes is None:
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+            auto_n_planes,
+        )
+
+        n_planes = auto_n_planes(
+            n_rows if n_rows is not None else embeddings.count()
+        )
     if compress_identical:
         # Clone skew: identical vectors emit identical probe sets, so a
         # clone mega-cluster would go quadratic inside EVERY probed

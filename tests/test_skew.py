@@ -148,6 +148,41 @@ def test_embedding_auto_planes_equals_explicit(clone_embeddings):
     }
 
 
+def test_multiprobe_auto_planes_scales_and_equals_explicit(clone_embeddings):
+    """The multiprobe variant exposes the same n_planes=None auto lever
+    as its single-bucket sibling: the hint picks the plane count, and
+    two corpus sizes pick DIFFERENT counts (the 100x-rows hazard)."""
+    small, large = ann.auto_n_planes(120), ann.auto_n_planes(10**7)
+    assert small != large  # different corpus size -> different planes
+    for hint, planes in ((120, small), (10**7, large)):
+        auto = dedup.embedding_cosine_duplicates_multiprobe(
+            clone_embeddings, dim=EMB_DIM, threshold=0.9, n_planes=None, n_rows=hint
+        )
+        explicit = dedup.embedding_cosine_duplicates_multiprobe(
+            clone_embeddings, dim=EMB_DIM, threshold=0.9, n_planes=planes
+        )
+        assert {tuple(r) for r in auto.collect()} == {
+            tuple(r) for r in explicit.collect()
+        }
+
+
+def test_batch_ann_auto_planes_equals_explicit(spark, clone_embeddings):
+    from pyspark.sql import functions as F
+
+    qe = clone_embeddings.filter(F.col("vec_id").isin(0, 1000)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    auto = ann.ann_lsh_topk_batch(
+        clone_embeddings, qe, k=3, n_planes=None, n_rows=10**7
+    )
+    explicit = ann.ann_lsh_topk_batch(
+        clone_embeddings, qe, k=3, n_planes=ann.auto_n_planes(10**7)
+    )
+    assert {tuple(r) for r in auto.collect()} == {
+        tuple(r) for r in explicit.collect()
+    }
+
+
 def test_multiprobe_embedding_clone_skew_compression_lossless(clone_embeddings):
     """Multiprobe blocking under clone skew: the compressed path must
     equal the uncompressed one exactly (identical vectors emit
