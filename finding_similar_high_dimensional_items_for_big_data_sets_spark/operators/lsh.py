@@ -148,12 +148,26 @@ def score_candidates(
     )
 
 
+def _plan_max_rows(df: DataFrame) -> int | None:
+    """Upper bound on the row count, read from the optimized logical
+    plan with NO Spark job (plan analysis only). Exact for
+    LocalRelation/VALUES and limit-capped plans; None when the plan
+    cannot bound it. A bound <= SMALL_QUERY_FOLD proves the fold
+    regime without ever counting."""
+    try:
+        mr = df._jdf.queryExecution().optimizedPlan().maxRows()
+        return int(mr.get()) if mr.isDefined() else None
+    except Exception:  # pragma: no cover — JVM internals unavailable
+        return None
+
+
 def score_candidates_vectorized(
     cand: DataFrame,
     sigs: DataFrame,
     query_sigs: DataFrame,
     params: MinHashParams,
     query_id_col: str = "query_id",
+    qrows: list | None = None,
 ) -> DataFrame:
     """Arrow-vectorized candidate scoring for driver-sized query sets.
 
@@ -171,13 +185,17 @@ def score_candidates_vectorized(
 
     Requires the query set to fit on the driver (same condition as
     broadcast_query); use score_candidates for unbounded query sets.
+    ``qrows``: pre-collected ``(query_id, sig)`` rows — pass them when
+    the caller already collected the query side (lsh_topk's default
+    path does) to avoid a second collect job here.
     """
     import numpy as np
     import pandas as pd
 
     spark = cand.sparkSession
     num_perm = params.num_perm
-    qrows = query_sigs.select(query_id_col, "sig").collect()
+    if qrows is None:
+        qrows = query_sigs.select(query_id_col, "sig").collect()
     qpos = {int(r[query_id_col]): i for i, r in enumerate(qrows)}
     qmat = np.array([r["sig"] for r in qrows], dtype=np.int64)
     bc = spark.sparkContext.broadcast((qpos, qmat))
@@ -353,9 +371,13 @@ def lsh_topk(
     (band_id, band_hash) with AQE skew handling, with the pair-join
     scorer.
 
-    ``n_queries``: caller-side query-count hint. Without it the scorer
-    choice costs one extra (tiny) Spark job per call — pass it on
-    latency-sensitive paths.
+    ``n_queries``: caller-side query-count hint. Without it the count
+    comes free from the optimized plan when it bounds the query set
+    (VALUES / limit-capped plans), and otherwise from one collect of
+    the query rows that the vectorized scorer then reuses — so only
+    the fold-regime (<= SMALL_QUERY_FOLD queries) unbounded-plan case
+    pays an extra tiny job; pass the hint (or ``.limit(n)`` the query
+    set) there on latency-sensitive paths.
 
     ``corpus_matrix``: prebuilt :func:`broadcast_sig_matrix` over
     ``sigs``. When given, scoring skips the per-doc signature join
@@ -381,15 +403,27 @@ def lsh_topk(
             cand, query_sigs, corpus_matrix, params, k
         )
         return topk(scored, k)
-    n_q = (
-        n_queries
-        if n_queries is not None
-        else query_sigs.limit(SMALL_QUERY_FOLD + 1).count()
-    )
+    # Scorer choice without a dedicated count job: when the optimized
+    # plan bounds the query set at <= SMALL_QUERY_FOLD rows (VALUES /
+    # LocalRelation / limit-capped sets) the fold regime is proven with
+    # zero jobs; otherwise ONE collect of the (driver-sized,
+    # broadcast-contract) query rows both decides the scorer and feeds
+    # the vectorized path, which needed exactly that collect anyway.
+    n_q = n_queries
+    qrows = None
+    if n_q is None:
+        bound = _plan_max_rows(query_sigs)
+        if bound is not None and bound <= SMALL_QUERY_FOLD:
+            n_q = bound
+        else:
+            qrows = query_sigs.select("query_id", "sig").collect()
+            n_q = len(qrows)
     if n_q <= SMALL_QUERY_FOLD:
         scored = score_candidates(cand, sigs, query_sigs, params)
     else:
-        scored = score_candidates_vectorized(cand, sigs, query_sigs, params)
+        scored = score_candidates_vectorized(
+            cand, sigs, query_sigs, params, qrows=qrows
+        )
     return topk(scored, k)
 
 
@@ -472,7 +506,11 @@ def _score_pairs_fold(
 
 
 def _score_pairs_vectorized(
-    pairs: DataFrame, sigs: DataFrame, params: MinHashParams, threshold: float
+    pairs: DataFrame,
+    sigs: DataFrame,
+    params: MinHashParams,
+    threshold: float,
+    rows: list | None = None,
 ) -> DataFrame:
     """Score pairs against a broadcast signature matrix (numpy).
 
@@ -490,7 +528,8 @@ def _score_pairs_vectorized(
 
     spark = pairs.sparkSession
     num_perm = params.num_perm
-    rows = sigs.select("doc_id", "sig").collect()
+    if rows is None:
+        rows = sigs.select("doc_id", "sig").collect()
     order = sorted(range(len(rows)), key=lambda i: rows[i]["doc_id"])
     ids = np.array([rows[i]["doc_id"] for i in order], dtype=np.int64)
     mat = np.array([rows[i]["sig"] for i in order], dtype=np.int64)
@@ -532,10 +571,18 @@ def _self_join_pairs_raw(
 ) -> DataFrame:
     """The uncompressed band-bucket self-match (see self_join_pairs)."""
     pairs = band_pair_candidates(bands, min_matching_bands(threshold, params))
+    rows = None
     if n_docs is None:
-        n_docs = sigs.limit(VECTORIZE_MAX_SIGS + 1).count()
+        # one limited collect replaces the old count probe + the
+        # scorer's own collect: if everything fit under the gate these
+        # rows ARE the matrix input; past the gate they're discarded
+        # (a bounded, early-terminating read either way).
+        rows = sigs.select("doc_id", "sig").limit(VECTORIZE_MAX_SIGS + 1).collect()
+        n_docs = len(rows)
+        if n_docs > VECTORIZE_MAX_SIGS:
+            rows = None
     if n_docs <= VECTORIZE_MAX_SIGS:
-        return _score_pairs_vectorized(pairs, sigs, params, threshold)
+        return _score_pairs_vectorized(pairs, sigs, params, threshold, rows=rows)
     return _score_pairs_fold(pairs, sigs, params, threshold)
 
 
@@ -551,7 +598,8 @@ def self_join_pairs(
     threshold (M6 dedup building block).
 
     ``n_docs``: caller-side corpus-size hint for the vectorize gate
-    (counted with one extra Spark job when omitted). With
+    (without it, one limited collect decides the gate AND feeds the
+    broadcast matrix — no separate count job). With
     ``compress_identical`` the gate counts DISTINCT signatures, so the
     hint is only consulted when it already rules the broadcast scorer
     out (hint > VECTORIZE_MAX_SIGS implies distinct sigs may still fit

@@ -118,6 +118,57 @@ def test_dedup_pairs_band_join_shuffles_on_compact_key_only(spark, index):
     assert "Exchange hashpartitioning(sig" not in plan
 
 
+def _count_jobs(spark, group: str, fn) -> int:
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_default_args_launch_no_extra_count_job(spark, index):
+    """The scorer choice must not cost a dedicated count probe: a
+    plan-bounded query set (limit-capped / VALUES) proves the fold
+    regime from the plan (zero jobs), and the vectorized path derives
+    the count from the one collect the scorer needed anyway —
+    default-argument calls launch exactly as many jobs as
+    hint-passing calls."""
+    sigs, bands = index
+    qrows = (
+        sigs.filter(F.col("doc_id") == 3)
+        .select(F.col("doc_id").alias("query_id"), "sig")
+        .collect()
+    )
+    qs_local = spark.createDataFrame(qrows).limit(1)
+    assert lsh._plan_max_rows(qs_local) == 1
+    point = lambda **kw: lsh.lsh_topk(  # noqa: E731
+        sigs, bands, qs_local, PARAMS, k=5, **kw
+    ).collect()
+    point()  # warm (broadcast/codegen jobs settle)
+    n_def = _count_jobs(spark, "probe-point-default", point)
+    n_hint = _count_jobs(
+        spark, "probe-point-hinted", lambda: point(n_queries=1)
+    )
+    assert n_def == n_hint
+
+    qsN = sigs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("query_id"), "sig"
+    )
+    n_q = qsN.count()
+    assert n_q > lsh.SMALL_QUERY_FOLD  # vectorized regime
+    batch = lambda **kw: lsh.lsh_topk(  # noqa: E731
+        sigs, bands, qsN, PARAMS, k=5, **kw
+    ).collect()
+    batch()  # warm
+    n_def = _count_jobs(spark, "probe-batch-default", batch)
+    n_hint = _count_jobs(
+        spark, "probe-batch-hinted", lambda: batch(n_queries=n_q)
+    )
+    assert n_def == n_hint
+
+
 def test_ann_store_append_matches_full_build(spark, sf_dir, tmp_path):
     """Appending new vectors to the partitioned ANN store must leave
     probes identical to a store built over the full corpus at once."""
