@@ -78,8 +78,18 @@ def write_bands(bands: DataFrame, path: str, num_buckets: int = 64) -> None:
     bands.repartition(num_buckets, "band_hash").write.mode("overwrite").parquet(path)
 
 
+#: ingest_batch value for data written at initial build / compaction
+#: time in batch-partitioned index layouts. Streaming micro-batch ids
+#: are >= 0, so the base partition can never collide with (and be
+#: clobbered by) a replayed epoch's dynamic partition overwrite.
+BASE_INGEST_BATCH = -1
+
+
 def write_bands_bucketed(
-    bands: DataFrame, table: str, num_buckets: int = 64
+    bands: DataFrame,
+    table: str,
+    num_buckets: int = 64,
+    batch_partitioned: bool = False,
 ) -> None:
     """Persist the LSH index as a BUCKETED table on the probe-join key
     (band_id, band_hash), sorted within buckets.
@@ -90,10 +100,24 @@ def write_bands_bucketed(
     probe batch and a one-time shuffle at index-build. The reference's
     analogue is its shard layout + per-worker hash tables
     (``app/src/index_builder.py:22-36``, ``worker_tasks.py:84-113``);
-    a bucketed table is the immutable Spark equivalent."""
+    a bucketed table is the immutable Spark equivalent.
+
+    ``batch_partitioned=True`` additionally partitions the table by an
+    ``ingest_batch`` column (initial data lands in the
+    :data:`BASE_INGEST_BATCH` partition). That layout is what
+    :func:`append_to_index_exactly_once` requires: each micro-batch
+    owns one partition directory, so a replayed epoch OVERWRITES its
+    own partition instead of appending duplicates. Bucketing is
+    per-partition-consistent, so probe joins stay shuffle-free on the
+    index side either way."""
+    writer = bands
+    if batch_partitioned:
+        writer = bands.withColumn("ingest_batch", F.lit(BASE_INGEST_BATCH))
+    writer = writer.write.mode("overwrite")
+    if batch_partitioned:
+        writer = writer.partitionBy("ingest_batch")
     (
-        bands.write.mode("overwrite")
-        .bucketBy(num_buckets, "band_id", "band_hash")
+        writer.bucketBy(num_buckets, "band_id", "band_hash")
         .sortBy("band_id", "band_hash")
         .format("parquet")
         .saveAsTable(table)
@@ -123,6 +147,17 @@ def append_to_index(
     invariant every table relies on), and the index was built UNCAPPED
     (``params.max_bucket_size`` unset) — a bucket cap is a global
     smallest-ids property that per-append capping cannot maintain.
+
+    The two appends are separate commits with no cross-table
+    atomicity. Bands are written FIRST: a crash between the writes
+    leaves doc_ids present in bands but absent from sigs, which the
+    matrix/serving scorers reject loudly ("matrix does not cover the
+    candidate ids") instead of probes silently missing documents the
+    sigs-first order would cause. Recovery: :func:`validate_index`
+    reports the orphaned doc_ids; re-append exactly their signature
+    rows (re-running the sigs half of the failed call). For streaming
+    / at-least-once callers use :func:`append_to_index_exactly_once`,
+    which is replay-idempotent by construction.
     """
     if params.max_bucket_size is not None:
         raise ValueError(
@@ -136,23 +171,150 @@ def append_to_index(
     )
 
     sigs = minhash.signatures(new_docs, params)
-    sigs.write.mode("append").parquet(sigs_path)
     bands = lsh.bands_table(sigs, params)
     # An append must restate the existing bucket spec verbatim (Spark
     # rejects a mismatch); read the bucket count from the catalog so
     # the caller cannot diverge from the table it is appending to.
     spark = new_docs.sparkSession
-    desc = {
-        r["col_name"]: r["data_type"]
-        for r in spark.sql(f"DESCRIBE EXTENDED {bands_table}").collect()
-    }
-    num_buckets = int(desc["Num Buckets"])
+    num_buckets = _table_num_buckets(spark, bands_table)
     (
         bands.write.mode("append")
         .format("parquet")
         .bucketBy(num_buckets, "band_id", "band_hash")
         .sortBy("band_id", "band_hash")
         .saveAsTable(bands_table)
+    )
+    sigs.write.mode("append").parquet(sigs_path)
+
+
+def _table_num_buckets(spark: SparkSession, table: str) -> int:
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    }
+    return int(desc["Num Buckets"])
+
+
+def validate_index(
+    spark: SparkSession, sigs_path: str, bands_table: str
+) -> None:
+    """Cross-table consistency check for the persisted index: every
+    banded doc_id must have a signature row and vice versa (the
+    invariant a crash between :func:`append_to_index`'s two commits
+    breaks). Raises with the first few offending ids; cost is one
+    doc_id-column scan of each side — run it after a suspected partial
+    append, not per query."""
+    sig_ids = spark.read.parquet(sigs_path).select("doc_id").distinct()
+    band_ids = spark.table(bands_table).select("doc_id").distinct()
+    orphan_bands = band_ids.join(sig_ids, "doc_id", "left_anti").limit(5).collect()
+    if orphan_bands:
+        ids = [r["doc_id"] for r in orphan_bands]
+        raise ValueError(
+            f"doc_ids {ids} are banded in {bands_table} but have no "
+            f"signature in {sigs_path}: a partial append left the index "
+            "inconsistent — re-append their signature rows"
+        )
+    orphan_sigs = sig_ids.join(band_ids, "doc_id", "left_anti").limit(5).collect()
+    if orphan_sigs:
+        ids = [r["doc_id"] for r in orphan_sigs]
+        raise ValueError(
+            f"doc_ids {ids} have signatures in {sigs_path} but no bands "
+            f"in {bands_table}: probes will silently miss them — "
+            "re-append their band rows"
+        )
+
+
+def append_to_index_exactly_once(
+    new_docs: DataFrame,
+    batch_id: int,
+    params,
+    sigs_path: str,
+    bands_table: str,
+) -> None:
+    """Replay-idempotent incremental index maintenance for
+    at-least-once callers (Structured Streaming ``foreachBatch``
+    replays an epoch after failure; a blind append would then
+    duplicate every doc in the replayed batch).
+
+    Mechanism: both index halves are PARTITIONED by ``ingest_batch``
+    and each micro-batch writes with dynamic partition OVERWRITE into
+    its own ``ingest_batch=<batch_id>`` partition — a replayed epoch
+    rewrites that partition instead of appending next to its previous
+    attempt, whatever point the previous attempt crashed at. The
+    signature half is a batch-partitioned parquet directory; the bands
+    half is the batch-partitioned BUCKETED table
+    (:func:`write_bands_bucketed` with ``batch_partitioned=True``) —
+    bucketing is per-partition-consistent, so probe joins stay
+    shuffle-free while each partition stays independently
+    overwritable. Requires ``batch_id >= 0`` (the base build owns the
+    :data:`BASE_INGEST_BATCH` partition).
+
+    Same uncapped-index and new-doc_ids contract as
+    :func:`append_to_index`.
+    """
+    if params.max_bucket_size is not None:
+        raise ValueError(
+            "append_to_index_exactly_once requires an uncapped index "
+            "(see append_to_index)"
+        )
+    if batch_id < 0:
+        raise ValueError(
+            f"batch_id must be >= 0 (got {batch_id}); "
+            f"{BASE_INGEST_BATCH} is reserved for the base build"
+        )
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import (
+        lsh,
+        minhash,
+    )
+
+    spark = new_docs.sparkSession
+    # catalog metadata, not spark.table(...): resolving the relation
+    # would pin a pre-append file listing in this session's relation
+    # cache (see stream_index_maintenance).
+    table_cols = [c.name for c in spark.catalog.listColumns(bands_table)]
+    if "ingest_batch" not in table_cols:
+        raise ValueError(
+            f"{bands_table} is not batch-partitioned; build it with "
+            "write_bands_bucketed(..., batch_partitioned=True) for "
+            "exactly-once appends (plain append_to_index is "
+            "at-least-once under replay)"
+        )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        sigs = minhash.signatures(new_docs, params).withColumn(
+            "ingest_batch", F.lit(batch_id)
+        )
+        bands = lsh.bands_table(
+            sigs.select("doc_id", "sig"), params
+        ).withColumn("ingest_batch", F.lit(batch_id))
+        # bands first: see append_to_index's ordering rationale — under
+        # replay either order converges, this one also fails loud if a
+        # NON-replayed crash is probed in between. insertInto matches
+        # by position, so restate the table's own column order.
+        bands.select(*table_cols).write.mode("overwrite").insertInto(bands_table)
+        (
+            sigs.write.mode("overwrite")
+            .partitionBy("ingest_batch")
+            .parquet(sigs_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+
+def write_sigs_batch_partitioned(sigs: DataFrame, path: str) -> None:
+    """Base build of the BATCH-PARTITIONED signature store that
+    :func:`append_to_index_exactly_once` maintains: initial rows land
+    in the ``ingest_batch=BASE_INGEST_BATCH`` partition so later
+    micro-batches each own an overwritable partition directory. (A
+    flat parquet dir cannot be upgraded in place: Spark's partition
+    discovery rejects mixed flat/partitioned layouts.) Readers select
+    (doc_id, sig) as usual — the partition column is bookkeeping."""
+    (
+        sigs.withColumn("ingest_batch", F.lit(BASE_INGEST_BATCH))
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(path)
     )
 
 
@@ -363,6 +525,23 @@ def compact_index(
     doc_ids are unique first (the stable-key invariant appends rely
     on) — a duplicate means some append violated the new-ids contract
     and compaction would bake it in.
+
+    Crash safety: the swap is rename-aside / rename-in / drop-old, so
+    a servable copy of the index exists under SOME table name at every
+    instant, and an in-process failure restores the original name
+    before re-raising. If the PROCESS dies mid-swap, run
+    :func:`recover_compact_swap` at startup — it re-registers whichever
+    surviving copy is newest under the original name. The swap is
+    still not atomic for CONCURRENT readers (a reader resolving the
+    table name inside the two-rename window fails and must retry);
+    run compaction in a maintenance window, like any offline rewrite.
+
+    Batch-partitioned tables (``write_bands_bucketed`` with
+    ``batch_partitioned=True``) compact their whole history into the
+    ``BASE_INGEST_BATCH`` partition. Run this only while the
+    maintenance stream is STOPPED at a committed checkpoint: a
+    replayed epoch after compaction would overwrite-as-new a batch
+    partition whose rows were already folded into the base.
     """
     if validate_sigs_path is not None:
         dup = (
@@ -378,20 +557,71 @@ def compact_index(
                 f"duplicate doc_id {dup[0]['doc_id']} in {validate_sigs_path}; "
                 "an append violated the new-ids contract — dedup before compacting"
             )
-    desc = {
-        r["col_name"]: r["data_type"]
-        for r in spark.sql(f"DESCRIBE EXTENDED {bands_table}").collect()
-    }
-    num_buckets = int(desc["Num Buckets"])
+    num_buckets = _table_num_buckets(spark, bands_table)
     tmp = f"{bands_table}__compact_tmp"
+    old = f"{bands_table}__compact_old"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    current = spark.table(bands_table)
+    batch_partitioned = "ingest_batch" in current.columns
+    if batch_partitioned:
+        current = current.withColumn("ingest_batch", F.lit(BASE_INGEST_BATCH))
+    writer = current.write.mode("overwrite")
+    if batch_partitioned:
+        writer = writer.partitionBy("ingest_batch")
     (
-        spark.table(bands_table)
-        .write.mode("overwrite")
-        .bucketBy(num_buckets, "band_id", "band_hash")
+        writer.bucketBy(num_buckets, "band_id", "band_hash")
         .sortBy("band_id", "band_hash")
         .format("parquet")
         .saveAsTable(tmp)
     )
-    spark.sql(f"DROP TABLE {bands_table}")
-    spark.sql(f"ALTER TABLE {tmp} RENAME TO {bands_table}")
+    # rename-aside / rename-in / drop-old: both full copies exist until
+    # the new one is in place; restore the original name on failure.
+    spark.sql(f"ALTER TABLE {bands_table} RENAME TO {old}")
+    # CRITICAL for partitioned tables: a rename moves the directory but
+    # leaves per-partition catalog locations at the old absolute paths
+    # — which are about to become the NEW table's directory. Re-sync
+    # old's metadata NOW, or the final DROP deletes the new table's
+    # partition directories out from under it.
+    _sync_partitions(spark, old)
+    try:
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {bands_table}")
+    except Exception:
+        spark.sql(f"ALTER TABLE {old} RENAME TO {bands_table}")
+        _sync_partitions(spark, bands_table)
+        raise
+    _sync_partitions(spark, bands_table)
+    spark.sql(f"DROP TABLE {old}")
+
+
+def _sync_partitions(spark: SparkSession, table: str) -> None:
+    """Re-point catalog partition metadata at the table's CURRENT
+    location: renaming a partitioned managed table moves its directory
+    but leaves per-partition locations at the old absolute paths, so a
+    scan would silently read zero rows from every partition."""
+    if "ingest_batch" in spark.table(table).columns:
+        spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
+    spark.catalog.refreshTable(table)
+
+
+def recover_compact_swap(spark: SparkSession, bands_table: str) -> bool:
+    """Startup recovery after a process death inside
+    :func:`compact_index`'s swap: if ``bands_table`` is missing,
+    re-register the surviving copy — the compacted ``__compact_tmp``
+    if its write completed, else the set-aside ``__compact_old`` —
+    under the original name. Returns True if a recovery rename was
+    performed, False if the table was already healthy. Raises only if
+    no copy survives (which compact_index's ordering cannot produce).
+    """
+    if spark.catalog.tableExists(bands_table):
+        return False
+    for cand in (f"{bands_table}__compact_tmp", f"{bands_table}__compact_old"):
+        if spark.catalog.tableExists(cand):
+            spark.sql(f"ALTER TABLE {cand} RENAME TO {bands_table}")
+            _sync_partitions(spark, bands_table)
+            return True
+    raise ValueError(
+        f"no surviving copy of {bands_table} found (neither __compact_tmp "
+        "nor __compact_old exists) — this state is unreachable from "
+        "compact_index; restore from your table backup"
+    )
