@@ -238,9 +238,47 @@ def main():
     quality["ann_lsh_recall_at_k"] = mean_recall(ann_b1)
     quality["ann_multiprobe_recall_at_k"] = mean_recall(ann_b32)
 
+    # --- recall-TARGETED probing: the declarative knob — probe count
+    # chosen PER QUERY from its plane margins to hit a target recall
+    # estimate (probe_plan_for_recall). target_cos per query = its
+    # exact 5th-neighbor cosine (the similarity a user would name);
+    # report the model estimate, the realized recall, and the scan
+    # budget the plans actually spent.
+    tgt = 0.8
+    kth_by_q: dict[int, list] = {}
+    for r in cos_exact:
+        kth_by_q.setdefault(r["query_id"], []).append(r["cos_sim"])
+    plans = []
+    for r in qe.collect():
+        qid = r["query_id"]
+        qv = [float(v) for v in r["query_vec"]]
+        kth = sorted(kth_by_q[qid], reverse=True)[K - 1]
+        tc = min(0.99, max(0.05, float(kth)))
+        buckets, est = ann.probe_plan_for_recall(
+            qv, n_planes=8, seed=42, target_recall=tgt, target_cos=tc
+        )
+        plans.append((qid, qv, buckets, est))
+    targeted_rows = []
+    for qid, qv, buckets, _est in plans:
+        for row in ann.ann_lsh_topk(emb, qv, k=K, n_probe=len(buckets)).collect():
+            targeted_rows.append({"query_id": qid, "vec_id": row["vec_id"]})
+    quality["ann_targeted_recall_at_k"] = mean_recall(targeted_rows)
+    quality["ann_targeted_est_recall"] = sum(p[3] for p in plans) / len(plans)
+    quality["ann_targeted_scan_fraction"] = sum(
+        len(p[2]) for p in plans
+    ) / (len(plans) * 256.0)
+
+    # exact L2 ground truth for the IVF numbers: IVF ranks by L2, and
+    # scoring it against the cosine top-k conflated quantizer recall
+    # with a metric mismatch (the fixture vectors are unnormalized).
+    # Probing ALL cells IS an exact L2 scan with identical
+    # rounding/tie rules, so even this truth set costs one probe job.
+    l2_truth = {
+        r["vec_id"] for r in ann.ivf_topk(emb, qvec, k=K, n_probe=16).collect()
+    }
+
     def recall(rows):
-        ex = exact_by_q.get(7, set())
-        return len({r["vec_id"] for r in rows} & ex) / len(ex) if ex else 0.0
+        return len({r["vec_id"] for r in rows} & l2_truth) / len(l2_truth)
 
     # IVF: Lloyd-trained quantizer vs the seeded random one (training
     # is index-build work — one tiny shuffle per iteration — reported
@@ -315,6 +353,145 @@ def main():
         reps=2,
     )
     timings["dedup_lsh_pairs"] = min(t_pairs1, t_pairs2)
+
+    # --- scaling: the 100 TB claims measured, not argued — identical
+    # plans at 1x and 10x rows over a seeded synthetic corpus
+    # (mostly-unique vocab + 5% planted exact clones so every dedup
+    # stage has real work at both scales). growth_vs_linear is
+    # t_10x / (10 * t_1x): ~1.0 = linear, <1 = sublinear (fixed
+    # overheads amortizing), the pass bar is <= ~1.3. Kept OUT of the
+    # headline timing sum for cross-round comparability.
+    scaling: dict[str, dict] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.plans.queries import (
+            corpus_clean_df,
+            corpus_dedup_pipeline_df,
+        )
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+            synthetic_documents,
+            write_bands_bucketed,
+        )
+
+        def scale_corpus(n):
+            base = synthetic_documents(spark, n, vocab_size=5000)
+            clones = base.filter(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + n).alias("doc_id"), "doc_name", "text"
+            )
+            return base.unionByName(clones)
+
+        def timed_min(fn, reps):
+            best = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            return best
+
+        N1 = 20_000
+        for label, n, reps in (("1x", N1, 3), ("10x", N1 * 10, 2)):
+            docs_s = scale_corpus(n).cache()
+            n_docs_s = docs_s.count()
+            block: dict[str, float] = {"n_docs": n_docs_s}
+
+            def build_once():
+                s = minhash.signatures(docs_s, params).cache()
+                s.count()
+                b = lsh.bands_table(s, params).cache()
+                b.count()
+                b.unpersist()
+                s.unpersist()
+
+            block["index_build"] = timed_min(build_once, reps)
+
+            sigs_s = minhash.signatures(docs_s, params).cache()
+            n_s = sigs_s.count()
+            bands_s = lsh.bands_table(sigs_s, params).cache()
+            bands_s.count()
+
+            def pairs_once():
+                lsh.self_join_pairs(bands_s, sigs_s, params, 0.8, n_docs=n_s).count()
+
+            pairs_once()  # warm (codegen)
+            block["dedup_lsh_pairs"] = timed_min(pairs_once, reps)
+
+            def pipeline_once():
+                corpus_dedup_pipeline_df(
+                    corpus_clean_df(docs_s), sigs_s, bands_s
+                ).count()
+
+            pipeline_once()
+            block["corpus_dedup_pipeline"] = timed_min(pipeline_once, max(1, reps - 1))
+
+            spark.sql("DROP TABLE IF EXISTS bench_scale_idx")
+            shutil.rmtree(
+                os.path.join(
+                    spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+                    "bench_scale_idx",
+                ),
+                ignore_errors=True,
+            )
+            write_bands_bucketed(bands_s, "bench_scale_idx", num_buckets=64)
+            bt = spark.table("bench_scale_idx")
+            qs_s = sigs_s.filter(F.col("doc_id") < BATCH).select(
+                F.col("doc_id").alias("query_id"), "sig"
+            ).cache()
+            qs_s.count()
+
+            def probe_once():
+                lsh.lsh_topk(
+                    sigs_s, bt, qs_s, params, k=K, broadcast_query=False
+                ).collect()
+
+            probe_once()
+            block["lsh_batch_100_bucketed"] = timed_min(probe_once, reps)
+
+            scaling[label] = {
+                k: (round(v, 4) if isinstance(v, float) else v)
+                for k, v in block.items()
+            }
+            qs_s.unpersist()
+            bands_s.unpersist()
+            sigs_s.unpersist()
+            docs_s.unpersist()
+            spark.sql("DROP TABLE IF EXISTS bench_scale_idx")
+        factor = scaling["10x"]["n_docs"] / scaling["1x"]["n_docs"]
+        scaling["growth_vs_linear"] = {
+            q: round(scaling["10x"][q] / (factor * scaling["1x"][q]), 3)
+            for q in (
+                "index_build",
+                "dedup_lsh_pairs",
+                "corpus_dedup_pipeline",
+                "lsh_batch_100_bucketed",
+            )
+        }
+
+    # --- migration path: the npy shard reader timed once against a
+    # parquet scan of the same 20k x 128 matrix (4 shards) — the only
+    # source format that would otherwise stay untimed.
+    import numpy as np
+
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.migration import (
+        load_npy_shards,
+    )
+
+    mig: dict[str, float] = {}
+    mig_dir = "/tmp/bench_npy_shards"
+    mig_pq = "/tmp/bench_npy_parquet"
+    os.makedirs(mig_dir, exist_ok=True)
+    rs = np.random.RandomState(7)
+    for i in range(4):
+        shard_f = os.path.join(mig_dir, f"shard_{i}.npy")
+        if not os.path.exists(shard_f):
+            np.save(shard_f, rs.randint(0, 2**31 - 1, size=(5000, 128)))
+    load_npy_shards(spark, mig_dir).count()  # warm
+    t, _ = timed(lambda: load_npy_shards(spark, mig_dir).count())
+    mig["npy_shards_20k_x128"] = round(t, 4)
+    if not os.path.exists(os.path.join(mig_pq, "_SUCCESS")):
+        load_npy_shards(spark, mig_dir).write.mode("overwrite").parquet(mig_pq)
+    spark.read.parquet(mig_pq).count()  # warm
+    t, _ = timed(lambda: spark.read.parquet(mig_pq).count())
+    mig["parquet_same_matrix"] = round(t, 4)
 
     # --- reference-parity block: the reference's own benchmark config
     # (BASELINE.md: N=20,000 synthetic docs, vocab 20, avg 40 words,
@@ -456,6 +633,8 @@ def main():
         "unit": "sec",
         "queries": {k: round(v, 4) for k, v in timings.items()},
         "quality": {k: round(v, 4) for k, v in quality.items()},
+        "scaling": scaling,
+        "migration": mig,
         "reference_parity_20k": {k: round(v, 4) for k, v in ref_parity.items()},
         "sf": sf,
         "n_docs": n_docs,

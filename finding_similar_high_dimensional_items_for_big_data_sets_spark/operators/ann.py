@@ -157,6 +157,128 @@ def probe_buckets(
     return out
 
 
+def probe_plan_for_recall(
+    query: list[float],
+    n_planes: int = 8,
+    seed: int = 42,
+    target_recall: float = 0.9,
+    target_cos: float = 0.9,
+    max_probe: int = 1024,
+) -> tuple[list[int], float]:
+    """Recall-TARGETED probe set: how many multi-probe buckets this
+    query needs so a neighbor at cosine ``target_cos`` is found with
+    estimated probability >= ``target_recall``.
+
+    Model (the s-curve math, same spirit as
+    :func:`lsh.min_matching_bands`'s analytic pruning bound): for a
+    neighbor v at angle theta to the query, its margin on plane j is
+    cos(theta)*m_j + sin(theta)*g with g ~ N(0,1) (planes are standard
+    Gaussian; m_j is the query's normalized margin), so plane j flips
+    sign with probability Phi(-r*|m_j|), r = cos/sin = cot(theta). We
+    use the standard logistic approximation Phi(x) ~ sigma(1.702x),
+    which has a compounding property: the flip ODDS become
+    exp(-1.702*r*|m_j|), so the probability mass of a flip-subset T is
+    base_mass * exp(-1.702*r * sum_T |m_j|) — DECREASING in exactly
+    the total-|margin| cost that :func:`probe_buckets`'s shift/expand
+    heap already enumerates in nondecreasing order. The targeted plan
+    is therefore a PREFIX of the probe_buckets sequence (identical
+    buckets, identical order); this function just decides where the
+    prefix may stop: accumulate subset masses until the estimate
+    reaches the target.
+
+    Returns (buckets, estimated_recall). The estimate is a model
+    quantity for a neighbor at EXACTLY target_cos; true neighbors
+    nearer than that flip fewer planes, so realized recall of a top-k
+    whose members are mostly above target_cos runs higher (the bench
+    reports both). ``max_probe`` bounds the scan budget — if the
+    target is unreachable within it (many near-boundary planes), the
+    plan is the full budget and the returned estimate honestly says
+    how far it got.
+    """
+    import heapq
+    import math
+
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0,1), got {target_recall}")
+    if not 0.0 < target_cos < 1.0:
+        raise ValueError(f"target_cos must be in (0,1), got {target_cos}")
+    planes = random_planes(len(query), n_planes, seed)
+    qnorm = math.sqrt(_seq_dot(query, query)) or 1.0
+    # round(10): same boundary-stability contract as the multiprobe
+    # emission gate in dedup._probe_array
+    margins = [round(_seq_dot(p, query) / qnorm, 10) for p in planes]
+    a = 1.702 * target_cos / math.sqrt(1.0 - target_cos * target_cos)
+    # flip prob per plane: sigma(-a*|m|); survive prob: sigma(+a*|m|)
+    base_mass = 1.0
+    for m in margins:
+        base_mass *= 1.0 / (1.0 + math.exp(-a * abs(m)))
+    qbucket = 0
+    for j, m in enumerate(margins):
+        if m >= 0:
+            qbucket |= 1 << j
+    buckets = [qbucket]
+    acc = base_mass
+    if acc >= target_recall or n_planes == 0:
+        return buckets, acc
+    order = sorted(range(n_planes), key=lambda j: (abs(margins[j]), j))
+    cost = [abs(margins[j]) for j in order]
+    heap = [(cost[0], (0,))]
+    while heap and acc < target_recall and len(buckets) < max_probe:
+        c, s = heapq.heappop(heap)
+        mask = 0
+        for i in s:
+            mask |= 1 << order[i]
+        buckets.append(qbucket ^ mask)
+        acc += base_mass * math.exp(-a * c)
+        last = s[-1]
+        if last + 1 < n_planes:
+            heapq.heappush(
+                heap, (c - cost[last] + cost[last + 1], s[:-1] + (last + 1,))
+            )
+            heapq.heappush(heap, (c + cost[last + 1], s + (last + 1,)))
+    return buckets, min(acc, 1.0)
+
+
+def ann_lsh_topk_target_recall(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int | None = 8,
+    seed: int = 42,
+    target_recall: float = 0.9,
+    target_cos: float = 0.9,
+    max_probe: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """:func:`ann_lsh_topk` with the probe COUNT chosen per query by
+    :func:`probe_plan_for_recall` instead of a fixed n_probe — the
+    recall knob becomes declarative ("find cos>=target_cos neighbors
+    with probability >= target_recall") and the scan budget adapts to
+    how close this query sits to its hyperplanes. Same output contract
+    and determinism as ann_lsh_topk; the probe sequence is the same
+    heap prefix, so at equal resulting probe counts the two are
+    row-identical."""
+    if n_planes is None:
+        n_planes = auto_n_planes(
+            n_rows if n_rows is not None else embeddings.count()
+        )
+    buckets, _est = probe_plan_for_recall(
+        query, n_planes, seed, target_recall, target_cos, max_probe
+    )
+    return ann_lsh_topk(
+        embeddings,
+        query,
+        k=k,
+        n_planes=n_planes,
+        seed=seed,
+        n_probe=len(buckets),
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query: list[float],

@@ -145,6 +145,73 @@ def bin_window_filter(
     return vectors.filter(pred)
 
 
+def qed_topk_store(
+    spark,
+    path: str,
+    query: list[float],
+    edges_rows: list[dict],
+    k: int = 10,
+    n_bins: int = 256,
+    p_fraction: float = 0.1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`qed_prune_score_topk` against a
+    :func:`sources.tables.write_qed_partitioned` store: the query's P6
+    window on the store's partition dimension is translated into a
+    coarse-bin RANGE filter on the partition column, so out-of-window
+    directories are pruned at the source listing (PartitionFilters —
+    same story as the ANN/IVF stores); the full all-dims predicate
+    then runs on the surviving rows. Answers are identical to the
+    in-memory pipeline at the same (edges, n_bins, p_fraction): the
+    partition filter is implied by the window predicate on that
+    dimension (widened one coarse bin each side so boundary float
+    rounding can never exclude a legal row)."""
+    import math
+
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        read_store_meta,
+    )
+
+    meta = read_store_meta(path)
+    d = int(meta["dim"])
+    n_part = int(meta["n_part_bins"])
+    windows = query_windows(query, edges_rows, n_bins, p_fraction)
+    by_dim = {e["dim"]: e for e in edges_rows}
+    e = by_dim[d]
+    width = e["width"] if e["width"] else 1.0
+    _d, lo_b, hi_b = windows[d]
+    # value bounds implied by the window on the partition dimension;
+    # the clamped extreme bins absorb out-of-range values, so they
+    # translate to unbounded sides
+    lo_val = -math.inf if lo_b == 0 else e["lo"] + lo_b * width
+    hi_val = math.inf if hi_b == n_bins - 1 else e["lo"] + (hi_b + 1) * width
+    mlo, mw = float(meta["lo"]), float(meta["width"])
+    plo = 0 if lo_val == -math.inf else int((lo_val - mlo) // mw) - 1
+    phi = n_part - 1 if hi_val == math.inf else int((hi_val - mlo) // mw) + 1
+    plo, phi = max(0, plo), min(n_part - 1, phi)
+    store = spark.read.parquet(path).filter(
+        (F.col("qed_bin") >= plo) & (F.col("qed_bin") <= phi)
+    )
+    survivors = bin_window_filter(store, edges_rows, windows, n_bins, vec_col)
+    qlit = F.array(*[F.lit(float(v)) for v in query])
+    scored = survivors.select(
+        id_col, F.round(neg_l2_score(F.col(vec_col), qlit), 6).alias("score")
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(F.pmod(F.col(id_col), F.lit(1))).orderBy(
+                    F.col("score").desc(), F.col(id_col).asc()
+                )
+            ),
+        )
+    )
+
+
 def qed_prune_score_topk(
     vectors: DataFrame,
     query: list[float],

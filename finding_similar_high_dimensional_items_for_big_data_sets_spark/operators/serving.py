@@ -87,6 +87,36 @@ class ServingIndex:
             spark.read.parquet(sigs_path), spark.table(bands_table), params
         )
 
+    @classmethod
+    def from_sharded(
+        cls,
+        spark,
+        sigs_path: str,
+        bands_table: str,
+        params: MinHashParams,
+        shard: int,
+    ) -> "ServingIndex":
+        """Export ONE replica's shard straight from the persisted
+        SHARD-PARTITIONED artifacts
+        (:func:`sources.tables.write_bands_sharded` /
+        ``write_sigs_sharded``): the ``shard = <i>`` filter hits the
+        partition column on both sides, so the export scan reads only
+        this shard's directories — no replica ever touches another
+        replica's files (asserted against PartitionFilters/inputFiles
+        in tests). N replicas behind :func:`merge_topk` answer
+        identically to one full index — the reference's scatter-gather
+        (``app/src/query_service.py:167-192``) with the shard routing
+        moved into the storage layout."""
+        from pyspark.sql import functions as F
+
+        sigs = (
+            spark.read.parquet(sigs_path)
+            .filter(F.col("shard") == shard)
+            .select("doc_id", "sig")
+        )
+        bands = spark.table(bands_table).filter(F.col("shard") == shard)
+        return cls.from_dataframes(sigs, bands, params)
+
     def query(self, vector, k: int = 10) -> list[tuple[int, float, int]]:
         """Point query: [(doc_id, score, rank)] by (score desc, doc_id
         asc) — the same contract as ``lsh.lsh_topk`` for one query.

@@ -418,14 +418,9 @@ def q_text_stats(spark, sf_dir):
     )
 
 
-def q_corpus_clean(spark, sf_dir):
-    """Composite LLM training-data cleaning pipeline: quality-filter ->
-    exact dedup (keep the smallest doc_id per normalized-content hash)
-    -> per-doc token accounting. The quality filter runs BEFORE the
-    content-hash shuffle, so rejected rows never cross the wire; the
-    dedup is one hash shuffle on the 8-byte content_hash, not on text.
-    """
-    docs = _docs(spark, sf_dir)
+def corpus_clean_df(docs: DataFrame) -> DataFrame:
+    """DataFrame-level corpus cleaner (see :func:`q_corpus_clean`);
+    also driven directly by the scaling bench over synthetic corpora."""
     t = F.col("text")
     scored = docs.select(
         "doc_id",
@@ -440,6 +435,16 @@ def q_corpus_clean(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("doc_id", "content_hash", "n_tokens", "n_bpe_tokens", "quality")
     )
+
+
+def q_corpus_clean(spark, sf_dir):
+    """Composite LLM training-data cleaning pipeline: quality-filter ->
+    exact dedup (keep the smallest doc_id per normalized-content hash)
+    -> per-doc token accounting. The quality filter runs BEFORE the
+    content-hash shuffle, so rejected rows never cross the wire; the
+    dedup is one hash shuffle on the 8-byte content_hash, not on text.
+    """
+    return corpus_clean_df(_docs(spark, sf_dir))
 
 
 def q_corpus_dedup_pipeline(spark, sf_dir):
@@ -460,10 +465,22 @@ def q_corpus_dedup_pipeline(spark, sf_dir):
     with a maintained index; a from-scratch run would sign only the
     survivors instead.
     """
-    clean = q_corpus_clean(spark, sf_dir)
+    return corpus_dedup_pipeline_df(
+        q_corpus_clean(spark, sf_dir),
+        _sigs(spark, sf_dir),
+        _bands(spark, sf_dir),
+    )
+
+
+def corpus_dedup_pipeline_df(
+    clean: DataFrame, sigs: DataFrame, bands: DataFrame
+) -> DataFrame:
+    """DataFrame-level pipeline tail (see :func:`q_corpus_dedup_pipeline`):
+    survivors -> LSH pairs -> connected components -> representatives.
+    Also driven directly by the scaling bench over synthetic corpora."""
     keep = clean.select("doc_id")
-    sigs = _sigs(spark, sf_dir).join(keep, "doc_id", "left_semi")
-    bands = _bands(spark, sf_dir).join(keep, "doc_id", "left_semi")
+    sigs = sigs.join(keep, "doc_id", "left_semi")
+    bands = bands.join(keep, "doc_id", "left_semi")
     pairs = lsh.self_join_pairs(bands, sigs, C.PARAMS, C.PAIR_THRESHOLD)
     comp = dedup.connected_components(pairs.select("doc_a", "doc_b"), keep)
     sizes = comp.groupBy("group_id").agg(F.count(F.lit(1)).alias("group_size"))

@@ -470,6 +470,89 @@ def append_embeddings_partitioned(
     )
 
 
+def write_bands_sharded(
+    bands: DataFrame, table: str, n_shards: int, num_buckets: int = 64
+) -> None:
+    """Serving-replica layout: the bands index partitioned by a STABLE
+    doc shard (``pmod(doc_id, n_shards)``) and bucketed on the probe
+    key within each shard. A serving replica exports ONLY its shard's
+    directories — partition pruning at export time, the Spark-native
+    form of the reference's round-robin shard claim
+    (``app/src/worker_tasks.py:47-56``) — while whole-table batch
+    probes keep the shuffle-free bucketed join."""
+    (
+        bands.withColumn(
+            "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+        )
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .bucketBy(num_buckets, "band_id", "band_hash")
+        .sortBy("band_id", "band_hash")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def write_sigs_sharded(sigs: DataFrame, path: str, n_shards: int) -> None:
+    """Signature table partitioned by the same stable doc shard, so a
+    replica's signature export prunes to its shard's directories."""
+    (
+        sigs.withColumn(
+            "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+        )
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def write_qed_partitioned(
+    embeddings: DataFrame,
+    path: str,
+    edges_rows: list,
+    n_part_bins: int = 32,
+    dim: int = 0,
+    vec_col: str = "embedding",
+) -> None:
+    """QED store: corpus written PARTITIONED by a coarse bin of one
+    leading dimension (``dim``), so P6's query-dependent window on
+    that dimension prunes whole directories at the source — the same
+    source-pruning story as the ANN/IVF stores, driven by the QED
+    histogram instead of a quantizer. The partition granularity
+    (``n_part_bins`` directories) is independent of the scoring
+    resolution: probes translate their full-resolution window into a
+    coarse-bin range, then apply the full all-dims predicate post-scan.
+    ``edges_rows`` are :func:`operators.qed.histogram_edges` rows."""
+    by_dim = {e["dim"]: e for e in edges_rows}
+    e = by_dim[dim]
+    lo = float(e["lo"])
+    span = float(e["hi"]) - lo
+    width = (span / n_part_bins) if span > 0 else 1.0
+    elem = F.col(vec_col)[dim].cast("double")
+    b = F.least(
+        F.greatest(
+            F.floor((elem - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(0)
+        ),
+        F.lit(n_part_bins - 1),
+    )
+    (
+        embeddings.withColumn("qed_bin", b)
+        .write.mode("overwrite")
+        .partitionBy("qed_bin")
+        .parquet(path)
+    )
+    _write_store_meta(
+        path,
+        {
+            "kind": "qed",
+            "dim": dim,
+            "n_part_bins": n_part_bins,
+            "lo": lo,
+            "width": width,
+        },
+    )
+
+
 def synthetic_documents(
     spark: SparkSession,
     n_docs: int,

@@ -230,6 +230,62 @@ def test_probe_buckets_enumerates_multibit_sets():
     assert out[4] == base ^ 0b0001
 
 
+def test_probe_plan_for_recall_prefix_and_monotone():
+    """The recall-targeted plan is a PREFIX of probe_buckets' sequence
+    (same heap, same order) whose length grows with the target, and
+    whose estimate honestly reaches the target when it stops early."""
+    import numpy as np
+
+    rs = np.random.RandomState(11)
+    q = [float(x) for x in rs.randn(16)]
+    full = ann.probe_buckets(q, n_planes=8, seed=42, n_probe=256)
+    prev_len = 0
+    for target in (0.3, 0.6, 0.9, 0.99):
+        buckets, est = ann.probe_plan_for_recall(
+            q, n_planes=8, seed=42, target_recall=target, target_cos=0.9
+        )
+        assert buckets == full[: len(buckets)]  # exact prefix
+        assert len(buckets) >= prev_len  # monotone in target
+        prev_len = len(buckets)
+        assert est >= target or len(buckets) == 256
+    # an easier similarity target needs fewer probes than a harder one
+    b_easy, _ = ann.probe_plan_for_recall(
+        q, n_planes=8, seed=42, target_recall=0.9, target_cos=0.99
+    )
+    b_hard, _ = ann.probe_plan_for_recall(
+        q, n_planes=8, seed=42, target_recall=0.9, target_cos=0.6
+    )
+    assert len(b_easy) <= len(b_hard)
+    # max_probe caps the budget; the estimate then reports the shortfall
+    b_cap, est_cap = ann.probe_plan_for_recall(
+        q, n_planes=8, seed=42, target_recall=0.999, target_cos=0.5, max_probe=4
+    )
+    assert len(b_cap) <= 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="target_recall"):
+        ann.probe_plan_for_recall(q, target_recall=1.5)
+    with _pytest.raises(ValueError, match="target_cos"):
+        ann.probe_plan_for_recall(q, target_cos=1.0)
+
+
+def test_ann_target_recall_topk_matches_fixed_probe_twin(emb):
+    """ann_lsh_topk_target_recall must answer exactly like ann_lsh_topk
+    at the probe count its plan selected."""
+    from pyspark.sql import functions as F
+
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    buckets, est = ann.probe_plan_for_recall(
+        qvec, n_planes=4, seed=42, target_recall=0.8, target_cos=0.9
+    )
+    got = ann.ann_lsh_topk_target_recall(
+        emb, qvec, k=5, n_planes=4, seed=42, target_recall=0.8, target_cos=0.9
+    )
+    twin = ann.ann_lsh_topk(emb, qvec, k=5, n_planes=4, seed=42, n_probe=len(buckets))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, twin.collect()))
+    assert est >= 0.8 or len(buckets) == 16
+
+
 def test_exhaustive_multiprobe_equals_exact_cosine(emb):
     """Probing every bucket (n_probe = 2^n_planes) is a full scan: the
     ANN answer must equal the exact cosine top-k."""

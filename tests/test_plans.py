@@ -103,6 +103,31 @@ def test_partitioned_ann_store_prunes_unprobed_buckets(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, probed.collect())) == sorted(map(tuple, mem.collect()))
 
 
+def test_qed_partitioned_store_prunes_and_matches_inline(spark, sf_dir, tmp_path):
+    """The QED store must prune out-of-window partition directories at
+    the source (PartitionFilters on the coarse-bin column) and answer
+    identically to the in-memory prune-score-topk pipeline."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import qed
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        write_qed_partitioned,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = qed.histogram_edges(emb, n_bins=64).collect()
+    query = [float(v) for v in emb.first()["embedding"]]
+    store = str(tmp_path / "qed_store")
+    write_qed_partitioned(emb, store, edges, n_part_bins=16)
+    probed = qed.qed_topk_store(
+        spark, store, query, edges, k=5, n_bins=64, p_fraction=0.1
+    )
+    plan = _plan(probed)
+    scan = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "qed_bin" in scan.split("PartitionFilters")[1][:120]
+    mem = qed.qed_prune_score_topk(emb, query, edges, k=5, n_bins=64, p_fraction=0.1)
+    got = sorted(map(tuple, probed.collect()))
+    assert got == sorted(map(tuple, mem.collect())) and len(got) > 0
+
+
 def test_dedup_pairs_band_join_shuffles_on_compact_key_only(spark, index):
     sigs, bands = index
     # raw path: the compressed variant adds ONE deliberate groupBy on

@@ -93,3 +93,84 @@ def test_health_and_404(endpoint):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(url + "/nope")
     assert ei.value.code == 404
+
+
+def test_sharded_replicas_from_persisted_index_scatter_gather(
+    spark, sf_dir, tmp_path
+):
+    """Reference scatter-gather parity (app/src/query_service.py:167-192)
+    from the PERSISTED shard-partitioned index: each replica's export
+    reads only its shard's files, two live HTTP replicas merged via
+    merge_topk answer identically to one full index."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.serving import (
+        merge_topk,
+    )
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        write_bands_sharded,
+        write_sigs_sharded,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash.signatures(docs, PARAMS).cache()
+    bands = lsh.bands_table(sigs, PARAMS)
+    sigs_p = str(tmp_path / "sigs_sharded")
+    table = "t_shard_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        write_sigs_sharded(sigs, sigs_p, n_shards=2)
+        write_bands_sharded(bands, table, n_shards=2, num_buckets=4)
+
+        # export pruning: each replica's scan must touch ONLY its
+        # shard's files, for both artifacts. (inputFiles() reflects
+        # partition pruning for catalog tables; for the path-based sigs
+        # read it lists the whole FileIndex, so assert the plan's
+        # PartitionFilters there instead.)
+        all_band_files = set(spark.table(table).inputFiles())
+        for shard in (0, 1):
+            bf = set(
+                spark.table(table).filter(F.col("shard") == shard).inputFiles()
+            )
+            assert bf and bf < all_band_files
+            assert all(f"shard={shard}" in f for f in bf)
+            sig_plan = (
+                spark.read.parquet(sigs_p)
+                .filter(F.col("shard") == shard)
+                .select("doc_id", "sig")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            scan = next(
+                l for l in sig_plan.splitlines() if "PartitionFilters" in l
+            )
+            assert "shard" in scan.split("PartitionFilters")[1][:120]
+
+        replicas = [
+            ServingIndex.from_sharded(spark, sigs_p, table, PARAMS, shard)
+            for shard in (0, 1)
+        ]
+        assert sorted(
+            set(replicas[0].doc_ids) | set(replicas[1].doc_ids)
+        ) == sorted(int(r["doc_id"]) for r in sigs.select("doc_id").collect())
+        full = ServingIndex.from_dataframes(sigs, bands, PARAMS)
+
+        servers = [serving_http.start_server(idx) for idx in replicas]
+        try:
+            qsig = [int(v) for v in sigs.filter(F.col("doc_id") == 13).first()["sig"]]
+            per_replica = []
+            for server, _thread in servers:
+                host, port = server.server_address
+                status, body = _post(f"http://{host}:{port}", {"vector": qsig, "k": 5})
+                assert status == 200
+                per_replica.append(
+                    [(c["id"], c["score"], i + 1) for i, c in enumerate(body["candidates"])]
+                )
+            merged = merge_topk(per_replica, k=5)
+            assert merged == full.query(qsig, k=5)
+            assert merged[0][0] == 13 and merged[0][1] == 1.0
+        finally:
+            for server, _thread in servers:
+                server.shutdown()
+                server.server_close()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
