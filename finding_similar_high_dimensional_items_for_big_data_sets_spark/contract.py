@@ -57,3 +57,9 @@ IVF_SEED = 43
 # |dot| < margin * ||v||; same threshold as the single-bucket query so
 # the two are directly comparable (multiprobe rows are a superset).
 ANN_PROBE_MARGIN = 0.2
+
+# Recall-targeted ANN probing: probe count auto-chosen per query from
+# its plane margins so a neighbor at ANN_TARGET_COS is found with
+# estimated probability >= ANN_TARGET_RECALL.
+ANN_TARGET_RECALL = 0.8
+ANN_TARGET_COS = 0.9

@@ -974,6 +974,69 @@ FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {C.K_BATCH}
 """
 
 
+def sql_ann_target_recall_topk() -> str:
+    """Mirrors ann.ann_lsh_topk_target_recall: the probe COUNT comes
+    from probe_plan_for_recall's logistic flip model — per-plane
+    normalized margins m_j = round(d_j/||q||, 10), flip odds
+    exp(-a*|m_j|) with a = 1.702*cos/sin(theta) (a config constant,
+    embedded as a literal), subset mass = base_mass * exp(-a * cost),
+    masses accumulated in nondecreasing-cost order until the estimate
+    reaches ANN_TARGET_RECALL (the cumulative is monotone, so the
+    selected masks are exactly the prefix with cum_before < target).
+    The probed SET is then the base bucket plus that many cheapest
+    bit-flip masks by RAW |margin| cost (probe_buckets' order), and
+    scoring is the standard exact-cosine top-k over the union."""
+    import math
+
+    planes = random_planes(C.EMB_DIM, C.ANN_PLANES, C.ANN_SEED)
+    a = 1.702 * C.ANN_TARGET_COS / math.sqrt(1.0 - C.ANN_TARGET_COS**2)
+    n_masks = 1 << C.ANN_PLANES
+    margin_rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, {_dot_lit('q.qv', planes[j])} AS d FROM q"
+        for j in range(C.ANN_PLANES)
+    )
+    cos = (
+        f"{_dot('e.embedding', 'q.qv', C.EMB_DIM)} / "
+        f"({_norm('e.embedding', C.EMB_DIM)} * {_norm('q.qv', C.EMB_DIM)})"
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {C.QUERY_VEC}),
+margins AS ({margin_rows}),
+nm AS (SELECT j, d, round(d / (SELECT {_norm('qv', C.EMB_DIM)} FROM q), 10) AS m FROM margins),
+b0 AS (SELECT CAST(SUM(CASE WHEN d >= 0 THEN 1 << j ELSE 0 END) AS INT) AS b FROM margins),
+base AS (
+  SELECT list_reduce(list_prepend(1.0, list(1.0 / (1.0 + exp(-({a!r}) * abs(m))) ORDER BY j)),
+                     (acc, x) -> acc * x) AS mass
+  FROM nm),
+mask_cost AS (
+  SELECT CAST(u.msk AS INT) AS msk,
+    (SELECT coalesce(SUM(abs(nm.m)), 0.0) FROM nm WHERE ((u.msk >> nm.j) & 1) = 1) AS cost_norm,
+    (SELECT coalesce(SUM(abs(margins.d)), 0.0) FROM margins WHERE ((u.msk >> margins.j) & 1) = 1) AS cost_raw
+  FROM (SELECT unnest(range(1, {n_masks})) AS msk) u),
+counted AS (
+  SELECT msk, cost_raw,
+    coalesce(SUM((SELECT mass FROM base) * exp(-({a!r}) * cost_norm))
+      OVER (ORDER BY cost_norm, msk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum_prev
+  FROM mask_cost),
+nsel AS (
+  SELECT COUNT(*) AS n_extra FROM counted
+  WHERE (SELECT mass FROM base) + cum_prev < {C.ANN_TARGET_RECALL!r}),
+probes AS (
+  SELECT b FROM b0
+  UNION ALL
+  SELECT CAST(xor(b0.b, mc.msk) AS INT)
+  FROM b0, (SELECT msk FROM mask_cost ORDER BY cost_raw, msk
+            LIMIT (SELECT n_extra FROM nsel)) mc),
+bucketed AS (SELECT vec_id, embedding, {_bucket_expr('embedding')} AS bucket FROM embeddings),
+scored AS (
+  SELECT e.vec_id, round({cos}, 6) AS cos_sim
+  FROM bucketed e, q
+  WHERE e.bucket IN (SELECT b FROM probes))
+SELECT vec_id, cos_sim, CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {C.K_BATCH}
+"""
+
+
 def sql_media_features() -> str:
     """Mirror of multimodal.media: payload = unhex(repeat(md5('42'||id),8));
     feature byte j = byte j of md5(hex(payload) || '0')."""
@@ -1058,6 +1121,7 @@ def registry() -> dict[str, str]:
     return {
         "ann_lsh_topk": sql_ann_lsh_topk(),
         "ann_multiprobe_topk": sql_ann_multiprobe_topk(),
+        "ann_target_recall_topk": sql_ann_target_recall_topk(),
         "ngram_jaccard_pairs": sql_ngram_jaccard_pairs(),
         "shingle_stats": sql_shingle_stats(),
         "content_hashes": sql_content_hashes(),

@@ -558,6 +558,28 @@ def q_ann_multiprobe_topk(spark, sf_dir):
     )
 
 
+def q_ann_target_recall_topk(spark, sf_dir):
+    """Recall-TARGETED multiprobe ANN: the probe count is chosen per
+    query from its plane margins (probe_plan_for_recall's logistic
+    flip model) so a neighbor at cos >= ANN_TARGET_COS is found with
+    estimated probability >= ANN_TARGET_RECALL — the declarative twin
+    of the fixed-n_probe ann_multiprobe_topk."""
+    emb = _emb(spark, sf_dir)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == C.QUERY_VEC).first()["embedding"]
+    ]
+    return ann.ann_lsh_topk_target_recall(
+        emb,
+        qvec,
+        k=C.K_BATCH,
+        n_planes=C.ANN_PLANES,
+        seed=C.ANN_SEED,
+        target_recall=C.ANN_TARGET_RECALL,
+        target_cos=C.ANN_TARGET_COS,
+    )
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF coarse-quantizer ANN: probe the IVF_PROBE nearest of
     IVF_CELLS seeded-random centroid cells, exact L2 on survivors."""
@@ -931,6 +953,7 @@ REGISTRY = {
     "ann_buckets": q_ann_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_multiprobe_topk": q_ann_multiprobe_topk,
+    "ann_target_recall_topk": q_ann_target_recall_topk,
     "ivf_topk": q_ivf_topk,
     "quality_metrics": q_quality_metrics,
     "lsh_topk_preview": q_lsh_topk_preview,
