@@ -59,16 +59,28 @@ class ServingIndex:
         pdf = sigs_df.select("doc_id", "sig").toPandas().sort_values("doc_id")
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         sig_mat = np.array(pdf["sig"].tolist(), dtype=np.int64)
-        row_of = {int(d): i for i, d in enumerate(doc_ids)}
 
         bpdf = bands_df.select("doc_id", "band_id", "band_hash").toPandas()
         buckets: list[dict[int, np.ndarray]] = [dict() for _ in range(params.bands)]
-        grouped = bpdf.groupby(["band_id", "band_hash"])["doc_id"]
-        for (band_id, band_hash), members in grouped:
-            rows = np.fromiter(
-                (row_of[int(d)] for d in members), dtype=np.int64, count=len(members)
+        if len(bpdf):
+            # vectorized bucket build: id -> row via one searchsorted,
+            # one lexsort by (band, hash, row), then boundary slicing —
+            # no per-member Python work (a pandas-groupby loop cost
+            # O(rows) interpreter time at export)
+            rows = np.searchsorted(
+                doc_ids, bpdf["doc_id"].to_numpy(dtype=np.int64)
             )
-            buckets[int(band_id)][int(band_hash)] = rows
+            band = bpdf["band_id"].to_numpy(dtype=np.int64)
+            bh = bpdf["band_hash"].to_numpy(dtype=np.int64)
+            order = np.lexsort((rows, bh, band))
+            band, bh, rows = band[order], bh[order], rows[order]
+            change = (
+                np.flatnonzero((band[1:] != band[:-1]) | (bh[1:] != bh[:-1])) + 1
+            )
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(rows)]))
+            for s, e in zip(starts, ends):
+                buckets[int(band[s])][int(bh[s])] = rows[s:e]
         return cls(params=params, doc_ids=doc_ids, sigs=sig_mat, buckets=buckets)
 
     @classmethod
