@@ -80,6 +80,64 @@ def minhash_lsh_duplicates(
     return lsh.self_join_pairs(bands, sigs, params, threshold)
 
 
+def cross_corpus_duplicates(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    params: MinHashParams | None = None,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_id_col: str = "ref_id",
+    broadcast_ref: bool = True,
+) -> DataFrame:
+    """Cross-corpus near-dup flagging (DECONTAMINATION): training docs
+    that near-duplicate ANY document of a held-out reference corpus
+    (benchmark / eval / test sets) — the pretraining hygiene step that
+    self-join dedup cannot express, since the two sides are different
+    tables and only cross pairs matter.
+
+    Banding blocks as usual, but the join is corpus-bands vs
+    REFERENCE-bands instead of a self-join; candidates are verified
+    with exact estimated-Jaccard >= threshold. Output:
+    (doc_id, ref_id, score), one row per flagged cross pair (a doc
+    matching several reference docs appears once per match — dedupe on
+    doc_id downstream to drop).
+
+    Scale shape: the reference corpus is tiny next to 100 TB of
+    training data (benchmarks are thousands of docs), so with
+    ``broadcast_ref`` its band table rides a broadcast and the
+    TRAINING side never shuffles at all — the whole decontamination
+    pass is one map-side join plus the scoring join. Set
+    ``broadcast_ref=False`` for reference corpora beyond driver size
+    (shuffle on the compact band key, AQE skew handling).
+    """
+    params = params or MinHashParams()
+    sigs = minhash.signatures(docs, params, id_col, text_col)
+    bands = lsh.bands_table(sigs, params, id_col)
+    ref_sigs = minhash.signatures(ref_docs, params, id_col, text_col).select(
+        F.col(id_col).alias(ref_id_col), "sig"
+    )
+    ref_bands = lsh.bands_table(ref_sigs, params, ref_id_col)
+    cand = lsh.candidates(
+        bands,
+        ref_bands,
+        broadcast_query=broadcast_ref,
+        query_id_col=ref_id_col,
+        max_candidates=params.max_candidates,
+    )
+    scored = lsh.score_candidates(
+        cand,
+        sigs,
+        ref_sigs,
+        params,
+        query_id_col=ref_id_col,
+        broadcast_query=broadcast_ref,
+    )
+    return scored.filter(F.col("score") >= threshold).select(
+        id_col, ref_id_col, "score"
+    )
+
+
 def simhash64(tokens: Column, family: str = "xxhash64") -> Column:
     """64-bit SimHash of a token array (Charikar random-hyperplane over
     the hashing trick): bit j of the fingerprint is the sign of the sum

@@ -240,6 +240,26 @@ WHERE score >= {C.PAIR_THRESHOLD}
 """
 
 
+def sql_decontaminate() -> str:
+    """Mirrors dedup.cross_corpus_duplicates over the %17 train/bench
+    split: banding is per-doc independent, so the two sides' band
+    tables are row filters of the shared BANDS CTE; candidates are the
+    DISTINCT cross band matches, verified by est-Jaccard >= threshold."""
+    return f"""
+WITH sigs AS MATERIALIZED ({SIGS}),
+bands AS MATERIALIZED ({BANDS}),
+cand AS (
+  SELECT DISTINCT t.doc_id AS doc_id, r.doc_id AS ref_id
+  FROM bands t JOIN bands r USING (band_id, band_hash)
+  WHERE t.doc_id % 17 != 0 AND r.doc_id % 17 = 0)
+SELECT doc_id, ref_id, score FROM (
+  SELECT c.doc_id, c.ref_id,
+    list_sum(list_transform(range({NP}), i -> CASE WHEN sa.sigl[i+1] = sb.sigl[i+1] THEN 1 ELSE 0 END)) / {NP} AS score
+  FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_id JOIN sigs sb ON sb.doc_id = c.ref_id)
+WHERE score >= {C.PAIR_THRESHOLD}
+"""
+
+
 def sql_est_jaccard_topk_batch() -> str:
     return f"""
 WITH sigs AS MATERIALIZED ({SIGS}),
@@ -1138,6 +1158,7 @@ def registry() -> dict[str, str]:
         "char_shingle_stats": sql_char_shingle_stats(),
         "bucket_stats": sql_bucket_stats(),
         "lsh_pairs": sql_lsh_pairs(),
+        "decontaminate": sql_decontaminate(),
         "est_jaccard_topk_batch": sql_est_jaccard_topk_batch(),
         "true_jaccard_topk": sql_true_jaccard_topk(),
         "l2_topk": sql_l2_topk(),

@@ -348,6 +348,19 @@ def q_embedding_dup_pairs(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Cross-corpus decontamination: every 17th doc plays a held-out
+    benchmark set, the rest the training corpus; output = training
+    docs near-duplicating any benchmark doc (the contamination a
+    pretraining pipeline must remove before eval)."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    return dedup.cross_corpus_duplicates(
+        train, bench, C.PARAMS, threshold=C.PAIR_THRESHOLD
+    )
+
+
 def q_mllib_pairs(spark, sf_dir):
     """M5 MLlib parity backend: MinHashLSH.approxSimilarityJoin pairs
     at true-Jaccard >= PAIR_THRESHOLD. Rows-only check (MLlib's hash
@@ -930,6 +943,7 @@ REGISTRY = {
     "char_shingle_stats": q_char_shingle_stats,
     "bucket_stats": q_bucket_stats,
     "lsh_pairs": q_lsh_pairs,
+    "decontaminate": q_decontaminate,
     "est_jaccard_topk_batch": q_est_jaccard_topk_batch,
     "true_jaccard_topk": q_true_jaccard_topk,
     "l2_topk": q_l2_topk,

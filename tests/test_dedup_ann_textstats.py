@@ -286,6 +286,40 @@ def test_ann_target_recall_topk_matches_fixed_probe_twin(emb):
     assert est >= 0.8 or len(buckets) == 16
 
 
+def test_cross_corpus_decontamination_flags_planted_contamination(spark):
+    """A training doc that is a light mutation of a benchmark doc must
+    be flagged against THAT benchmark doc; unrelated docs must not."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.config import MinHashParams
+
+    bench = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog every single day"),
+            (1, "completely different benchmark question about molecular biology"),
+        ],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contamination: same text, case/spacing mutation
+            (100, "The quick  brown fox jumps over the LAZY dog every single day"),
+            (101, "an unrelated training document about cooking pasta at home"),
+        ],
+        "doc_id long, text string",
+    )
+    got = dedup.cross_corpus_duplicates(
+        train, bench, MinHashParams(), threshold=0.5
+    ).collect()
+    flagged = {(r["doc_id"], r["ref_id"]) for r in got}
+    assert (100, 0) in flagged
+    assert all(d != 101 for d, _ in flagged)
+    assert all(r["score"] >= 0.5 for r in got)
+    # broadcast and shuffle paths agree
+    got2 = dedup.cross_corpus_duplicates(
+        train, bench, MinHashParams(), threshold=0.5, broadcast_ref=False
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+
+
 def test_batch_target_recall_matches_per_query_loop(emb):
     from pyspark.sql import functions as F
 
