@@ -63,3 +63,9 @@ ANN_PROBE_MARGIN = 0.2
 # estimated probability >= ANN_TARGET_RECALL.
 ANN_TARGET_RECALL = 0.8
 ANN_TARGET_COS = 0.9
+
+# Training-data prep: sequence-packing token budget and the hash-split
+# validation share (per-mille) + salt.
+PACK_BUDGET = 512
+SPLIT_VAL_PERMILLE = 100
+SPLIT_SEED = 42

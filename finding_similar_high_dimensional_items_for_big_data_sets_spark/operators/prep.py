@@ -1,0 +1,127 @@
+"""Training-data prep primitives beyond cleaning/dedup: deterministic
+dataset splitting and sequence packing.
+
+Both are the last mile of a pretraining pipeline (after
+``corpus_clean`` / dedup / decontamination): split the corpus into
+train/validation by a stable content-independent hash, then pack
+documents into fixed-token-budget chunks for the tokenizer. Neither
+exists in the reference (it has no training-data story); both are
+pure DataFrame operators designed for 100 TB inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.hashing import (
+    portable_hash64,
+)
+
+
+def hash_split(
+    docs: DataFrame,
+    val_permille: int = 100,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/validation split by a salted hash of the
+    STABLE id: ``bucket = hash(id:seed) mod 1000``; rows with
+    ``bucket < val_permille`` are validation. Content-independent (a
+    re-crawled doc keeps its split), reproducible across runs and
+    engines (the portable md5 family is DuckDB-expressible), and
+    shuffle-free — one projection, no sampling state.
+
+    Output: original columns + (split_bucket INT, split STRING).
+    """
+    if not 0 <= val_permille <= 1000:
+        raise ValueError(f"val_permille must be in [0, 1000], got {val_permille}")
+    bucket = F.pmod(
+        portable_hash64(
+            F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+        ),
+        F.lit(1000),
+    ).cast("int")
+    return docs.withColumn("split_bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("split_bucket") < val_permille, F.lit("val")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def pack_chunks(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic sequence packing: documents in stable ``id_col``
+    order are concatenated and cut every ``budget`` tokens; a doc's
+    ``chunk_id`` is the chunk containing its FIRST token
+    (``floor(running_total_before / budget)``) and ``chunk_offset`` its
+    position inside that chunk — the "concatenate then slice" layout
+    GPT-style pretraining uses, as a table instead of a token stream.
+
+    The running total is a GLOBAL prefix sum, which a window over
+    ``orderBy(id)`` would compute on ONE partition (the classic global
+    window bottleneck). Here it is the textbook two-phase distributed
+    scan instead: range-partition by id (so partition p holds a
+    contiguous id range), aggregate per-partition totals (one tiny
+    job, <= #partitions rows to the driver), broadcast the exclusive
+    prefix offsets, then cumulative-sum WITHIN each sorted partition
+    plus its offset — every stage parallel, no row ever leaves its
+    range partition.
+
+    Output: (id_col, count_col, chunk_id LONG, chunk_offset LONG).
+    """
+    import pandas as pd
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    spark = docs.sparkSession
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    ranged = docs.select(id_col, count_col).repartitionByRange(
+        n_parts, F.col(id_col)
+    )
+    totals = {
+        r["pid"]: r["tot"]
+        for r in ranged.groupBy(
+            F.spark_partition_id().alias("pid")
+        )
+        .agg(F.sum(count_col).alias("tot"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in range(n_parts):
+        offsets[pid] = acc
+        acc += int(totals.get(pid, 0) or 0)
+    bc = spark.sparkContext.broadcast(offsets)
+
+    def scan(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        running = int(bc.value.get(pid, 0))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            counts = pdf[count_col].astype("int64")
+            ends = running + counts.cumsum()
+            before = ends - counts
+            running = int(ends.iloc[-1])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    count_col: counts,
+                    "chunk_id": before // budget,
+                    "chunk_offset": before % budget,
+                }
+            )
+
+    return ranged.sortWithinPartitions(id_col).mapInPandas(
+        scan,
+        schema=f"{id_col} long, {count_col} long, chunk_id long, chunk_offset long",
+    )

@@ -240,6 +240,34 @@ WHERE score >= {C.PAIR_THRESHOLD}
 """
 
 
+def sql_dataset_split() -> str:
+    """Mirrors prep.hash_split: salted portable hash of the stable id,
+    mod 1000 (hash is positive 60-bit, so % == pmod)."""
+    h = H(f"CAST(doc_id AS VARCHAR) || ':{C.SPLIT_SEED}'")
+    return f"""
+SELECT doc_id, CAST({h} % 1000 AS INT) AS split_bucket,
+       CASE WHEN ({h} % 1000) < {C.SPLIT_VAL_PERMILLE} THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def sql_pack_chunks() -> str:
+    """Mirrors prep.pack_chunks: a doc's chunk is
+    floor(running_total_before / budget) over doc_id order — the
+    oracle uses the single-window form, the engine the two-phase
+    distributed prefix sum (identical integers either way)."""
+    toks = "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)"
+    return f"""
+WITH c AS (SELECT doc_id, {toks} AS n_tokens FROM documents),
+b AS (SELECT doc_id, n_tokens,
+        coalesce(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM c)
+SELECT doc_id, n_tokens, CAST(before // {C.PACK_BUDGET} AS BIGINT) AS chunk_id,
+       CAST(before % {C.PACK_BUDGET} AS BIGINT) AS chunk_offset
+FROM b
+"""
+
+
 def sql_decontaminate() -> str:
     """Mirrors dedup.cross_corpus_duplicates over the %17 train/bench
     split: banding is per-doc independent, so the two sides' band
@@ -1159,6 +1187,8 @@ def registry() -> dict[str, str]:
         "bucket_stats": sql_bucket_stats(),
         "lsh_pairs": sql_lsh_pairs(),
         "decontaminate": sql_decontaminate(),
+        "dataset_split": sql_dataset_split(),
+        "pack_chunks": sql_pack_chunks(),
         "est_jaccard_topk_batch": sql_est_jaccard_topk_batch(),
         "true_jaccard_topk": sql_true_jaccard_topk(),
         "l2_topk": sql_l2_topk(),

@@ -348,6 +348,31 @@ def q_embedding_dup_pairs(spark, sf_dir):
     )
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val split by salted stable-id hash —
+    content-independent, reproducible, shuffle-free."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import prep
+
+    return prep.hash_split(
+        _docs(spark, sf_dir).select("doc_id"),
+        val_permille=C.SPLIT_VAL_PERMILLE,
+        seed=C.SPLIT_SEED,
+    )
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Sequence packing: docs in id order concatenated and cut every
+    PACK_BUDGET tokens (chunk = the one holding the doc's first
+    token), via the two-phase distributed prefix sum — no global
+    single-partition window."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import prep
+
+    counts = _docs(spark, sf_dir).select(
+        "doc_id", textstats.token_count(F.col("text")).alias("n_tokens")
+    )
+    return prep.pack_chunks(counts, budget=C.PACK_BUDGET)
+
+
 def q_decontaminate(spark, sf_dir):
     """Cross-corpus decontamination: every 17th doc plays a held-out
     benchmark set, the rest the training corpus; output = training
@@ -944,6 +969,8 @@ REGISTRY = {
     "bucket_stats": q_bucket_stats,
     "lsh_pairs": q_lsh_pairs,
     "decontaminate": q_decontaminate,
+    "dataset_split": q_dataset_split,
+    "pack_chunks": q_pack_chunks,
     "est_jaccard_topk_batch": q_est_jaccard_topk_batch,
     "true_jaccard_topk": q_true_jaccard_topk,
     "l2_topk": q_l2_topk,

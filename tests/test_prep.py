@@ -1,0 +1,69 @@
+"""Training-data prep primitives: deterministic hash split and
+distributed sequence packing (two-phase prefix sum)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import prep
+
+
+def test_pack_chunks_matches_single_process_reference(spark):
+    """The two-phase distributed prefix sum must equal a plain Python
+    cumulative sum in id order — across multiple input AND range
+    partitions, with non-contiguous ids."""
+    import numpy as np
+
+    rs = np.random.RandomState(3)
+    rows = [(int(i * 7 % 997), int(rs.randint(1, 300))) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(7)
+    out = prep.pack_chunks(df, budget=256, partitions=5).collect()
+    got = {r["doc_id"]: (r["chunk_id"], r["chunk_offset"]) for r in out}
+    assert len(got) == 500
+    before = 0
+    for doc_id, n in sorted(rows):
+        assert got[doc_id] == (before // 256, before % 256)
+        before += n
+    assert all(0 <= off < 256 for (_c, off) in got.values())
+    # chunk ids are dense-ish and monotone in id order
+    chunks = [got[d][0] for d, _ in sorted(rows)]
+    assert chunks == sorted(chunks)
+
+
+def test_pack_chunks_oversized_doc_and_bad_budget(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 2000), (3, 100)], "doc_id long, n_tokens long"
+    )
+    got = {r["doc_id"]: (r["chunk_id"], r["chunk_offset"]) for r in
+           prep.pack_chunks(df, budget=512).collect()}
+    # doc 2 spans chunks, doc 3 starts in the chunk holding doc 2's tail
+    assert got[1] == (0, 0)
+    assert got[2] == (0, 100)
+    assert got[3] == (2100 // 512, 2100 % 512)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget"):
+        prep.pack_chunks(df, budget=0)
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    s1 = prep.hash_split(df, val_permille=100, seed=42)
+    n_val = s1.filter(F.col("split") == "val").count()
+    assert 0.06 * 5000 < n_val < 0.14 * 5000  # ~10%
+    # deterministic across evaluations
+    a = sorted(map(tuple, s1.collect()))
+    b = sorted(
+        map(tuple, prep.hash_split(df, val_permille=100, seed=42).collect())
+    )
+    assert a == b
+    # a different salt reassigns some docs
+    c = sorted(
+        map(tuple, prep.hash_split(df, val_permille=100, seed=7).collect())
+    )
+    assert a != c
+    # permille bounds validated
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="val_permille"):
+        prep.hash_split(df, val_permille=1001)
