@@ -67,3 +67,23 @@ def test_hash_split_deterministic_and_proportional(spark):
 
     with _pytest.raises(ValueError, match="val_permille"):
         prep.hash_split(df, val_permille=1001)
+
+
+def test_prep_plans_have_no_single_partition_exchange(spark):
+    """pack_chunks must scale: range-partition exchange only, never the
+    SinglePartition exchange a global orderBy window would plan;
+    hash_split is projection-only (no exchange at all)."""
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).alias("n_tokens")
+    )
+    packed = prep.pack_chunks(df, budget=64, partitions=4)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
+    split_plan = (
+        prep.hash_split(df.select("doc_id"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in split_plan
