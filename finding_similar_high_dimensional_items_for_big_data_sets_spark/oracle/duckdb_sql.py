@@ -557,13 +557,15 @@ FROM stats
 """
 
 
-def sql_corpus_clean() -> str:
+def sql_corpus_clean(src: str = "documents") -> str:
     """Composite pipeline: quality >= 0.5 filter -> exact dedup (min
     doc_id per normalized-content hash) -> token accounting. Quality
     arithmetic is written in the exact op order of
     ``textstats.quality_score`` (the text_stats oracle already
     hash-matches it bit-for-bit, so the >= 0.5 boundary selects
-    identical rows)."""
+    identical rows). ``src``: source relation/subquery (the full-prep
+    pipeline cleans only its training subset — the exact-dedup window
+    must see the SAME rows the engine's window sees)."""
     norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
     toks = "list_filter(string_split(text, ' '), x -> x <> '')"
     nospace = "regexp_replace(text, '\\s+', '', 'g')"
@@ -572,7 +574,7 @@ def sql_corpus_clean() -> str:
 WITH base AS (
   SELECT doc_id, text, {toks} AS t,
          length({nospace}) AS n_nospace, length({nopunct}) AS n_punct
-  FROM documents),
+  FROM {src}),
 scored AS (
   SELECT doc_id,
     {H(norm)} AS content_hash,
@@ -623,6 +625,72 @@ sizes AS (SELECT group_id, CAST(count(*) AS BIGINT) AS group_size FROM comp GROU
 SELECT c.doc_id, s.group_size, cl.n_tokens, cl.quality
 FROM comp c JOIN sizes s USING (group_id) JOIN clean cl ON cl.doc_id = c.doc_id
 WHERE c.doc_id = c.group_id
+"""
+
+
+def sql_full_prep_pipeline() -> str:
+    """Composed twin of q_full_prep_pipeline: train-subset clean ->
+    survivor pair graph -> recursive-CTE components -> representatives
+    -> decontamination vs the %17 benchmark side -> hash split ->
+    train-side sequence packing. Every fragment reuses an
+    independently hash-proven rendering."""
+    clean = sql_corpus_clean(
+        "(SELECT * FROM documents WHERE doc_id % 17 != 0)"
+    ).strip()
+    est = (
+        f"list_sum(list_transform(range({NP}), i -> CASE WHEN sa.sigl[i+1] = sb.sigl[i+1] "
+        f"THEN 1 ELSE 0 END)) / {NP}"
+    )
+    h = H(f"CAST(doc_id AS VARCHAR) || ':{C.SPLIT_SEED}'")
+    return f"""
+WITH RECURSIVE clean AS MATERIALIZED ({clean}),
+sigs AS MATERIALIZED ({SIGS}),
+bands AS MATERIALIZED ({BANDS}),
+kb AS (SELECT b.* FROM bands b JOIN clean USING (doc_id)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kb a JOIN kb b USING (band_id, band_hash)
+  WHERE a.doc_id < b.doc_id),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand p JOIN sigs sa ON sa.doc_id = p.doc_a JOIN sigs sb ON sb.doc_id = p.doc_b
+  WHERE {est} >= {C.PAIR_THRESHOLD}),
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM clean
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+  WHERE r.label < e.src),
+comp AS (SELECT node AS doc_id, min(label) AS group_id FROM reach GROUP BY node),
+reps AS (SELECT doc_id FROM comp WHERE doc_id = group_id),
+rb AS (SELECT b.* FROM bands b JOIN reps USING (doc_id)),
+bench_bands AS (SELECT doc_id AS ref_id, band_id, band_hash FROM bands WHERE doc_id % 17 = 0),
+dc_cand AS (
+  SELECT DISTINCT t.doc_id, r.ref_id
+  FROM rb t JOIN bench_bands r USING (band_id, band_hash)),
+flagged AS (
+  SELECT DISTINCT c.doc_id
+  FROM dc_cand c JOIN sigs sa ON sa.doc_id = c.doc_id JOIN sigs sb ON sb.doc_id = c.ref_id
+  WHERE {est} >= {C.PAIR_THRESHOLD}),
+surviving AS (
+  SELECT doc_id FROM reps
+  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+train AS (
+  SELECT doc_id FROM surviving
+  WHERE ({h} % 1000) >= {C.SPLIT_VAL_PERMILLE}),
+counts AS (
+  SELECT c.doc_id, CAST(c.n_tokens AS BIGINT) AS n_tokens, c.quality
+  FROM clean c JOIN train USING (doc_id)),
+b2 AS (
+  SELECT doc_id, n_tokens, quality,
+    coalesce(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM counts)
+SELECT doc_id, n_tokens, quality,
+       CAST(before // {C.PACK_BUDGET} AS BIGINT) AS chunk_id,
+       CAST(before % {C.PACK_BUDGET} AS BIGINT) AS chunk_offset
+FROM b2
 """
 
 
@@ -1189,6 +1257,7 @@ def registry() -> dict[str, str]:
         "decontaminate": sql_decontaminate(),
         "dataset_split": sql_dataset_split(),
         "pack_chunks": sql_pack_chunks(),
+        "full_prep_pipeline": sql_full_prep_pipeline(),
         "est_jaccard_topk_batch": sql_est_jaccard_topk_batch(),
         "true_jaccard_topk": sql_true_jaccard_topk(),
         "l2_topk": sql_l2_topk(),

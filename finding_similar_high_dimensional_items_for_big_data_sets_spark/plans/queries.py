@@ -530,6 +530,72 @@ def corpus_dedup_pipeline_df(
     )
 
 
+def q_full_prep_pipeline(spark, sf_dir):
+    """The COMPLETE training-data prep flow as one composition — what
+    a 100 TB pretraining pipeline runs end to end:
+
+      quality clean -> exact dedup -> near-dup groups (LSH + CC) ->
+      one representative per group -> DECONTAMINATE vs the held-out
+      benchmark corpus (%17 split) -> train/val hash split ->
+      sequence packing of the train split.
+
+    Output: one row per surviving TRAIN doc with its packed location:
+    (doc_id, n_tokens, quality, chunk_id, chunk_offset). Every stage
+    is an already-oracle-checked operator; the composed DuckDB twin
+    checks the wiring between them. Scale shape: filter before any
+    shuffle, banded (never all-pairs) joins throughout, CC on the
+    sparse pair graph, benchmark side broadcast, packing via the
+    two-phase prefix sum. Reuses the prebuilt sigs/bands artifacts
+    like a real system with a maintained index.
+    """
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import prep
+
+    docs = _docs(spark, sf_dir)
+    train_docs = docs.filter(F.col("doc_id") % 17 != 0)
+    bench_keep = docs.filter(F.col("doc_id") % 17 == 0).select("doc_id")
+    clean = corpus_clean_df(train_docs)
+    keep = clean.select("doc_id")
+    sigs_all = _sigs(spark, sf_dir)
+    bands_all = _bands(spark, sf_dir)
+    sigs = sigs_all.join(keep, "doc_id", "left_semi")
+    bands = bands_all.join(keep, "doc_id", "left_semi")
+    pairs = lsh.self_join_pairs(bands, sigs, C.PARAMS, C.PAIR_THRESHOLD)
+    comp = dedup.connected_components(pairs.select("doc_a", "doc_b"), keep)
+    reps = comp.filter(F.col("doc_id") == F.col("group_id")).select("doc_id")
+    # decontamination against the benchmark corpus, reusing the shared
+    # prebuilt index artifacts (benchmark side is tiny -> broadcast)
+    rep_bands = bands.join(reps, "doc_id", "left_semi")
+    bench_bands = bands_all.join(bench_keep, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("ref_id"), "band_id", "band_hash"
+    )
+    bench_sigs = sigs_all.join(bench_keep, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("ref_id"), "sig"
+    )
+    cand = lsh.candidates(
+        rep_bands, bench_bands, broadcast_query=True, query_id_col="ref_id"
+    )
+    flagged = (
+        lsh.score_candidates(cand, sigs, bench_sigs, C.PARAMS, query_id_col="ref_id")
+        .filter(F.col("score") >= C.PAIR_THRESHOLD)
+        .select("doc_id")
+        .distinct()
+    )
+    surviving = reps.join(flagged, "doc_id", "left_anti")
+    split = prep.hash_split(
+        surviving, val_permille=C.SPLIT_VAL_PERMILLE, seed=C.SPLIT_SEED
+    )
+    train_ids = split.filter(F.col("split") == "train").select("doc_id")
+    counts = clean.join(train_ids, "doc_id", "left_semi").select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "quality"
+    )
+    packed = prep.pack_chunks(
+        counts.select("doc_id", "n_tokens"), budget=C.PACK_BUDGET
+    )
+    return packed.join(counts.select("doc_id", "quality"), "doc_id").select(
+        "doc_id", "n_tokens", "quality", "chunk_id", "chunk_offset"
+    )
+
+
 def q_embedding_dup_pairs_multiprobe(spark, sf_dir):
     """Embedding near-dups with margin-gated multiprobe blocking — the
     recall-repaired twin of embedding_dup_pairs (superset of its rows
@@ -971,6 +1037,7 @@ REGISTRY = {
     "decontaminate": q_decontaminate,
     "dataset_split": q_dataset_split,
     "pack_chunks": q_pack_chunks,
+    "full_prep_pipeline": q_full_prep_pipeline,
     "est_jaccard_topk_batch": q_est_jaccard_topk_batch,
     "true_jaccard_topk": q_true_jaccard_topk,
     "l2_topk": q_l2_topk,
