@@ -151,3 +151,68 @@ def test_probe_buckets_exhaustive_and_cost_ordered():
             margins,
             costs,
         )
+
+
+# --- probe_plan_for_recall: targeted plans are honest prefixes -------------
+
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (  # noqa: E402
+    probe_plan_for_recall,
+)
+
+qvec = st.lists(
+    st.floats(-10, 10, allow_nan=False, allow_infinity=False),
+    min_size=4,
+    max_size=16,
+).filter(lambda v: any(abs(x) > 1e-6 for x in v))
+
+
+@settings(max_examples=150, deadline=None)
+@given(qvec, st.floats(0.05, 0.95), st.floats(0.1, 0.98))
+def test_probe_plan_is_probe_buckets_prefix_with_honest_estimate(
+    q, target_recall, target_cos
+):
+    """For ANY query and targets: the plan is an exact prefix of
+    probe_buckets' sequence, the estimate is a probability, it reaches
+    the target unless the budget capped it, and it is monotone in the
+    number of probes taken."""
+    buckets, est = probe_plan_for_recall(
+        q, n_planes=6, seed=42, target_recall=target_recall,
+        target_cos=target_cos, max_probe=64,
+    )
+    assert 1 <= len(buckets) <= 64
+    assert len(set(buckets)) == len(buckets)
+    full = probe_buckets(q, n_planes=6, seed=42, n_probe=64)
+    assert buckets == full[: len(buckets)]
+    assert 0.0 < est <= 1.0
+    assert est >= target_recall or len(buckets) == 64
+    # fewer probes can never claim more estimated recall
+    if len(buckets) > 1:
+        shorter, est_short = probe_plan_for_recall(
+            q, n_planes=6, seed=42, target_recall=target_recall / 2,
+            target_cos=target_cos, max_probe=len(buckets) - 1,
+        )
+        assert est_short <= est + 1e-12
+
+
+# --- pack_chunks arithmetic: chunk math invariants -------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.integers(1, 5000), min_size=1, max_size=200),
+    st.integers(1, 2048),
+)
+def test_pack_chunk_arithmetic_invariants(counts, budget):
+    """The concatenate-then-cut layout (what prep.pack_chunks computes
+    distributedly): offsets stay inside the budget, chunk ids are
+    nondecreasing in order, and consecutive docs are contiguous in the
+    token stream."""
+    before = 0
+    prev_chunk = -1
+    for n in counts:
+        chunk, off = before // budget, before % budget
+        assert 0 <= off < budget
+        assert chunk >= prev_chunk
+        assert chunk * budget + off == before  # contiguous stream
+        prev_chunk = chunk
+        before += n
