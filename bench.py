@@ -337,6 +337,37 @@ def main():
     Q.q_corpus_clean(spark, sf_dir).count()
     t, _ = timed(lambda: Q.q_corpus_clean(spark, sf_dir).count())
     timings["corpus_clean_full"] = t
+    # cross-corpus decontamination: corpus vs a held-out benchmark set
+    # (%17 split), benchmark side broadcast — the training side never
+    # shuffles; reuses the cached docs scan.
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import prep
+
+    train_docs = docs.filter(F.col("doc_id") % 17 != 0)
+    bench_docs = docs.filter(F.col("doc_id") % 17 == 0)
+
+    def decontam():
+        return dedup.cross_corpus_duplicates(
+            train_docs, bench_docs, params, threshold=0.5
+        ).count()
+
+    decontam()
+    t, _ = timed(decontam)
+    timings["decontaminate_full"] = t
+    # sequence packing: two-phase distributed prefix sum over the corpus
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.textstats import (
+        token_count,
+    )
+
+    counts_df = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+
+    def pack():
+        return prep.pack_chunks(counts_df, budget=512).count()
+
+    pack()
+    t, _ = timed(pack)
+    timings["pack_chunks_full"] = t
     Q.q_lineitem_pricing(spark, sf_dir).collect()
     t, _ = timed(lambda: Q.q_lineitem_pricing(spark, sf_dir).collect())
     timings["lineitem_pricing"] = t
