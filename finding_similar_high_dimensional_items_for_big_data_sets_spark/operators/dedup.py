@@ -118,9 +118,32 @@ def cross_corpus_duplicates(
         F.col(id_col).alias(ref_id_col), "sig"
     )
     ref_bands = lsh.bands_table(ref_sigs, params, ref_id_col)
+    return cross_corpus_pairs_from_index(
+        bands, sigs, ref_bands, ref_sigs, params, threshold,
+        id_col=id_col, ref_id_col=ref_id_col, broadcast_ref=broadcast_ref,
+    )
+
+
+def cross_corpus_pairs_from_index(
+    bands: DataFrame,
+    sigs: DataFrame,
+    ref_bands: DataFrame,
+    ref_sigs: DataFrame,
+    params: MinHashParams,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    ref_id_col: str = "ref_id",
+    broadcast_ref: bool = True,
+) -> DataFrame:
+    """:func:`cross_corpus_duplicates` for callers holding PREBUILT
+    index artifacts (the maintained sigs/bands tables): skips the
+    signing stage entirely — a production decontamination pass reuses
+    the same persisted index every probe does. ``ref_bands``/
+    ``ref_sigs`` carry ``ref_id_col``; both sides must share the
+    banding params."""
     cand = lsh.candidates(
         bands,
-        ref_bands,
+        ref_bands.select(ref_id_col, "band_id", "band_hash"),
         broadcast_query=broadcast_ref,
         query_id_col=ref_id_col,
         max_candidates=params.max_candidates,
@@ -128,7 +151,7 @@ def cross_corpus_duplicates(
     scored = lsh.score_candidates(
         cand,
         sigs,
-        ref_sigs,
+        ref_sigs.select(ref_id_col, "sig"),
         params,
         query_id_col=ref_id_col,
         broadcast_query=broadcast_ref,

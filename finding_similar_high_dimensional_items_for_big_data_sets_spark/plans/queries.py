@@ -571,12 +571,10 @@ def q_full_prep_pipeline(spark, sf_dir):
     bench_sigs = sigs_all.join(bench_keep, "doc_id", "left_semi").select(
         F.col("doc_id").alias("ref_id"), "sig"
     )
-    cand = lsh.candidates(
-        rep_bands, bench_bands, broadcast_query=True, query_id_col="ref_id"
-    )
     flagged = (
-        lsh.score_candidates(cand, sigs, bench_sigs, C.PARAMS, query_id_col="ref_id")
-        .filter(F.col("score") >= C.PAIR_THRESHOLD)
+        dedup.cross_corpus_pairs_from_index(
+            rep_bands, sigs, bench_bands, bench_sigs, C.PARAMS, C.PAIR_THRESHOLD
+        )
         .select("doc_id")
         .distinct()
     )
