@@ -411,13 +411,8 @@ def main():
             return base.unionByName(clones)
 
         def timed_min(fn, reps):
-            best = None
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                fn()
-                dt = time.perf_counter() - t0
-                best = dt if best is None or dt < best else best
-            return best
+            # same best-of-reps policy as timed(); one definition
+            return timed(fn, reps)[0]
 
         N1 = 20_000
         for label, n, reps in (("1x", N1, 3), ("10x", N1 * 10, 2)):

@@ -203,33 +203,39 @@ def probe_plan_for_recall(
     if not 0.0 < target_cos < 1.0:
         raise ValueError(f"target_cos must be in (0,1), got {target_cos}")
     planes = random_planes(len(query), n_planes, seed)
+    # Ordering/enumeration uses the RAW margins — byte-identical to
+    # probe_buckets' heap (same costs, same ties), so the prefix
+    # identity is structural, not probabilistic. Only the MASS model
+    # uses the normalized, round(10)-stabilized magnitudes (the
+    # boundary-stability contract shared with dedup._probe_array).
+    raw = [_seq_dot(p, query) for p in planes]
     qnorm = math.sqrt(_seq_dot(query, query)) or 1.0
-    # round(10): same boundary-stability contract as the multiprobe
-    # emission gate in dedup._probe_array
-    margins = [round(_seq_dot(p, query) / qnorm, 10) for p in planes]
+    normabs = [round(abs(d) / qnorm, 10) for d in raw]
     a = 1.702 * target_cos / math.sqrt(1.0 - target_cos * target_cos)
     # flip prob per plane: sigma(-a*|m|); survive prob: sigma(+a*|m|)
     base_mass = 1.0
-    for m in margins:
-        base_mass *= 1.0 / (1.0 + math.exp(-a * abs(m)))
+    for m in normabs:
+        base_mass *= 1.0 / (1.0 + math.exp(-a * m))
     qbucket = 0
-    for j, m in enumerate(margins):
-        if m >= 0:
+    for j, d in enumerate(raw):
+        if d >= 0:
             qbucket |= 1 << j
     buckets = [qbucket]
     acc = base_mass
     if acc >= target_recall or n_planes == 0:
         return buckets, acc
-    order = sorted(range(n_planes), key=lambda j: (abs(margins[j]), j))
-    cost = [abs(margins[j]) for j in order]
+    order = sorted(range(n_planes), key=lambda j: (abs(raw[j]), j))
+    cost = [abs(raw[j]) for j in order]
     heap = [(cost[0], (0,))]
     while heap and acc < target_recall and len(buckets) < max_probe:
         c, s = heapq.heappop(heap)
         mask = 0
+        nsum = 0.0
         for i in s:
             mask |= 1 << order[i]
+            nsum += normabs[order[i]]
         buckets.append(qbucket ^ mask)
-        acc += base_mass * math.exp(-a * c)
+        acc += base_mass * math.exp(-a * nsum)
         last = s[-1]
         if last + 1 < n_planes:
             heapq.heappush(
@@ -439,12 +445,12 @@ def ann_lsh_topk_batch_target_recall(
     probe_rows = []
     for r in qrows:
         qv = [float(v) for v in r[query_vec_col]]
+        # the plan IS the scan set: probe_plan_for_recall enumerates
+        # with probe_buckets' own raw-margin heap, so no re-derivation
         plan, _est = probe_plan_for_recall(
             qv, n_planes, seed, target_recall, target_cos, max_probe
         )
-        # scan set = probe_buckets' prefix of the plan's length (the
-        # same sequence the point path scans; see probe_plan_for_recall)
-        for b in probe_buckets(qv, n_planes, seed, n_probe=len(plan)):
+        for b in plan:
             probe_rows.append((int(r[query_id_col]), int(b)))
     probe_df = spark.createDataFrame(
         probe_rows, f"{query_id_col} long, bucket int"

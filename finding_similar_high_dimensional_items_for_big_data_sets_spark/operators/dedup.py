@@ -114,6 +114,7 @@ def cross_corpus_duplicates(
     params = params or MinHashParams()
     sigs = minhash.signatures(docs, params, id_col, text_col)
     bands = lsh.bands_table(sigs, params, id_col)
+    # ref_docs may use the same id column name; it becomes ref_id_col
     ref_sigs = minhash.signatures(ref_docs, params, id_col, text_col).select(
         F.col(id_col).alias(ref_id_col), "sig"
     )
@@ -141,6 +142,11 @@ def cross_corpus_pairs_from_index(
     the same persisted index every probe does. ``ref_bands``/
     ``ref_sigs`` carry ``ref_id_col``; both sides must share the
     banding params."""
+    # the lsh candidate/scoring primitives name the corpus key doc_id;
+    # rename in (no-op for the default) and alias back on the way out
+    if id_col != "doc_id":
+        bands = bands.withColumnRenamed(id_col, "doc_id")
+        sigs = sigs.withColumnRenamed(id_col, "doc_id")
     cand = lsh.candidates(
         bands,
         ref_bands.select(ref_id_col, "band_id", "band_hash"),
@@ -157,7 +163,7 @@ def cross_corpus_pairs_from_index(
         broadcast_query=broadcast_ref,
     )
     return scored.filter(F.col("score") >= threshold).select(
-        id_col, ref_id_col, "score"
+        F.col("doc_id").alias(id_col), ref_id_col, "score"
     )
 
 

@@ -82,8 +82,17 @@ def pack_chunks(
         raise ValueError(f"budget must be positive, got {budget}")
     spark = docs.sparkSession
     n_parts = partitions or spark.sparkContext.defaultParallelism
-    ranged = docs.select(id_col, count_col).repartitionByRange(
-        n_parts, F.col(id_col)
+    # localCheckpoint MATERIALIZES the range partitioning once: the
+    # totals job and the scan job must see IDENTICAL partition
+    # assignment, and re-executing repartitionByRange re-samples range
+    # bounds over whatever row order the upstream shuffle produced that
+    # time — a doc landing in a different partition between the two
+    # jobs would get the wrong broadcast offset. The checkpoint holds
+    # only (id, count) pairs, not documents.
+    ranged = (
+        docs.select(id_col, count_col)
+        .repartitionByRange(n_parts, F.col(id_col))
+        .localCheckpoint()
     )
     totals = {
         r["pid"]: r["tot"]

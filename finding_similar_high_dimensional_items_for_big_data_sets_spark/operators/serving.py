@@ -67,9 +67,20 @@ class ServingIndex:
             # one lexsort by (band, hash, row), then boundary slicing —
             # no per-member Python work (a pandas-groupby loop cost
             # O(rows) interpreter time at export)
-            rows = np.searchsorted(
-                doc_ids, bpdf["doc_id"].to_numpy(dtype=np.int64)
+            band_docs = bpdf["doc_id"].to_numpy(dtype=np.int64)
+            rows = np.searchsorted(doc_ids, band_docs)
+            # loud on bands-without-sigs (the append_to_index crash
+            # window): a silent searchsorted mismap would put another
+            # document's row into the bucket
+            bad = (rows >= doc_ids.shape[0]) | (
+                doc_ids[np.clip(rows, 0, doc_ids.shape[0] - 1)] != band_docs
             )
+            if bad.any():
+                raise ValueError(
+                    f"banded doc_ids {np.unique(band_docs[bad])[:5].tolist()} "
+                    "have no signature row — partial append? run "
+                    "sources.tables.validate_index and repair before export"
+                )
             band = bpdf["band_id"].to_numpy(dtype=np.int64)
             bh = bpdf["band_hash"].to_numpy(dtype=np.int64)
             order = np.lexsort((rows, bh, band))

@@ -1096,9 +1096,10 @@ def sql_ann_target_recall_topk() -> str:
     normalized margins m_j = round(d_j/||q||, 10), flip odds
     exp(-a*|m_j|) with a = 1.702*cos/sin(theta) (a config constant,
     embedded as a literal), subset mass = base_mass * exp(-a * cost),
-    masses accumulated in nondecreasing-cost order until the estimate
-    reaches ANN_TARGET_RECALL (the cumulative is monotone, so the
-    selected masks are exactly the prefix with cum_before < target).
+    masses accumulated in probe_buckets' own nondecreasing RAW-cost
+    order until the estimate reaches ANN_TARGET_RECALL (so counting
+    and selection walk the identical sequence; the prefix is exactly
+    the masks with cum_before < target).
     The probed SET is then the base bucket plus that many cheapest
     bit-flip masks by RAW |margin| cost (probe_buckets' order), and
     scoring is the standard exact-cosine top-k over the union."""
@@ -1132,7 +1133,7 @@ mask_cost AS (
 counted AS (
   SELECT msk, cost_raw,
     coalesce(SUM((SELECT mass FROM base) * exp(-({a!r}) * cost_norm))
-      OVER (ORDER BY cost_norm, msk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum_prev
+      OVER (ORDER BY cost_raw, msk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum_prev
   FROM mask_cost),
 nsel AS (
   SELECT COUNT(*) AS n_extra FROM counted

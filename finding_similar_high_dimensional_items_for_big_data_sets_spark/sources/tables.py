@@ -279,6 +279,21 @@ def append_to_index_exactly_once(
             "exactly-once appends (plain append_to_index is "
             "at-least-once under replay)"
         )
+    # the sigs side must be batch-partitioned too: writing an
+    # ingest_batch=N subdirectory next to FLAT part-files makes every
+    # later read of the directory fail on a mixed layout — reject the
+    # mismatch instead of corrupting the store
+    try:
+        sig_cols = spark.read.parquet(sigs_path).columns
+    except Exception:
+        sig_cols = None  # path does not exist yet; first write creates it
+    if sig_cols is not None and "ingest_batch" not in sig_cols:
+        raise ValueError(
+            f"{sigs_path} is a flat signature store; rebuild it with "
+            "write_sigs_batch_partitioned for exactly-once appends — a "
+            "partitioned write into a flat directory leaves a mixed "
+            "layout that no reader can scan"
+        )
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -641,17 +656,20 @@ def compact_index(
                 "an append violated the new-ids contract — dedup before compacting"
             )
     num_buckets = _table_num_buckets(spark, bands_table)
+    part_cols = _table_partition_columns(spark, bands_table)
     tmp = f"{bands_table}__compact_tmp"
     old = f"{bands_table}__compact_old"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     spark.sql(f"DROP TABLE IF EXISTS {old}")
     current = spark.table(bands_table)
-    batch_partitioned = "ingest_batch" in current.columns
-    if batch_partitioned:
+    # batch-partitioned history folds into the base epoch; every OTHER
+    # partition column (e.g. the serving shard) keeps its values — the
+    # compacted table must preserve the layout probes/exports rely on
+    if "ingest_batch" in part_cols:
         current = current.withColumn("ingest_batch", F.lit(BASE_INGEST_BATCH))
     writer = current.write.mode("overwrite")
-    if batch_partitioned:
-        writer = writer.partitionBy("ingest_batch")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
     (
         writer.bucketBy(num_buckets, "band_id", "band_hash")
         .sortBy("band_id", "band_hash")
@@ -677,12 +695,19 @@ def compact_index(
     spark.sql(f"DROP TABLE {old}")
 
 
+def _table_partition_columns(spark: SparkSession, table: str) -> list[str]:
+    return [c.name for c in spark.catalog.listColumns(table) if c.isPartition]
+
+
 def _sync_partitions(spark: SparkSession, table: str) -> None:
     """Re-point catalog partition metadata at the table's CURRENT
     location: renaming a partitioned managed table moves its directory
     but leaves per-partition locations at the old absolute paths, so a
-    scan would silently read zero rows from every partition."""
-    if "ingest_batch" in spark.table(table).columns:
+    scan would silently read zero rows from every partition — and
+    DROPPING the renamed-aside copy would delete data at those stale
+    locations. Applies to ANY partition layout (ingest_batch, shard,
+    qed_bin, ...)."""
+    if _table_partition_columns(spark, table):
         spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
     spark.catalog.refreshTable(table)
 

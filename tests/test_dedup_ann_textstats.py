@@ -398,3 +398,23 @@ def test_multiprobe_dedup_is_superset_of_single_bucket(emb):
     assert s <= m
     assert len(m) > len(s)  # the extra probes must recover missed pairs
     assert all(r["cos_sim"] >= 0.3 for r in rows)
+
+
+def test_cross_corpus_supports_custom_id_column(spark):
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.config import MinHashParams
+
+    bench = spark.createDataFrame(
+        [(0, "shared benchmark sentence that will be contaminated exactly")],
+        "page_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(100, "shared benchmark sentence that will be contaminated exactly"),
+         (101, "a totally unrelated piece of training text about gardening")],
+        "page_id long, text string",
+    )
+    got = dedup.cross_corpus_duplicates(
+        train, bench, MinHashParams(), threshold=0.5, id_col="page_id"
+    )
+    assert got.columns == ["page_id", "ref_id", "score"]
+    rows = got.collect()
+    assert {(r["page_id"], r["ref_id"]) for r in rows} == {(100, 0)}

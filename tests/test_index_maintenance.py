@@ -308,3 +308,65 @@ def test_compact_batch_partitioned_folds_history_into_base(spark, corpus, tmp_pa
     finally:
         for t in (table, f"{table}__compact_tmp", f"{table}__compact_old"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_serving_export_raises_on_orphan_band_ids(spark, corpus):
+    """Bands-without-sigs (the append crash window) must fail LOUDLY at
+    serving export, not silently map to another document's row."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.serving import (
+        ServingIndex,
+    )
+
+    _docs, sigs = corpus
+    half = sigs.filter(F.col("doc_id") % 2 == 0)
+    bands = lsh.bands_table(sigs, PARAMS)  # bands over ALL docs
+    with pytest.raises(ValueError, match="no signature row"):
+        ServingIndex.from_dataframes(half, bands, PARAMS)
+
+
+def test_compact_preserves_shard_partitioned_layout(spark, corpus):
+    """Compacting a SHARD-partitioned serving index must keep the
+    partition layout (replica export pruning depends on it) and the
+    table's contents."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.serving import (
+        ServingIndex,
+    )
+
+    _docs, sigs = corpus
+    table = "t_shard_compact_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        T.write_bands_sharded(lsh.bands_table(sigs, PARAMS), table, 2, num_buckets=4)
+        n_before = spark.table(table).count()
+        before = _probe(spark, sigs, table)
+        T.compact_index(spark, table)
+        assert spark.table(table).count() == n_before
+        part_cols = [
+            c.name for c in spark.catalog.listColumns(table) if c.isPartition
+        ]
+        assert part_cols == ["shard"]
+        shards = sorted(
+            r["shard"] for r in spark.table(table).select("shard").distinct().collect()
+        )
+        assert shards == [0, 1]
+        assert _probe(spark, sigs, table) == before
+    finally:
+        for t in (table, f"{table}__compact_tmp", f"{table}__compact_old"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_exactly_once_append_rejects_flat_sigs_store(spark, corpus, tmp_path):
+    docs, sigs = corpus
+    table = "t_eo_flats_idx"
+    sigs_p = str(tmp_path / "flat_sigs")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        sigs.write.mode("overwrite").parquet(sigs_p)  # FLAT layout
+        T.write_bands_bucketed(
+            lsh.bands_table(sigs, PARAMS), table, num_buckets=4,
+            batch_partitioned=True,
+        )
+        with pytest.raises(ValueError, match="flat signature store"):
+            T.append_to_index_exactly_once(docs.limit(1), 0, PARAMS, sigs_p, table)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

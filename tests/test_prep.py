@@ -78,8 +78,13 @@ def test_prep_plans_have_no_single_partition_exchange(spark):
     )
     packed = prep.pack_chunks(df, budget=64, partitions=4)
     plan = packed._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower()
+    # the range exchange runs ONCE inside the localCheckpoint
+    # materialization (pinning partition assignment for both jobs); the
+    # scan job reads the pinned partitions — and nothing ever plans the
+    # SinglePartition exchange a global orderBy window would
+    assert "Scan ExistingRDD" in plan
     assert "SinglePartition" not in plan
+    assert packed.rdd.getNumPartitions() == 4
     split_plan = (
         prep.hash_split(df.select("doc_id"))
         ._jdf.queryExecution()
