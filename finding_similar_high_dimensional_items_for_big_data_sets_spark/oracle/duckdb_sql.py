@@ -1154,6 +1154,27 @@ FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {C.K_BATCH}
 """
 
 
+def sql_media_embedding_topk() -> str:
+    """Mirrors q_media_embedding_topk: the md5-derived feature bytes
+    (same derivation sql_media_features hash-proves) as integer-valued
+    double embeddings, exact cosine top-k for the QUERY_VEC media item
+    — fold order identical to the engine's cosine_similarity."""
+    vec = (
+        "list_transform(generate_series(1, 16), j -> CAST(CAST('0x' || "
+        "substr(md5(repeat(md5('42' || CAST(id AS VARCHAR)), 8) || '0'), "
+        "2 * j - 1, 2) AS INT) AS DOUBLE))"
+    )
+    cos = f"{_dot('e.v', 'q.qv', 16)} / ({_norm('e.v', 16)} * {_norm('q.qv', 16)})"
+    return f"""
+WITH m AS (SELECT id AS media_id, {vec} AS v FROM range(200) t(id)),
+q AS (SELECT v AS qv FROM m WHERE media_id = {C.QUERY_VEC}),
+scored AS (SELECT e.media_id, round({cos}, 6) AS cos_sim FROM m e, q)
+SELECT CAST({C.QUERY_VEC} AS BIGINT) AS query_id, media_id AS vec_id, cos_sim,
+       CAST(row_number() OVER (ORDER BY cos_sim DESC, media_id) AS INT) AS rank
+FROM scored ORDER BY cos_sim DESC, media_id LIMIT {C.K_BATCH}
+"""
+
+
 def sql_media_features() -> str:
     """Mirror of multimodal.media: payload = unhex(repeat(md5('42'||id),8));
     feature byte j = byte j of md5(hex(payload) || '0')."""
@@ -1293,5 +1314,6 @@ def registry() -> dict[str, str]:
         "top_customers_per_nation": sql_top_customers_per_nation(),
         "orders_by_region": sql_orders_by_region(),
         "media_features": sql_media_features(),
+        "media_embedding_topk": sql_media_embedding_topk(),
         "media_frames": sql_media_frames(),
     }

@@ -978,6 +978,30 @@ def q_ref61_signatures(spark, sf_dir):
     return refparity.reference_signatures_long(docs, C.PARAMS)
 
 
+def q_media_embedding_topk(spark, sf_dir):
+    """Multimodal -> similarity-search bridge: feature vectors
+    Arrow-extracted from binary media payloads flow straight into the
+    engine's exact cosine top-k — the embed-then-search pattern a
+    multimodal training pipeline runs. The embedding is the integer
+    byte vector (cosine is scale-invariant, and integer components
+    keep the fold bit-exact against the oracle); at corpus scale the
+    same column feeds the hyperplane/IVF ANN path unchanged."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.multimodal import media as MM
+
+    feats = MM.extract_features(MM.synthetic_media(spark, n=200))
+    emb = feats.select(
+        F.col("media_id").alias("vec_id"),
+        F.transform(
+            "features",
+            lambda x: F.round(x.cast("double") * 255).cast("int").cast("double"),
+        ).alias("embedding"),
+    )
+    qs = emb.filter(F.col("vec_id") == C.QUERY_VEC).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return bruteforce.cosine_topk(emb, qs, k=C.K_BATCH)
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing end-to-end: binary media columns -> Arrow-
     batched mapInPandas feature extraction. The float32 features are
@@ -1077,5 +1101,6 @@ REGISTRY = {
     "synthetic_docs": q_synthetic_docs,
     "ref61_signatures": q_ref61_signatures,
     "media_features": q_media_features,
+    "media_embedding_topk": q_media_embedding_topk,
     "media_frames": q_media_frames,
 }
