@@ -605,6 +605,67 @@ def ivf_topk_store(
     )
 
 
+def ivf_topk_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 43,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch IVF probe: one job for a whole query set — the IVF twin
+    of :func:`ann_lsh_topk_batch`. Per-query probe cells are chosen
+    driver-side (same sequential-fold distances and tie rule as
+    :func:`ivf_topk`) and broadcast as a (query_id, cell) table; the
+    corpus is assigned once and joined against it. Each vector lives
+    in exactly ONE cell, so no candidate dedup is needed. Output:
+    (query_id, vec_id, dist, rank) — identical per query to
+    :func:`ivf_topk` at the same quantizer."""
+    spark = embeddings.sparkSession
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, dist double, rank int"
+        )
+    dim = len(qrows[0][query_vec_col])
+    if centroids is None:
+        centroids = random_centroids(dim, n_cells, seed)
+    probe_rows = [
+        (int(r[query_id_col]), int(c))
+        for r in qrows
+        for c in probe_cells(
+            [float(v) for v in r[query_vec_col]], centroids, n_probe
+        )
+    ]
+    probe_df = spark.createDataFrame(probe_rows, f"{query_id_col} long, cell int")
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    qv = queries.select(query_id_col, query_vec_col)
+    scored = (
+        assigned.join(F.broadcast(probe_df), "cell")
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                l2_distance(F.col(vec_col), F.col(query_vec_col)), 6
+            ).alias("dist"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "dist", "rank")
+    )
+
+
 def ivf_train(
     embeddings: DataFrame,
     n_cells: int = 16,

@@ -799,6 +799,39 @@ FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
 """
 
 
+def sql_ivf_topk_batch() -> str:
+    """Mirrors ann.ivf_topk_batch: per-query probe cells (same
+    sequential-fold distances, ties by cell index) for the first
+    BATCH_DOCS vectors, exact L2 on the probed cells' members."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        random_centroids,
+    )
+
+    cents = random_centroids(C.EMB_DIM, C.IVF_CELLS, C.IVF_SEED)
+    dists = "[" + ", ".join(_sq_l2_lit("embedding", c) for c in cents) + "]"
+    qdists = "[" + ", ".join(_sq_l2_lit("q.qv", c) for c in cents) + "]"
+    return f"""
+WITH qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {C.BATCH_DOCS}),
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, CAST(u.c AS INT) AS cell,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY ({qdists})[u.c + 1], u.c) AS rn
+    FROM qs q, (SELECT unnest(range({C.IVF_CELLS})) AS c) u)
+  WHERE rn <= {C.IVF_PROBE}),
+assigned AS (
+  SELECT vec_id, embedding,
+         CAST(list_position(d.ds, list_min(d.ds)) - 1 AS INT) AS cell
+  FROM (SELECT vec_id, embedding, {dists} AS ds FROM embeddings) d),
+scored AS (
+  SELECT p.query_id, e.vec_id, round({_l2('e.embedding', 'q.qv', C.EMB_DIM)}, 6) AS dist
+  FROM assigned e JOIN probe p USING (cell) JOIN qs q ON q.query_id = p.query_id)
+SELECT query_id, vec_id, dist, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id) AS INT) AS rank
+  FROM scored)
+WHERE rank <= {C.K_BATCH}
+"""
+
+
 def sql_quality_metrics() -> str:
     """Mirrors operators/metrics.quality_metrics over the LSH batch
     result vs the exact est-Jaccard oracle at k=K_BATCH."""
@@ -1299,6 +1332,7 @@ def registry() -> dict[str, str]:
         "doc_fingerprints": sql_doc_fingerprints(),
         "ann_buckets": sql_ann_buckets(),
         "ivf_topk": sql_ivf_topk(),
+        "ivf_topk_batch": sql_ivf_topk_batch(),
         "quality_metrics": sql_quality_metrics(),
         "lsh_topk_preview": sql_lsh_topk_preview(),
         "padded_topk": sql_padded_topk(),

@@ -660,6 +660,20 @@ def q_ann_multiprobe_topk(spark, sf_dir):
     )
 
 
+def q_ivf_topk_batch(spark, sf_dir):
+    """Batch IVF probe: one job for the first BATCH_DOCS query vectors,
+    per-query probe cells broadcast — the IVF twin of the batch LSH
+    probe, answer-identical per query to ivf_topk."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < C.BATCH_DOCS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann.ivf_topk_batch(
+        emb, qs, k=C.K_BATCH, n_cells=C.IVF_CELLS, n_probe=C.IVF_PROBE,
+        seed=C.IVF_SEED,
+    )
+
+
 def q_ann_target_recall_topk(spark, sf_dir):
     """Recall-TARGETED multiprobe ANN: the probe count is chosen per
     query from its plane margins (probe_plan_for_recall's logistic
@@ -1085,6 +1099,7 @@ REGISTRY = {
     "ann_multiprobe_topk": q_ann_multiprobe_topk,
     "ann_target_recall_topk": q_ann_target_recall_topk,
     "ivf_topk": q_ivf_topk,
+    "ivf_topk_batch": q_ivf_topk_batch,
     "quality_metrics": q_quality_metrics,
     "lsh_topk_preview": q_lsh_topk_preview,
     "padded_topk": q_padded_topk,

@@ -418,3 +418,21 @@ def test_cross_corpus_supports_custom_id_column(spark):
     assert got.columns == ["page_id", "ref_id", "score"]
     rows = got.collect()
     assert {(r["page_id"], r["ref_id"]) for r in rows} == {(100, 0)}
+
+
+def test_ivf_batch_matches_per_query_loop(emb):
+    """ivf_topk_batch must answer each query exactly like the
+    per-query ivf_topk at the same quantizer and probe count."""
+    from pyspark.sql import functions as F
+
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = ann.ivf_topk_batch(emb, qs, k=3, n_cells=8, n_probe=3)
+    got = sorted(map(tuple, batch.collect()))
+    expect = []
+    for r in qs.collect():
+        qvec = [float(v) for v in r["query_vec"]]
+        for row in ann.ivf_topk(emb, qvec, k=3, n_cells=8, n_probe=3).collect():
+            expect.append((r["query_id"], row["vec_id"], row["dist"], row["rank"]))
+    assert got == sorted(expect) and len(got) > 0
