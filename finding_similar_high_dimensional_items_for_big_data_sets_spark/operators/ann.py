@@ -273,15 +273,10 @@ def ann_lsh_topk_target_recall(
     buckets, _est = probe_plan_for_recall(
         query, n_planes, seed, target_recall, target_cos, max_probe
     )
-    return ann_lsh_topk(
-        embeddings,
-        query,
-        k=k,
-        n_planes=n_planes,
-        seed=seed,
-        n_probe=len(buckets),
-        id_col=id_col,
-        vec_col=vec_col,
+    # the plan IS the scan set (probe_buckets' own enumeration) — score
+    # it directly instead of re-deriving the sequence
+    return _cosine_topk_in_buckets(
+        embeddings, query, buckets, k, n_planes, seed, id_col, vec_col
     )
 
 
@@ -313,8 +308,25 @@ def ann_lsh_topk(
         n_planes = auto_n_planes(
             n_rows if n_rows is not None else embeddings.count()
         )
-    dim = len(query)
     buckets = probe_buckets(query, n_planes, seed, n_probe)
+    return _cosine_topk_in_buckets(
+        embeddings, query, buckets, k, n_planes, seed, id_col, vec_col
+    )
+
+
+def _cosine_topk_in_buckets(
+    embeddings: DataFrame,
+    query: list[float],
+    buckets: list[int],
+    k: int,
+    n_planes: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared scoring tail: exact cosine + deterministic top-k over the
+    members of an explicit probe-bucket set."""
+    dim = len(query)
     bucketed = with_hyperplane_bucket(embeddings, dim, n_planes, seed, vec_col)
     qlit = F.array(*[F.lit(float(v)) for v in query])
     # round(6): 1-ULP fold parity with the DuckDB oracle (see bruteforce).

@@ -68,10 +68,16 @@ class ServingIndex:
             # no per-member Python work (a pandas-groupby loop cost
             # O(rows) interpreter time at export)
             band_docs = bpdf["doc_id"].to_numpy(dtype=np.int64)
-            rows = np.searchsorted(doc_ids, band_docs)
             # loud on bands-without-sigs (the append_to_index crash
             # window): a silent searchsorted mismap would put another
             # document's row into the bucket
+            if doc_ids.size == 0:
+                raise ValueError(
+                    "bands table is non-empty but the signature table is "
+                    "empty — run sources.tables.validate_index and repair "
+                    "before export"
+                )
+            rows = np.searchsorted(doc_ids, band_docs)
             bad = (rows >= doc_ids.shape[0]) | (
                 doc_ids[np.clip(rows, 0, doc_ids.shape[0] - 1)] != band_docs
             )

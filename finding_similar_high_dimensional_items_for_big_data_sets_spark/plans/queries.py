@@ -510,17 +510,28 @@ def q_corpus_dedup_pipeline(spark, sf_dir):
     )
 
 
+def survivor_components(
+    clean: DataFrame, sigs: DataFrame, bands: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared prefix of the prep compositions: restrict the prebuilt
+    sigs/bands artifacts to the clean survivors, find near-dup pairs,
+    and label connected components. Returns
+    (keep, survivor_sigs, survivor_bands, components)."""
+    keep = clean.select("doc_id")
+    sigs = sigs.join(keep, "doc_id", "left_semi")
+    bands = bands.join(keep, "doc_id", "left_semi")
+    pairs = lsh.self_join_pairs(bands, sigs, C.PARAMS, C.PAIR_THRESHOLD)
+    comp = dedup.connected_components(pairs.select("doc_a", "doc_b"), keep)
+    return keep, sigs, bands, comp
+
+
 def corpus_dedup_pipeline_df(
     clean: DataFrame, sigs: DataFrame, bands: DataFrame
 ) -> DataFrame:
     """DataFrame-level pipeline tail (see :func:`q_corpus_dedup_pipeline`):
     survivors -> LSH pairs -> connected components -> representatives.
     Also driven directly by the scaling bench over synthetic corpora."""
-    keep = clean.select("doc_id")
-    sigs = sigs.join(keep, "doc_id", "left_semi")
-    bands = bands.join(keep, "doc_id", "left_semi")
-    pairs = lsh.self_join_pairs(bands, sigs, C.PARAMS, C.PAIR_THRESHOLD)
-    comp = dedup.connected_components(pairs.select("doc_a", "doc_b"), keep)
+    _keep, _sigs, _bands, comp = survivor_components(clean, sigs, bands)
     sizes = comp.groupBy("group_id").agg(F.count(F.lit(1)).alias("group_size"))
     reps = comp.filter(F.col("doc_id") == F.col("group_id"))
     return (
@@ -553,14 +564,13 @@ def q_full_prep_pipeline(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     train_docs = docs.filter(F.col("doc_id") % 17 != 0)
     bench_keep = docs.filter(F.col("doc_id") % 17 == 0).select("doc_id")
-    clean = corpus_clean_df(train_docs)
-    keep = clean.select("doc_id")
+    # localCheckpoint: the clean subtree (quality arithmetic + exact-
+    # dedup window) feeds ~5 branches of this DAG; materialize it once
+    # (the DuckDB twin marks the same CTE MATERIALIZED)
+    clean = corpus_clean_df(train_docs).localCheckpoint()
     sigs_all = _sigs(spark, sf_dir)
     bands_all = _bands(spark, sf_dir)
-    sigs = sigs_all.join(keep, "doc_id", "left_semi")
-    bands = bands_all.join(keep, "doc_id", "left_semi")
-    pairs = lsh.self_join_pairs(bands, sigs, C.PARAMS, C.PAIR_THRESHOLD)
-    comp = dedup.connected_components(pairs.select("doc_a", "doc_b"), keep)
+    keep, sigs, bands, comp = survivor_components(clean, sigs_all, bands_all)
     reps = comp.filter(F.col("doc_id") == F.col("group_id")).select("doc_id")
     # decontamination against the benchmark corpus, reusing the shared
     # prebuilt index artifacts (benchmark side is tiny -> broadcast)

@@ -283,10 +283,18 @@ def append_to_index_exactly_once(
     # ingest_batch=N subdirectory next to FLAT part-files makes every
     # later read of the directory fail on a mixed layout — reject the
     # mismatch instead of corrupting the store
+    from pyspark.errors import AnalysisException
+
     try:
         sig_cols = spark.read.parquet(sigs_path).columns
-    except Exception:
-        sig_cols = None  # path does not exist yet; first write creates it
+    except AnalysisException as ex:
+        # ONLY a missing path means "first write creates it" — an
+        # unreadable store (e.g. already-corrupt mixed layout) must
+        # surface, not be appended into
+        msg = str(ex)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+        sig_cols = None
     if sig_cols is not None and "ingest_batch" not in sig_cols:
         raise ValueError(
             f"{sigs_path} is a flat signature store; rebuild it with "
