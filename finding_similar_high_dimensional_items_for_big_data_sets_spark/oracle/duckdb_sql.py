@@ -728,6 +728,61 @@ SELECT doc_id, {case} AS lang_guess FROM hits
 """
 
 
+def sql_token_frequencies() -> str:
+    """Mirrors q_token_frequencies: corpus-wide token counts, top 200
+    by (count desc, token asc)."""
+    return """
+WITH t AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token)
+SELECT token, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank
+FROM c ORDER BY cnt DESC, token LIMIT 200
+"""
+
+
+def sql_corpus_report() -> str:
+    """Mirrors q_corpus_report: per-lang doc counts, token totals, and
+    the decimal-summed (order-independent) mean quality."""
+    toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    toks_lower = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+    nospace = "regexp_replace(text, '\\s+', '', 'g')"
+    nopunct = f"regexp_replace({nospace}, '[A-Za-z0-9]', '', 'g')"
+    langs = sorted(LANG_MARKERS)
+    hit_cols = []
+    for lang in langs:
+        markers = "[" + ",".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
+        hit_cols.append(
+            f"len(list_filter(tl, x -> list_contains({markers}, x))) AS h_{lang}"
+        )
+    mx = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + f"{mx} = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN h_{lang} = {mx} THEN '{lang}' "
+    case += "END"
+    quality = (
+        "0.4 * least(1.0, len(t) / 50.0)"
+        " + 0.4 * (CASE WHEN len(t) > 0 THEN len(list_distinct(t)) / len(t) ELSE 0.0 END)"
+        " + 0.2 * (1.0 - least(1.0, 4.0 * (CASE WHEN n_nospace > 0 THEN n_punct / n_nospace ELSE 0.0 END)))"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {toks} AS t, {toks_lower} AS tl,
+         length({nospace}) AS n_nospace, length({nopunct}) AS n_punct
+  FROM documents),
+hits AS (SELECT doc_id, t, n_nospace, n_punct, {', '.join(hit_cols)} FROM base),
+scored AS (
+  SELECT {case} AS lang_guess,
+         CAST(len(t) AS INT) AS n_tokens,
+         {quality} AS quality
+  FROM hits)
+SELECT lang_guess, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(CAST(quality AS DECIMAL(20,12))) AS DOUBLE) / count(*), 6) AS avg_quality
+FROM scored GROUP BY lang_guess
+"""
+
+
 def sql_doc_fingerprints() -> str:
     return f"""
 SELECT doc_id,
@@ -1329,6 +1384,8 @@ def registry() -> dict[str, str]:
         "embedding_dup_pairs": sql_embedding_dup_pairs(),
         "text_stats": sql_text_stats(),
         "lang_id": sql_lang_id(),
+        "token_frequencies": sql_token_frequencies(),
+        "corpus_report": sql_corpus_report(),
         "doc_fingerprints": sql_doc_fingerprints(),
         "ann_buckets": sql_ann_buckets(),
         "ivf_topk": sql_ivf_topk(),

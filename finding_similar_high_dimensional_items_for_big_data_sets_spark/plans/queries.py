@@ -618,6 +618,50 @@ def q_embedding_dup_pairs_multiprobe(spark, sf_dir):
     )
 
 
+def q_token_frequencies(spark, sf_dir):
+    """Vocabulary builder: corpus-wide token frequencies, top 200 by
+    (count desc, token asc) — the counting pass a tokenizer/BPE
+    training run starts from. One explode + one hash aggregation;
+    map-side partial counts bound the shuffle by |vocab|, not corpus
+    size."""
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(F.pmod(F.length("token"), F.lit(1))).orderBy(
+        F.col("cnt").desc(), F.col("token").asc()
+    )
+    return (
+        counts.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(200)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def q_corpus_report(spark, sf_dir):
+    """Per-language corpus report: doc counts, token totals, and mean
+    quality by lang_id — the daily analytics rollup over the prep
+    pipeline's own signals. One projection + one small aggregation."""
+    t = F.col("text")
+    scored = _docs(spark, sf_dir).select(
+        textstats.lang_id(t).alias("lang_guess"),
+        textstats.token_count(t).alias("n_tokens"),
+        textstats.quality_score(t).alias("quality"),
+    )
+    # mean over doubles is summation-order-dependent across engines;
+    # the exact decimal sum (the events queries' parity pattern) makes
+    # it deterministic at any partitioning
+    return scored.groupBy("lang_guess").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(20,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_quality"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", textstats.lang_id(F.col("text")).alias("lang_guess")
@@ -1103,6 +1147,8 @@ REGISTRY = {
     "text_stats": q_text_stats,
     "corpus_clean": q_corpus_clean,
     "lang_id": q_lang_id,
+    "token_frequencies": q_token_frequencies,
+    "corpus_report": q_corpus_report,
     "doc_fingerprints": q_doc_fingerprints,
     "ann_buckets": q_ann_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
