@@ -353,6 +353,27 @@ def main():
     decontam()
     t, _ = timed(decontam)
     timings["decontaminate_full"] = t
+
+    # production shape: decontamination over the PREBUILT index (the
+    # maintained sigs/bands artifacts) — no re-signing of either side
+    train_keep = train_docs.select("doc_id")
+    bench_keep = bench_docs.select("doc_id")
+
+    def decontam_indexed():
+        tb = bands.join(train_keep, "doc_id", "left_semi")
+        bb = bands.join(bench_keep, "doc_id", "left_semi").select(
+            F.col("doc_id").alias("ref_id"), "band_id", "band_hash"
+        )
+        bs = sigs.join(bench_keep, "doc_id", "left_semi").select(
+            F.col("doc_id").alias("ref_id"), "sig"
+        )
+        return dedup.cross_corpus_pairs_from_index(
+            tb, sigs, bb, bs, params, threshold=0.5
+        ).count()
+
+    decontam_indexed()
+    t, _ = timed(decontam_indexed)
+    timings["decontaminate_indexed"] = t
     # sequence packing: two-phase distributed prefix sum over the corpus
     from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.textstats import (
         token_count,
