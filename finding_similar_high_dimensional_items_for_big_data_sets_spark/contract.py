@@ -69,3 +69,22 @@ ANN_TARGET_COS = 0.9
 PACK_BUDGET = 512
 SPLIT_VAL_PERMILLE = 100
 SPLIT_SEED = 42
+
+# Repetition-based quality filter (Gopher-style): a doc is kept iff
+# 16 * top_bigram_count <= n_tokens (top-bigram token coverage <= 1/8)
+# AND 2 * dup_trigram_occurrences <= n_trigrams (duplicate-trigram
+# fraction <= 1/2). Integer cross-multiplied form so the keep boundary
+# is exact in both engines.
+REP_TOP_BIGRAM_X = 16
+REP_DUP_TRIGRAM_X = 2
+
+# Substring-level contamination: word n-gram length, the document-
+# frequency cap past which a gram is boilerplate, and the minimum
+# shared-span count for a reported pair.
+SPAN_NGRAM = 8
+SPAN_MAX_DOC_FREQ = 16
+SPAN_MIN_SHARED = 1
+
+# Balanced mixture sampling: hash-bucket scale and salt.
+MIX_SCALE = 1_000_000
+MIX_SEED = 7

@@ -142,3 +142,51 @@ def doc_fingerprint(text: Column) -> Column:
             F.lit(MERSENNE31),
         ),
     )
+
+
+def word_ngram_multiset(tokens: Column, n: int) -> Column:
+    """All word n-grams in document order, WITH multiplicity (unlike
+    ``text.word_shingles``, which dedups and falls back to the whole
+    doc for short inputs). Documents with fewer than ``n`` tokens
+    yield an empty array — repetition over an n-gram needs at least
+    one n-gram to exist.
+    """
+    if n <= 0:
+        raise ValueError("n must be >= 1")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(tokens, i, n), " "),
+    )
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def top_ngram_count(grams: Column) -> Column:
+    """Multiplicity of the most frequent element (0 for empty input).
+
+    Row-local O(d*m) over d distinct / m total grams — no explode, no
+    shuffle; documents are short (hundreds of tokens), so the quadratic
+    per-row term is constant-bounded and the corpus pass stays linear.
+    """
+    return F.aggregate(
+        F.array_distinct(grams),
+        F.lit(0),
+        lambda acc, g: F.greatest(
+            acc, F.size(F.filter(grams, lambda x: x == g))
+        ),
+    )
+
+
+def dup_ngram_occurrences(grams: Column) -> Column:
+    """Number of gram OCCURRENCES whose value appears >= 2 times in the
+    document (Gopher-style "duplicate n-gram fraction" numerator)."""
+    return F.aggregate(
+        F.array_distinct(grams),
+        F.lit(0),
+        lambda acc, g: acc
+        + F.when(
+            F.size(F.filter(grams, lambda x: x == g)) >= 2,
+            F.size(F.filter(grams, lambda x: x == g)),
+        ).otherwise(F.lit(0)),
+    )

@@ -669,3 +669,81 @@ def _probe_array(vec_col: str, dim: int, n_planes: int, seed: int, probe_margin:
         ]
     )
     return F.concat(F.array(bucket), F.filter(flips, lambda x: x.isNotNull()))
+
+
+def shared_ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    max_doc_freq: int = 16,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level contamination: pairs of documents sharing at
+    least ``min_shared`` distinct exact word ``n``-grams, with the
+    shared-span count. The scalable analog of suffix-array substring
+    dedup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): long exact n-grams stand in for long common
+    substrings, and the document pairs they connect are the
+    cut-or-drop candidates a substring-dedup pass acts on.
+
+    Plan (three bounded shuffles, no unblocked self-join):
+      1. explode distinct per-doc n-grams, keyed by the 60-bit portable
+         gram hash (compact 8-byte shuffle key; the DuckDB oracle joins
+         on the SAME hash so even a collision cannot diverge);
+      2. document-frequency count per gram (map-side partial agg), keep
+         grams in [2, max_doc_freq] — singleton grams pair nothing and
+         stop-grams (boilerplate) are dropped BEFORE any per-gram state
+         accumulates, so no group ever collects more than
+         ``max_doc_freq`` ids regardless of corpus size;
+      3. join the capped gram set back, collect the (bounded) doc list
+         per gram — co-partitioned with the join, no extra exchange —
+         and expand the <= C(max_doc_freq, 2) in-bucket pairs;
+      4. count distinct shared grams per pair.
+
+    The frequency cap is the standard contamination-pass tradeoff: an
+    n-gram shared by more than ``max_doc_freq`` documents is template
+    boilerplate, not copied content.
+    """
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.textstats import (
+        word_ngram_multiset,
+    )
+
+    if max_doc_freq < 2:
+        raise ValueError("max_doc_freq must be >= 2")
+    toks = tokenize(F.col(text_col))
+    grams = F.array_distinct(word_ngram_multiset(toks, n))
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
+    ).select("doc_id", portable_hash64(F.col("gram")).alias("gram_hash"))
+    freq = (
+        exploded.groupBy("gram_hash")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= F.lit(max_doc_freq)))
+        .select("gram_hash")
+    )
+    capped = exploded.join(freq, "gram_hash")
+    per_gram = capped.groupBy("gram_hash").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    pairs = per_gram.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ds") - F.lit(1)),
+                    lambda i: F.transform(
+                        F.sequence(i + F.lit(1), F.size("ds")),
+                        lambda j: F.struct(
+                            F.element_at(F.col("ds"), i).alias("a"),
+                            F.element_at(F.col("ds"), j).alias("b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("int").alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= F.lit(min_shared))
+    )

@@ -134,3 +134,72 @@ def pack_chunks(
         scan,
         schema=f"{id_col} long, {count_col} long, chunk_id long, chunk_offset long",
     )
+
+
+def balanced_mixture_sample(
+    docs: DataFrame,
+    group_col: str = "source",
+    count_col: str | None = None,
+    seed: int = 7,
+    scale: int = 1_000_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data-mixing downsampler: deterministically subsample every group
+    (source/domain/language) toward the SMALLEST group's token mass, so
+    no single source dominates the training mixture.
+
+    Per group g with token total T_g, the acceptance threshold is
+    ``floor(scale * min_g(T_g) / T_g)`` and a row is kept iff
+    ``portable_hash(id:seed) mod scale < threshold(g)``. Content-
+    independent and reproducible: re-runs and re-crawls keep the same
+    rows, and the expected post-sample token mass is equal across
+    groups (exact balance is impossible row-wise; the hash gives an
+    unbiased binomial draw).
+
+    Two passes, both scale-safe: a map-side-combined groupBy over the
+    group column (output rows == number of groups — collected to the
+    driver, where exact Python big-int arithmetic computes thresholds
+    a 64-bit engine could overflow on), then a shuffle-free filter
+    with the thresholds folded in as a literal CASE. At 100 TB this
+    is one cheap agg plus one scan.
+
+    Output: kept rows as (doc_id, <group_col>, n_tokens, sample_bucket).
+    """
+    if count_col is None:
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.textstats import (
+            token_count,
+        )
+
+        counted = docs.select(
+            id_col, group_col, token_count(F.col("text")).alias("n_tokens")
+        )
+    else:
+        counted = docs.select(
+            id_col, group_col, F.col(count_col).alias("n_tokens")
+        )
+    totals = {
+        r["g"]: r["t"]
+        for r in counted.groupBy(F.col(group_col).alias("g"))
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    if not totals:
+        return counted.withColumn("sample_bucket", F.lit(0)).limit(0)
+    floor_mass = min(totals.values())
+    thresholds = {g: (scale * floor_mass) // t for g, t in totals.items()}
+    thr = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for gt in thresholds.items() for x in gt]
+        )[F.col(group_col)],
+        F.lit(0),
+    )
+    bucket = F.pmod(
+        portable_hash64(
+            F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+        ),
+        F.lit(scale),
+    ).cast("int")
+    return (
+        counted.withColumn("sample_bucket", bucket)
+        .filter(F.col("sample_bucket") < thr)
+    )

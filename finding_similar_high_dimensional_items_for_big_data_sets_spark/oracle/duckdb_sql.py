@@ -1342,6 +1342,94 @@ SELECT node AS doc_id, min(label) AS group_id FROM reach GROUP BY node
 """
 
 
+def _ngram_list(n: int) -> str:
+    """DuckDB list of word n-grams over ``t`` (multiset, empty when the
+    doc has < n tokens) — mirrors textstats.word_ngram_multiset."""
+    grams = (
+        f"list_transform(range(1, len(t)-{n}+2), "
+        f"i -> array_to_string(t[i:i+{n}-1], ' '))"
+    )
+    return f"CASE WHEN len(t) >= {n} THEN {grams} ELSE CAST([] AS VARCHAR[]) END"
+
+
+def sql_repetition_stats() -> str:
+    """Mirrors q_repetition_stats. The oracle counts gram multiplicity
+    by unnest+GROUP BY (relational form); the engine counts row-locally
+    — identical integers, and the fractions are single IEEE divisions
+    on both sides. The keep rule is integer cross-multiplied, so the
+    boundary is exact."""
+    return f"""
+WITH toks AS ({TOKS}),
+base AS (
+  SELECT doc_id, len(t) AS n,
+         {_ngram_list(2)} AS bg,
+         {_ngram_list(3)} AS tg
+  FROM toks),
+bgc AS (
+  SELECT doc_id, max(c) AS maxc
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(bg) AS g FROM base) GROUP BY 1, 2)
+  GROUP BY 1),
+tgc AS (
+  SELECT doc_id, sum(c) AS tot, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(tg) AS g FROM base) GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT b.doc_id,
+  CAST(b.n AS INT) AS n_tokens,
+  CAST(coalesce(bgc.maxc, 0) AS INT) AS top_bigram_count,
+  least(1.0, (2.0 * CAST(coalesce(bgc.maxc, 0) AS INT)) / CAST(b.n AS INT)) AS top_bigram_frac,
+  CAST(coalesce(tgc.dup, 0) AS INT) AS dup_trigram_occ,
+  CASE WHEN coalesce(tgc.tot, 0) > 0
+       THEN CAST(coalesce(tgc.dup, 0) AS INT) / CAST(tgc.tot AS INT)
+       ELSE 0.0 END AS dup_trigram_frac,
+  ({C.REP_TOP_BIGRAM_X} * CAST(coalesce(bgc.maxc, 0) AS INT) <= CAST(b.n AS INT)
+   AND {C.REP_DUP_TRIGRAM_X} * CAST(coalesce(tgc.dup, 0) AS INT) <= CAST(coalesce(tgc.tot, 0) AS INT)
+  ) AS keep
+FROM base b LEFT JOIN bgc ON b.doc_id = bgc.doc_id
+            LEFT JOIN tgc ON b.doc_id = tgc.doc_id
+"""
+
+
+def sql_shared_ngram_spans() -> str:
+    """Mirrors dedup.shared_ngram_spans: distinct per-doc 8-grams keyed
+    by the SAME portable 60-bit hash the engine shuffles on (so a hash
+    collision, however unlikely, cannot diverge the two sides),
+    document-frequency capped, pair-counted."""
+    n, cap, ms = C.SPAN_NGRAM, C.SPAN_MAX_DOC_FREQ, C.SPAN_MIN_SHARED
+    return f"""
+WITH toks AS ({TOKS}),
+g AS (SELECT doc_id, unnest(list_distinct({_ngram_list(n)})) AS gram FROM toks),
+gh AS (SELECT doc_id, {H('gram')} AS gram_hash FROM g),
+df AS (SELECT gram_hash FROM gh GROUP BY 1 HAVING count(*) BETWEEN 2 AND {cap}),
+k AS (SELECT doc_id, gh.gram_hash FROM gh JOIN df USING (gram_hash))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS INT) AS shared_ngrams
+FROM k a JOIN k b USING (gram_hash)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {ms}
+"""
+
+
+def sql_mixture_sample() -> str:
+    """Mirrors prep.balanced_mixture_sample: per-source thresholds
+    floor(scale * min_source_tokens / source_tokens) — DuckDB's
+    integer division on BIGINT/HUGEINT floors exactly like the
+    engine's driver-side Python big-int arithmetic."""
+    h = H(f"CAST(doc_id AS VARCHAR) || ':{C.MIX_SEED}'")
+    return f"""
+WITH c AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_tokens
+  FROM documents),
+g AS (SELECT source, sum(n_tokens) AS t FROM c GROUP BY 1),
+thr AS (SELECT source, ({C.MIX_SCALE} * (SELECT min(t) FROM g)) // t AS thr FROM g)
+SELECT doc_id, c.source, n_tokens, CAST({h} % {C.MIX_SCALE} AS INT) AS sample_bucket
+FROM c JOIN thr ON c.source = thr.source
+WHERE ({h} % {C.MIX_SCALE}) < thr.thr
+"""
+
+
 def registry() -> dict[str, str]:
     """name -> DuckDB SQL, for every oracle-checkable query."""
     return {
@@ -1383,6 +1471,9 @@ def registry() -> dict[str, str]:
         "simhash_dup_pairs": sql_simhash_dup_pairs(),
         "embedding_dup_pairs": sql_embedding_dup_pairs(),
         "text_stats": sql_text_stats(),
+        "repetition_stats": sql_repetition_stats(),
+        "shared_ngram_spans": sql_shared_ngram_spans(),
+        "mixture_sample": sql_mixture_sample(),
         "lang_id": sql_lang_id(),
         "token_frequencies": sql_token_frequencies(),
         "corpus_report": sql_corpus_report(),

@@ -28,6 +28,7 @@ from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators im
     lsh,
     metrics,
     minhash,
+    prep,
     qed,
 )
 from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
@@ -1108,6 +1109,70 @@ def q_media_frames(spark, sf_dir):
     )
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition metrics per document: top-bigram token
+    coverage, duplicate-trigram occurrence fraction, and the integer-
+    exact keep decision (contract REP_* thresholds). All row-local
+    higher-order-function work — shuffle-free, whole-stage codegen'd,
+    no explode."""
+    docs = _docs(spark, sf_dir)
+    toks = tokenize(F.col("text"))
+    bigrams = textstats.word_ngram_multiset(toks, 2)
+    trigrams = textstats.word_ngram_multiset(toks, 3)
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        textstats.top_ngram_count(bigrams).alias("top_bigram_count"),
+        F.size(trigrams).alias("n_trigrams"),
+        textstats.dup_ngram_occurrences(trigrams).alias("dup_trigram_occ"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "top_bigram_count",
+        F.least(
+            F.lit(1.0),
+            (2.0 * F.col("top_bigram_count")) / F.col("n_tokens"),
+        ).alias("top_bigram_frac"),
+        "dup_trigram_occ",
+        F.when(
+            F.col("n_trigrams") > 0,
+            F.col("dup_trigram_occ") / F.col("n_trigrams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+        (
+            (F.lit(C.REP_TOP_BIGRAM_X) * F.col("top_bigram_count") <= F.col("n_tokens"))
+            & (
+                F.lit(C.REP_DUP_TRIGRAM_X) * F.col("dup_trigram_occ")
+                <= F.col("n_trigrams")
+            )
+        ).alias("keep"),
+    )
+
+
+def q_shared_ngram_spans(spark, sf_dir):
+    """Substring-level contamination pairs: documents sharing exact
+    word 8-grams (frequency-capped), with shared-span counts."""
+    return dedup.shared_ngram_spans(
+        _docs(spark, sf_dir),
+        n=C.SPAN_NGRAM,
+        max_doc_freq=C.SPAN_MAX_DOC_FREQ,
+        min_shared=C.SPAN_MIN_SHARED,
+    )
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Balanced data-mixing sample: every source deterministically
+    downsampled toward the smallest source's token mass."""
+    return prep.balanced_mixture_sample(
+        _docs(spark, sf_dir),
+        group_col="source",
+        seed=C.MIX_SEED,
+        scale=C.MIX_SCALE,
+    )
+
+
 REGISTRY = {
     "shingle_stats": q_shingle_stats,
     "content_hashes": q_content_hashes,
@@ -1145,6 +1210,9 @@ REGISTRY = {
     "mllib_pairs": q_mllib_pairs,
     "mllib_pairs_verified": q_mllib_pairs_verified,
     "text_stats": q_text_stats,
+    "repetition_stats": q_repetition_stats,
+    "shared_ngram_spans": q_shared_ngram_spans,
+    "mixture_sample": q_mixture_sample,
     "corpus_clean": q_corpus_clean,
     "lang_id": q_lang_id,
     "token_frequencies": q_token_frequencies,
