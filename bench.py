@@ -337,6 +337,22 @@ def main():
     Q.q_corpus_clean(spark, sf_dir).count()
     t, _ = timed(lambda: Q.q_corpus_clean(spark, sf_dir).count())
     timings["corpus_clean_full"] = t
+    # Gopher-style repetition filter: row-local HOF work, shuffle-free —
+    # the cheapest corpus pass; its cost bounds what a 100 TB quality
+    # sweep adds on top of the scan itself.
+    Q.q_repetition_stats(spark, sf_dir).count()
+    t, _ = timed(lambda: Q.q_repetition_stats(spark, sf_dir).count())
+    timings["repetition_stats_full"] = t
+    # substring-contamination pass: doc-frequency-capped 8-gram pair
+    # expansion — the cap is what keeps this linear; benched so a cap
+    # regression shows up as a timing cliff, not a silent blowup.
+    Q.q_shared_ngram_spans(spark, sf_dir).count()
+    t, _ = timed(lambda: Q.q_shared_ngram_spans(spark, sf_dir).count())
+    timings["shared_ngram_spans_full"] = t
+    # unigram-LM quality scoring: vocab agg + token join + per-doc fold
+    Q.q_lm_quality(spark, sf_dir).count()
+    t, _ = timed(lambda: Q.q_lm_quality(spark, sf_dir).count())
+    timings["lm_quality_full"] = t
     # cross-corpus decontamination: corpus vs a held-out benchmark set
     # (%17 split), benchmark side broadcast — the training side never
     # shuffles; reuses the cached docs scan.

@@ -190,3 +190,28 @@ def dup_ngram_occurrences(grams: Column) -> Column:
             F.size(F.filter(grams, lambda x: x == g)),
         ).otherwise(F.lit(0)),
     )
+
+
+def token_entropy(tokens: Column) -> Column:
+    """Shannon entropy (nats) of the document's token distribution:
+    ``ln(n) - (1/n) * sum_t c_t * ln(c_t)`` over token counts c_t.
+    0.0 for empty documents; 0.0 for single-token-type documents;
+    ln(n) for all-distinct documents. A boilerplate/keyword-stuffing
+    quality signal complementary to ``distinct_token_ratio`` (entropy
+    sees the SHAPE of the repetition, not just its amount).
+
+    Float-parity discipline: the fold runs over the SORTED distinct
+    tokens so the summation order is identical in every engine and at
+    any partitioning (IEEE addition is order-sensitive); callers round
+    the result before comparisons (oracle rounds to 6 decimals).
+    Row-local higher-order functions only — shuffle-free.
+    """
+    n = F.size(tokens)
+    s = F.aggregate(
+        F.array_sort(F.array_distinct(tokens)),
+        F.lit(0.0),
+        lambda acc, tok: acc
+        + F.size(F.filter(tokens, lambda x: x == tok)).cast("double")
+        * F.log(F.size(F.filter(tokens, lambda x: x == tok)).cast("double")),
+    )
+    return F.when(n > 0, F.log(n.cast("double")) - s / n).otherwise(F.lit(0.0))

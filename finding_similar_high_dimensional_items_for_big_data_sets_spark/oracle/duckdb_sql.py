@@ -1430,6 +1430,55 @@ WHERE ({h} % {C.MIX_SCALE}) < thr.thr
 """
 
 
+def sql_token_entropy() -> str:
+    """Mirrors q_token_entropy: the fold runs over list_sort(
+    list_distinct(t)) — identical summation order to the engine's
+    sorted-distinct F.aggregate, so the doubles agree bit-for-bit up
+    to libm ln() ulps, absorbed by round(6) on both sides."""
+    c = "len(list_filter(t, x -> x = g))"
+    s = (
+        f"list_reduce(list_prepend(0.0, list_transform("
+        f"list_sort(list_distinct(t)), g -> {c} * ln({c}))), (a, x) -> a + x)"
+    )
+    ent = f"CASE WHEN len(t) > 0 THEN ln(len(t)) - {s} / len(t) ELSE 0.0 END"
+    return f"""
+WITH toks AS ({TOKS})
+SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+  round({ent}, 6) AS entropy,
+  CASE WHEN len(t) > 1 THEN round(({ent}) / ln(len(t)), 6) ELSE 0.0 END AS entropy_norm
+FROM toks
+"""
+
+
+def sql_lm_quality() -> str:
+    """Mirrors prep.unigram_lm_scores. The per-doc fold is ordered by
+    token (list(... ORDER BY token) == the engine's array_sort on the
+    (token, c, cf) struct list, where token is unique per doc), and
+    every ln() argument is an exact integer count — round(6) absorbs
+    ulp differences."""
+    return f"""
+WITH toks AS ({TOKS}),
+freq AS (
+  SELECT g AS token, count(*) AS cf
+  FROM (SELECT unnest(t) AS g FROM toks) GROUP BY 1),
+total AS (SELECT CAST(sum(cf) AS DOUBLE) AS tot FROM freq),
+per AS (
+  SELECT doc_id, g AS token, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS g FROM toks) GROUP BY 1, 2),
+s AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(0.0, list(CAST(c AS DOUBLE) * ln(CAST(cf AS DOUBLE)) ORDER BY token)),
+      (a, x) -> a + x) AS s
+  FROM per JOIN freq USING (token) GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_tokens,
+  CASE WHEN len(t.t) > 0 AND s.s IS NOT NULL
+       THEN round(ln((SELECT tot FROM total)) - s.s / len(t.t), 6)
+       ELSE 0.0 END AS lm_nll
+FROM toks t LEFT JOIN s ON t.doc_id = s.doc_id
+"""
+
+
 def registry() -> dict[str, str]:
     """name -> DuckDB SQL, for every oracle-checkable query."""
     return {
@@ -1474,6 +1523,8 @@ def registry() -> dict[str, str]:
         "repetition_stats": sql_repetition_stats(),
         "shared_ngram_spans": sql_shared_ngram_spans(),
         "mixture_sample": sql_mixture_sample(),
+        "token_entropy": sql_token_entropy(),
+        "lm_quality": sql_lm_quality(),
         "lang_id": sql_lang_id(),
         "token_frequencies": sql_token_frequencies(),
         "corpus_report": sql_corpus_report(),

@@ -1162,6 +1162,30 @@ def q_shared_ngram_spans(spark, sf_dir):
     )
 
 
+def q_token_entropy(spark, sf_dir):
+    """Per-doc Shannon entropy of the token distribution plus the
+    normalized form entropy/ln(n) in [0,1] — low values flag
+    boilerplate/keyword-stuffing docs whose repetition shape the
+    distinct-token ratio misses. Row-local HOF work, shuffle-free."""
+    toks = tokenize(F.col("text"))
+    ent = textstats.token_entropy(toks)
+    n = F.size(toks)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(ent, 6).alias("entropy"),
+        F.when(n > 1, F.round(ent / F.log(n.cast("double")), 6))
+        .otherwise(F.lit(0.0))
+        .alias("entropy_norm"),
+    )
+
+
+def q_lm_quality(spark, sf_dir):
+    """CCNet-style LM quality scores: per-doc average negative
+    log-likelihood under the corpus-trained unigram model."""
+    return prep.unigram_lm_scores(_docs(spark, sf_dir))
+
+
 def q_mixture_sample(spark, sf_dir):
     """Balanced data-mixing sample: every source deterministically
     downsampled toward the smallest source's token mass."""
@@ -1213,6 +1237,8 @@ REGISTRY = {
     "repetition_stats": q_repetition_stats,
     "shared_ngram_spans": q_shared_ngram_spans,
     "mixture_sample": q_mixture_sample,
+    "token_entropy": q_token_entropy,
+    "lm_quality": q_lm_quality,
     "corpus_clean": q_corpus_clean,
     "lang_id": q_lang_id,
     "token_frequencies": q_token_frequencies,

@@ -128,3 +128,104 @@ def test_mixture_sample_filter_stage_has_no_shuffle(spark):
     # stage, no join/exchange against a thresholds table
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_mixture_sample_balances_token_mass(spark):
+    # source A has ~10x the token mass of source B; after sampling the
+    # expected masses are equal (binomial draw -> allow wide tolerance)
+    rows = [(i, "tok " * 20, "A") for i in range(500)] + [
+        (1000 + i, "tok " * 20, "B") for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows], "doc_id long, text string, source string"
+    )
+    out = prep.balanced_mixture_sample(df, group_col="source").collect()
+    mass = {}
+    for r in out:
+        mass[r["source"]] = mass.get(r["source"], 0) + r["n_tokens"]
+    assert mass["B"] == 50 * 20  # floor group kept whole
+    assert 0.5 * mass["B"] <= mass["A"] <= 1.5 * mass["B"], mass
+
+
+def test_mixture_sample_deterministic_and_shuffle_bounded(spark, sf_dir):
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.plans.queries import q_mixture_sample
+
+    a = sorted(r["doc_id"] for r in q_mixture_sample(spark, sf_dir).collect())
+    b = sorted(r["doc_id"] for r in q_mixture_sample(spark, sf_dir).collect())
+    assert a == b and len(a) > 0
+    # the kept-rows side is a pure filter: no Exchange in its plan
+    plan = q_mixture_sample(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_token_entropy_matches_python(spark):
+    import math
+    from collections import Counter
+
+    texts = ["a a a a", "a b c d", "a a b b c", "solo", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["ent"]
+        for r in df.select(
+            "doc_id",
+            F.round(textstats.token_entropy(tokenize(F.col("text"))), 6).alias("ent"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        words = [w for w in t.split() if w]
+        n = len(words)
+        exp = 0.0
+        if n:
+            exp = math.log(n) - sum(
+                c * math.log(c) for c in Counter(words).values()
+            ) / n
+        assert abs(got[i] - exp) < 1e-6, (t, got[i], exp)
+
+
+def test_unigram_lm_scores_match_python(spark):
+    import math
+    from collections import Counter
+
+    texts = ["a a b", "b c a a b", "x1 x2 x3", ""]  # x* are singletons
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    corpus = Counter(w for t in texts for w in t.split())
+    total = sum(corpus.values())
+    got = {r["doc_id"]: r for r in prep.unigram_lm_scores(df).collect()}
+    assert len(got) == len(texts)  # empty doc retained
+    for i, t in enumerate(texts):
+        words = t.split()
+        exp = 0.0
+        if words:
+            exp = math.log(total) - sum(math.log(corpus[w]) for w in words) / len(words)
+        assert abs(got[i]["lm_nll"] - exp) < 1e-6, (t, got[i]["lm_nll"], exp)
+    # common-token doc scores lower (more corpus-like) than rare-token doc
+    assert got[0]["lm_nll"] < got[2]["lm_nll"]
+
+
+def test_unigram_lm_scores_scan_economy_and_vocab_artifact(spark, tmp_path):
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    df = prep.unigram_lm_scores(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # self-contained plan: per-doc pass + vocab pass, never a third
+    # corpus scan from a duplicated frequency subtree
+    assert plan.count("FileScan parquet") == 2
+    # production path: prebuilt vocab artifact -> exactly ONE corpus scan
+    vocab = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+    vpath = str(tmp_path / "vocab")
+    vocab.write.parquet(vpath)
+    df2 = prep.unigram_lm_scores(docs, vocab=spark.read.parquet(vpath))
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("documents.parquet") == 1
+    a = sorted((r["doc_id"], r["lm_nll"]) for r in df.collect())
+    b = sorted((r["doc_id"], r["lm_nll"]) for r in df2.collect())
+    assert a == b and len(a) > 0
