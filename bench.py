@@ -353,6 +353,11 @@ def main():
     Q.q_lm_quality(spark, sf_dir).count()
     t, _ = timed(lambda: Q.q_lm_quality(spark, sf_dir).count())
     timings["lm_quality_full"] = t
+    # incremental ingest dedup incl. the distributed bloom build over
+    # the history hashes (the whole ingest-step cost, not just the join)
+    Q.q_incremental_dedup(spark, sf_dir).count()
+    t, _ = timed(lambda: Q.q_incremental_dedup(spark, sf_dir).count())
+    timings["incremental_dedup_full"] = t
     # cross-corpus decontamination: corpus vs a held-out benchmark set
     # (%17 split), benchmark side broadcast — the training side never
     # shuffles; reuses the cached docs scan.

@@ -88,3 +88,12 @@ SPAN_MIN_SHARED = 1
 # Balanced mixture sampling: hash-bucket scale and salt.
 MIX_SCALE = 1_000_000
 MIX_SEED = 7
+
+# Incremental ingest dedup: batch membership modulus, and the plant
+# pattern that copies every INC_PLANT_MOD-th HISTORY doc into the
+# batch (id-offset, text normalized-equal) so the history anti-join
+# provably removes rows.
+INC_BATCH_MOD = 10
+INC_PLANT_MOD = 7
+INC_PLANT_OFFSET = 20_000_000
+INC_BLOOM_FP = 0.01

@@ -747,3 +747,59 @@ def shared_ngram_spans(
         .agg(F.count("*").cast("int").alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") >= F.lit(min_shared))
     )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    history_hashes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bloom_bits: bytes | None = None,
+    bloom_hashes: int = 0,
+) -> DataFrame:
+    """Genuinely-new rows of an ingest batch against a massive history
+    — the per-ingest dedup step of a continuously-crawled corpus, where
+    re-running :func:`exact_duplicates` over history + batch would
+    re-shuffle 100 TB to dedup a few GB.
+
+    Semantics: keep the smallest-id batch row per content hash
+    (within-batch dedup), then drop rows whose hash exists in
+    ``history_hashes`` (a ``content_hash`` column — at scale,
+    ``spark.table()`` of the artifact written by
+    ``tables.write_content_hashes_bucketed``).
+
+    Scale shape: the within-batch window shuffles only the BATCH on an
+    8-byte key; the history check is a left_anti join in which a
+    content-hash-bucketed history side never exchanges (only the batch
+    shuffles into the bucket layout). With ``bloom_bits`` (a filter
+    over the history hashes from ``functions.bloom.build_bloom``),
+    batch rows the filter rejects are DEFINITELY new and bypass the
+    join entirely; only maybe-duplicates enter it — the filter's
+    false-positive rate affects cost, never the (exact) result.
+
+    Output: (doc_id, content_hash) of the genuinely-new rows.
+    """
+    hashed = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        portable_hash64(normalize_text(F.col(text_col))).alias("content_hash"),
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    firsts = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    hist = history_hashes.select("content_hash")
+    if bloom_bits is not None:
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions import bloom
+
+        mc = bloom.might_contain(new_docs.sparkSession, bloom_bits, bloom_hashes)
+        flagged = firsts.withColumn("__maybe", mc(F.col("content_hash")))
+        definite = flagged.filter(~F.col("__maybe"))
+        survivors = flagged.filter(F.col("__maybe")).join(
+            hist, "content_hash", "left_anti"
+        )
+        return definite.unionByName(survivors).select("doc_id", "content_hash")
+    return firsts.join(hist, "content_hash", "left_anti").select(
+        "doc_id", "content_hash"
+    )

@@ -1430,6 +1430,28 @@ WHERE ({h} % {C.MIX_SCALE}) < thr.thr
 """
 
 
+def sql_incremental_dedup() -> str:
+    """Mirrors q_incremental_dedup (Bloom prefilter is cost-only, so
+    the relational form ignores it): batch = native every-10th docs
+    plus planted copies of every 7th history doc; keep min-id per hash
+    within the batch, anti-join the history hashes."""
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    m, p, off = C.INC_BATCH_MOD, C.INC_PLANT_MOD, C.INC_PLANT_OFFSET
+    return f"""
+WITH history AS (SELECT doc_id, text FROM documents WHERE doc_id % {m} <> 0),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {m} = 0
+  UNION ALL
+  SELECT doc_id + {off} AS doc_id, upper(text) || '  ' AS text
+  FROM history WHERE doc_id % {p} = 0),
+bh AS (SELECT doc_id, {H(norm)} AS content_hash FROM batch),
+hh AS (SELECT DISTINCT {H(norm)} AS content_hash FROM history),
+firsts AS (SELECT content_hash, min(doc_id) AS doc_id FROM bh GROUP BY 1)
+SELECT f.doc_id, f.content_hash
+FROM firsts f ANTI JOIN hh ON f.content_hash = hh.content_hash
+"""
+
+
 def sql_token_entropy() -> str:
     """Mirrors q_token_entropy: the fold runs over list_sort(
     list_distinct(t)) — identical summation order to the engine's
@@ -1525,6 +1547,7 @@ def registry() -> dict[str, str]:
         "mixture_sample": sql_mixture_sample(),
         "token_entropy": sql_token_entropy(),
         "lm_quality": sql_lm_quality(),
+        "incremental_dedup": sql_incremental_dedup(),
         "lang_id": sql_lang_id(),
         "token_frequencies": sql_token_frequencies(),
         "corpus_report": sql_corpus_report(),

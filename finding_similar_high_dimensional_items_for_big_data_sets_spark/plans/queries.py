@@ -1162,6 +1162,37 @@ def q_shared_ngram_spans(spark, sf_dir):
     )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental ingest dedup: every 10th doc is the 'new batch',
+    the rest are 'history'. The batch additionally carries planted
+    normalized-equal copies of every 7th history doc (id-offset,
+    upper-cased + padded) so the history anti-join provably removes
+    rows, plus the plant pattern guarantees a within-batch collision
+    when a history doc index is divisible by both 7 and 10's
+    complement. Bloom prefilter ON — the filter is a cost lever, so
+    the oracle-checked result must be identical with it enabled."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions import bloom
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") % C.INC_BATCH_MOD != 0)
+    batch_native = docs.filter(F.col("doc_id") % C.INC_BATCH_MOD == 0)
+    planted = history.filter(F.col("doc_id") % C.INC_PLANT_MOD == 0).select(
+        (F.col("doc_id") + F.lit(C.INC_PLANT_OFFSET)).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("  ")).alias("text"),
+    )
+    batch = batch_native.unionByName(planted)
+    hist_hashes = history.select(
+        portable_hash64(dedup.normalize_text(F.col("text"))).alias("content_hash")
+    )
+    n_bits, n_hashes = bloom.optimal_params(
+        max(1, history.count()), C.INC_BLOOM_FP
+    )
+    bits = bloom.build_bloom(hist_hashes, "content_hash", n_bits, n_hashes)
+    return dedup.incremental_exact_dedup(
+        batch, hist_hashes, bloom_bits=bits, bloom_hashes=n_hashes
+    )
+
+
 def q_token_entropy(spark, sf_dir):
     """Per-doc Shannon entropy of the token distribution plus the
     normalized form entropy/ln(n) in [0,1] — low values flag
@@ -1239,6 +1270,7 @@ REGISTRY = {
     "mixture_sample": q_mixture_sample,
     "token_entropy": q_token_entropy,
     "lm_quality": q_lm_quality,
+    "incremental_dedup": q_incremental_dedup,
     "corpus_clean": q_corpus_clean,
     "lang_id": q_lang_id,
     "token_frequencies": q_token_frequencies,

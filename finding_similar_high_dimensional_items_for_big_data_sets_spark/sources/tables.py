@@ -741,3 +741,22 @@ def recover_compact_swap(spark: SparkSession, bands_table: str) -> bool:
         "nor __compact_old exists) — this state is unreachable from "
         "compact_index; restore from your table backup"
     )
+
+
+def write_content_hashes_bucketed(
+    hashed: DataFrame, table: str, num_buckets: int = 64
+) -> None:
+    """Persist the exact-dedup history artifact — (doc_id,
+    content_hash) — as a table BUCKETED on content_hash. The
+    incremental-ingest anti join (``dedup.incremental_exact_dedup``)
+    against ``spark.table(table)`` then leaves the history side
+    exchange-free: only the (small) ingest batch shuffles into the
+    bucket layout. Same immutable-artifact pattern as the bucketed
+    bands index."""
+    (
+        hashed.write.mode("overwrite")
+        .bucketBy(num_buckets, "content_hash")
+        .sortBy("content_hash")
+        .format("parquet")
+        .saveAsTable(table)
+    )
