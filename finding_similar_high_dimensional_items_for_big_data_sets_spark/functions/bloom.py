@@ -85,9 +85,12 @@ def build_bloom(
         bits = np.zeros(n_bytes, dtype=np.uint8)
         seen = False
         for pdf in batches:
-            if len(pdf):
+            keys = pdf.iloc[:, 0].dropna()
+            if len(keys):
                 seen = True
-                _fold_into(bits, pdf.iloc[:, 0].to_numpy(), n_bits, n_hashes)
+                _fold_into(
+                    bits, keys.to_numpy(dtype=np.int64), n_bits, n_hashes
+                )
         if seen:
             pid = TaskContext.get().partitionId()
             yield pd.DataFrame({"gid": [pid % fan_in], "bits": [bits.tobytes()]})
@@ -123,7 +126,11 @@ def might_contain(
     @F.pandas_udf(BooleanType())
     def _probe(keys: pd.Series) -> pd.Series:
         bits = np.frombuffer(bc.value, dtype=np.uint8)
-        arr = keys.to_numpy(dtype=np.int64)
+        # a null key (null input hashed) cannot be cleared by the
+        # filter: report "maybe" so it takes the exact-join path and
+        # correctness stays with the verifier
+        null_mask = keys.isna().to_numpy()
+        arr = keys.fillna(0).to_numpy(dtype=np.int64)
         ok = np.ones(len(arr), dtype=bool)
         for i in range(n_hashes):
             pos = _positions(arr, i, n_bits)
@@ -131,6 +138,7 @@ def might_contain(
                 bits[(pos >> np.uint64(3)).astype(np.int64)]
                 >> (pos & np.uint64(7)).astype(np.uint8)
             ) & np.uint8(1) != 0
+        ok[null_mask] = True
         return pd.Series(ok)
 
     return lambda c: _probe(c.cast("long"))

@@ -126,3 +126,18 @@ def test_incremental_dedup_bucketed_history_avoids_history_shuffle(spark, tmp_pa
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS test_hash_history")
+
+
+def test_bloom_null_keys_build_and_probe(spark):
+    # nulls in the build are skipped; nulls at probe report "maybe"
+    # (True) so they fall through to the exact verify join
+    keys = spark.createDataFrame(
+        [(1,), (None,), (2,)], "k long"
+    )
+    bits = bloom.build_bloom(keys, "k", 1 << 10, 3)
+    mc = bloom.might_contain(spark, bits, 3)
+    got = {
+        (r["k"], r["m"])
+        for r in keys.select("k", mc(F.col("k")).alias("m")).collect()
+    }
+    assert (1, True) in got and (2, True) in got and (None, True) in got
