@@ -310,3 +310,49 @@ def unigram_lm_scores(
         .otherwise(F.lit(0.0))
         .alias("lm_nll"),
     )
+
+
+def lm_quality_bands(
+    docs: DataFrame,
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet's head/middle/tail split over the unigram-LM scores: docs
+    at or below the ``cuts[0]`` NLL quantile are "head" (most
+    corpus-like), below ``cuts[1]`` "middle", the rest "tail" —
+    downstream mixtures sample the bands at different rates.
+
+    The cutoffs are EXACT percentiles (linear interpolation) computed
+    in one driver-side scalar job and folded back as literals; Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` return bit-identical
+    doubles over the identical rounded-to-6 score multisets (verified),
+    so band assignment is engine-exact. Scale note: exact percentile
+    aggregates a value->count map whose size is the number of DISTINCT
+    rounded-6 scores — bounded and far below row count; swap in
+    approx_percentile only if that ever dominates, at the price of the
+    oracle check. The scoring pipeline runs twice (once for cutoffs,
+    once for the result); in production persist
+    :func:`unigram_lm_scores` once and band the stored table.
+
+    Output: (doc_id, n_tokens, lm_nll, band STRING).
+    """
+    lo, hi = float(cuts[0]), float(cuts[1])
+    if not 0.0 < lo < hi < 1.0:
+        raise ValueError(f"cuts must satisfy 0 < lo < hi < 1, got {cuts}")
+    scores = unigram_lm_scores(docs, id_col=id_col, text_col=text_col, vocab=vocab)
+    q = scores.agg(
+        F.expr(f"percentile(lm_nll, array({lo!r}D, {hi!r}D))").alias("q")
+    ).collect()[0]["q"]
+    if q is None:
+        q = [float("inf"), float("inf")]
+    return scores.select(
+        "doc_id",
+        "n_tokens",
+        "lm_nll",
+        F.when(F.col("lm_nll") <= F.lit(float(q[0])), F.lit("head"))
+        .when(F.col("lm_nll") <= F.lit(float(q[1])), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("band"),
+    )

@@ -1430,6 +1430,24 @@ WHERE ({h} % {C.MIX_SCALE}) < thr.thr
 """
 
 
+def sql_lm_quality_bands() -> str:
+    """Mirrors prep.lm_quality_bands: DuckDB quantile_cont returns the
+    SAME bit-identical interpolated doubles as Spark's exact percentile
+    over the identical rounded-6 score multiset (verified), so the
+    band comparisons agree exactly. The lm CTE is MATERIALIZED — plain
+    CTEs inline per reference and the scores feed both the quantile
+    and the projection."""
+    return f"""
+WITH lm AS MATERIALIZED ({sql_lm_quality()}),
+q AS (SELECT quantile_cont(lm_nll, [1.0/3, 2.0/3]) AS qs FROM lm)
+SELECT doc_id, n_tokens, lm_nll,
+  CASE WHEN lm_nll <= qs[1] THEN 'head'
+       WHEN lm_nll <= qs[2] THEN 'middle'
+       ELSE 'tail' END AS band
+FROM lm, q
+"""
+
+
 def sql_incremental_dedup() -> str:
     """Mirrors q_incremental_dedup (Bloom prefilter is cost-only, so
     the relational form ignores it): batch = native every-10th docs
@@ -1547,6 +1565,7 @@ def registry() -> dict[str, str]:
         "mixture_sample": sql_mixture_sample(),
         "token_entropy": sql_token_entropy(),
         "lm_quality": sql_lm_quality(),
+        "lm_quality_bands": sql_lm_quality_bands(),
         "incremental_dedup": sql_incremental_dedup(),
         "lang_id": sql_lang_id(),
         "token_frequencies": sql_token_frequencies(),

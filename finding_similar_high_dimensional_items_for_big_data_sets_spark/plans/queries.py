@@ -1217,6 +1217,12 @@ def q_lm_quality(spark, sf_dir):
     return prep.unigram_lm_scores(_docs(spark, sf_dir))
 
 
+def q_lm_quality_bands(spark, sf_dir):
+    """CCNet head/middle/tail banding over the unigram-LM scores —
+    exact-percentile cutoffs, bit-identical across engines."""
+    return prep.lm_quality_bands(_docs(spark, sf_dir))
+
+
 def q_mixture_sample(spark, sf_dir):
     """Balanced data-mixing sample: every source deterministically
     downsampled toward the smallest source's token mass."""
@@ -1270,6 +1276,7 @@ REGISTRY = {
     "mixture_sample": q_mixture_sample,
     "token_entropy": q_token_entropy,
     "lm_quality": q_lm_quality,
+    "lm_quality_bands": q_lm_quality_bands,
     "incremental_dedup": q_incremental_dedup,
     "corpus_clean": q_corpus_clean,
     "lang_id": q_lang_id,

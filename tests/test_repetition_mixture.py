@@ -229,3 +229,25 @@ def test_unigram_lm_scores_scan_economy_and_vocab_artifact(spark, tmp_path):
     a = sorted((r["doc_id"], r["lm_nll"]) for r in df.collect())
     b = sorted((r["doc_id"], r["lm_nll"]) for r in df2.collect())
     assert a == b and len(a) > 0
+
+
+def test_lm_quality_bands_terciles_and_validation(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i % 7 + 1)) + f" t{i}") for i in range(90)],
+        "doc_id long, text string",
+    )
+    out = prep.lm_quality_bands(docs).collect()
+    assert len(out) == 90
+    counts = {}
+    for r in out:
+        counts[r["band"]] = counts.get(r["band"], 0) + 1
+    # terciles up to cutoff ties: each band is a nonempty ~third
+    assert set(counts) == {"head", "middle", "tail"}
+    assert all(10 <= c <= 60 for c in counts.values()), counts
+    # head has the lowest scores, tail the highest
+    by_band = {b: [r["lm_nll"] for r in out if r["band"] == b] for b in counts}
+    assert max(by_band["head"]) <= min(by_band["tail"])
+    with pytest.raises(ValueError):
+        prep.lm_quality_bands(docs, cuts=(0.5, 0.4))
