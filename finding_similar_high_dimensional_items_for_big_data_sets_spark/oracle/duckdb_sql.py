@@ -1430,6 +1430,32 @@ WHERE ({h} % {C.MIX_SCALE}) < thr.thr
 """
 
 
+def sql_bpe_pair_counts() -> str:
+    """Mirrors q_bpe_pair_counts: word counts, char split with the
+    </w> sentinel appended, adjacent-pair expansion weighted by word
+    count, top 200 by (cnt desc, left, right)."""
+    return """
+WITH wc AS (
+  SELECT g AS word, count(*) AS cnt
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS g
+        FROM documents) GROUP BY 1),
+chars AS (
+  SELECT cnt, list_append(string_split(word, ''), '</w>') AS c FROM wc),
+pairs AS (
+  SELECT cnt, unnest(list_transform(range(1, len(c)), i ->
+           struct_pack(l := c[i], r := c[i+1]))) AS p
+  FROM chars),
+agg AS (
+  SELECT p.l AS "left", p.r AS "right", sum(cnt) AS cnt
+  FROM pairs GROUP BY 1, 2)
+SELECT "left", "right", cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, "left" ASC, "right" ASC) AS INT) AS rank
+FROM agg
+ORDER BY cnt DESC, "left" ASC, "right" ASC
+LIMIT 200
+"""
+
+
 def sql_lm_quality_bands() -> str:
     """Mirrors prep.lm_quality_bands: DuckDB quantile_cont returns the
     SAME bit-identical interpolated doubles as Spark's exact percentile
@@ -1566,6 +1592,7 @@ def registry() -> dict[str, str]:
         "token_entropy": sql_token_entropy(),
         "lm_quality": sql_lm_quality(),
         "lm_quality_bands": sql_lm_quality_bands(),
+        "bpe_pair_counts": sql_bpe_pair_counts(),
         "incremental_dedup": sql_incremental_dedup(),
         "lang_id": sql_lang_id(),
         "token_frequencies": sql_token_frequencies(),

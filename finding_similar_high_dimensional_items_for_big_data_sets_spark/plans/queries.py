@@ -1217,6 +1217,25 @@ def q_lm_quality(spark, sf_dir):
     return prep.unigram_lm_scores(_docs(spark, sf_dir))
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """Top 200 BPE symbol-pair frequencies over the initial char
+    vocabulary (the statistic the first merge maximizes) — one corpus
+    pass to vocab-bounded word counts, then row-local pair expansion.
+    Deterministic order: (cnt desc, left asc, right asc)."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import bpe
+
+    wc = bpe.word_counts(_docs(spark, sf_dir))
+    pc = bpe.pair_counts(wc)
+    w = Window.partitionBy(F.pmod(F.length("left"), F.lit(1))).orderBy(
+        F.col("cnt").desc(), F.col("left").asc(), F.col("right").asc()
+    )
+    return (
+        pc.orderBy(F.col("cnt").desc(), F.col("left").asc(), F.col("right").asc())
+        .limit(200)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
 def q_lm_quality_bands(spark, sf_dir):
     """CCNet head/middle/tail banding over the unigram-LM scores —
     exact-percentile cutoffs, bit-identical across engines."""
@@ -1277,6 +1296,7 @@ REGISTRY = {
     "token_entropy": q_token_entropy,
     "lm_quality": q_lm_quality,
     "lm_quality_bands": q_lm_quality_bands,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "incremental_dedup": q_incremental_dedup,
     "corpus_clean": q_corpus_clean,
     "lang_id": q_lang_id,
