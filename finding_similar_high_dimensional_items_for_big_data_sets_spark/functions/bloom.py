@@ -74,7 +74,17 @@ def build_bloom(
     n_hashes: int,
     fan_in: int = 64,
 ) -> bytes:
-    """One-pass distributed build; returns the packed bitset."""
+    """One-pass distributed build; returns the packed bitset.
+
+    Null keys are dropped JVM-side before Arrow: a long batch with any
+    null converts to float64 in pandas, and an int64 round-trip through
+    float64 silently rounds 60-bit hash keys to 53-bit precision —
+    corrupted bit positions would make real history members probe as
+    "definitely new". The same reasoning caps the number of partition
+    bitsets with ``coalesce`` (narrow, no shuffle) at ``fan_in**2``
+    BEFORE the fold, so the tree is two genuinely bounded levels:
+    <= fan_in bitsets per OR task, <= fan_in rows collected.
+    """
     if n_bits & (n_bits - 1):
         raise ValueError("n_bits must be a power of two")
     n_bytes = n_bits >> 3
@@ -85,7 +95,7 @@ def build_bloom(
         bits = np.zeros(n_bytes, dtype=np.uint8)
         seen = False
         for pdf in batches:
-            keys = pdf.iloc[:, 0].dropna()
+            keys = pdf.iloc[:, 0]
             if len(keys):
                 seen = True
                 _fold_into(
@@ -93,7 +103,7 @@ def build_bloom(
                 )
         if seen:
             pid = TaskContext.get().partitionId()
-            yield pd.DataFrame({"gid": [pid % fan_in], "bits": [bits.tobytes()]})
+            yield pd.DataFrame({"gid": [pid // fan_in], "bits": [bits.tobytes()]})
 
     def or_group(pdf: pd.DataFrame) -> pd.DataFrame:
         acc = np.zeros(n_bytes, dtype=np.uint8)
@@ -101,9 +111,12 @@ def build_bloom(
             acc |= np.frombuffer(b, dtype=np.uint8)
         return pd.DataFrame({"gid": [pdf["gid"].iloc[0]], "bits": [acc.tobytes()]})
 
-    partial = keys_df.select(F.col(key_col).cast("long")).mapInPandas(
-        partition_bitset, schema="gid int, bits binary"
+    keys = keys_df.select(F.col(key_col).cast("long").alias("k")).filter(
+        F.col("k").isNotNull()
     )
+    if keys.rdd.getNumPartitions() > fan_in * fan_in:
+        keys = keys.coalesce(fan_in * fan_in)
+    partial = keys.mapInPandas(partition_bitset, schema="gid int, bits binary")
     rows = partial.groupBy("gid").applyInPandas(
         or_group, schema="gid int, bits binary"
     ).collect()
@@ -126,11 +139,7 @@ def might_contain(
     @F.pandas_udf(BooleanType())
     def _probe(keys: pd.Series) -> pd.Series:
         bits = np.frombuffer(bc.value, dtype=np.uint8)
-        # a null key (null input hashed) cannot be cleared by the
-        # filter: report "maybe" so it takes the exact-join path and
-        # correctness stays with the verifier
-        null_mask = keys.isna().to_numpy()
-        arr = keys.fillna(0).to_numpy(dtype=np.int64)
+        arr = keys.to_numpy(dtype=np.int64)
         ok = np.ones(len(arr), dtype=bool)
         for i in range(n_hashes):
             pos = _positions(arr, i, n_bits)
@@ -138,7 +147,15 @@ def might_contain(
                 bits[(pos >> np.uint64(3)).astype(np.int64)]
                 >> (pos & np.uint64(7)).astype(np.uint8)
             ) & np.uint8(1) != 0
-        ok[null_mask] = True
         return pd.Series(ok)
 
-    return lambda c: _probe(c.cast("long"))
+    # Nulls are handled JVM-side, BEFORE Arrow: one null in a batch
+    # makes pandas deliver the whole long column as float64, and the
+    # float64 round-trip silently rounds every 60-bit key in that batch
+    # to 53-bit precision — false NEGATIVES for genuine members. The
+    # coalesce keeps the UDF input null-free (so Arrow stays int64) and
+    # the when() reports null keys as "maybe", which routes them to the
+    # exact verify join.
+    return lambda c: F.when(c.isNull(), F.lit(True)).otherwise(
+        _probe(F.coalesce(c.cast("long"), F.lit(0)))
+    )

@@ -180,15 +180,17 @@ def top_ngram_count(grams: Column) -> Column:
 
 def dup_ngram_occurrences(grams: Column) -> Column:
     """Number of gram OCCURRENCES whose value appears >= 2 times in the
-    document (Gopher-style "duplicate n-gram fraction" numerator)."""
-    return F.aggregate(
+    document (Gopher-style "duplicate n-gram fraction" numerator).
+    The multiplicity scan runs once per distinct gram (transform to
+    counts first, then fold) — not once per fold reference."""
+    counts = F.transform(
         F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    )
+    return F.aggregate(
+        counts,
         F.lit(0),
-        lambda acc, g: acc
-        + F.when(
-            F.size(F.filter(grams, lambda x: x == g)) >= 2,
-            F.size(F.filter(grams, lambda x: x == g)),
-        ).otherwise(F.lit(0)),
+        lambda acc, c: acc + F.when(c >= 2, c).otherwise(F.lit(0)),
     )
 
 
@@ -207,11 +209,11 @@ def token_entropy(tokens: Column) -> Column:
     Row-local higher-order functions only — shuffle-free.
     """
     n = F.size(tokens)
-    s = F.aggregate(
+    counts = F.transform(
         F.array_sort(F.array_distinct(tokens)),
-        F.lit(0.0),
-        lambda acc, tok: acc
-        + F.size(F.filter(tokens, lambda x: x == tok)).cast("double")
-        * F.log(F.size(F.filter(tokens, lambda x: x == tok)).cast("double")),
+        lambda tok: F.size(F.filter(tokens, lambda x: x == tok)).cast("double"),
+    )
+    s = F.aggregate(
+        counts, F.lit(0.0), lambda acc, c: acc + c * F.log(c)
     )
     return F.when(n > 0, F.log(n.cast("double")) - s / n).otherwise(F.lit(0.0))

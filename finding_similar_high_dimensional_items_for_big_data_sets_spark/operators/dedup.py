@@ -743,7 +743,12 @@ def shared_ngram_spans(
         ).alias("p")
     ).select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
     return (
-        pairs.groupBy("doc_a", "doc_b")
+        # doc_a < doc_b guards the one way hashing could still diverge
+        # from the oracle: two DIFFERENT grams of the SAME doc colliding
+        # on the 60-bit hash would put the doc in its bucket twice and
+        # emit a (x, x) self-pair the oracle's a < b join excludes
+        pairs.filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("int").alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") >= F.lit(min_shared))
     )
@@ -794,7 +799,14 @@ def incremental_exact_dedup(
         from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions import bloom
 
         mc = bloom.might_contain(new_docs.sparkSession, bloom_bits, bloom_hashes)
-        flagged = firsts.withColumn("__maybe", mc(F.col("content_hash")))
+        # flagged feeds BOTH the definite branch and the join branch of
+        # the union; materialize it once so the window + Arrow probe
+        # run once per batch row instead of twice (the batch is small
+        # by this operator's contract — that is why history is the big
+        # side — so the checkpoint is cheap)
+        flagged = firsts.withColumn(
+            "__maybe", mc(F.col("content_hash"))
+        ).localCheckpoint(eager=False)
         definite = flagged.filter(~F.col("__maybe"))
         survivors = flagged.filter(F.col("__maybe")).join(
             hist, "content_hash", "left_anti"

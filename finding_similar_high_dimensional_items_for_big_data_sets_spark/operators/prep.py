@@ -183,6 +183,13 @@ def balanced_mixture_sample(
         .agg(F.sum("n_tokens").alias("t"))
         .collect()
     }
+    # null group keys and zero-mass groups cannot participate in a
+    # token-balanced mixture: a null key would crash create_map, and a
+    # zero total would make floor_mass 0 (emptying EVERY source) and
+    # divide by zero. Both fall through to the coalesce(0) threshold —
+    # their rows are dropped, matching the oracle's inner join + the
+    # "no tokens to contribute" semantics.
+    totals = {g: t for g, t in totals.items() if g is not None and t and t > 0}
     if not totals:
         return counted.withColumn("sample_bucket", F.lit(0)).limit(0)
     floor_mass = min(totals.values())

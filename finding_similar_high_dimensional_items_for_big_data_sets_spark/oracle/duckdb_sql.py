@@ -1378,7 +1378,9 @@ tgc AS (
 SELECT b.doc_id,
   CAST(b.n AS INT) AS n_tokens,
   CAST(coalesce(bgc.maxc, 0) AS INT) AS top_bigram_count,
-  least(1.0, (2.0 * CAST(coalesce(bgc.maxc, 0) AS INT)) / CAST(b.n AS INT)) AS top_bigram_frac,
+  CASE WHEN b.n > 0
+       THEN least(1.0, (2.0 * CAST(coalesce(bgc.maxc, 0) AS INT)) / CAST(b.n AS INT))
+       ELSE 0.0 END AS top_bigram_frac,
   CAST(coalesce(tgc.dup, 0) AS INT) AS dup_trigram_occ,
   CASE WHEN coalesce(tgc.tot, 0) > 0
        THEN CAST(coalesce(tgc.dup, 0) AS INT) / CAST(tgc.tot AS INT)
@@ -1422,7 +1424,8 @@ WITH c AS (
   SELECT doc_id, source,
          CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_tokens
   FROM documents),
-g AS (SELECT source, sum(n_tokens) AS t FROM c GROUP BY 1),
+g AS (SELECT source, sum(n_tokens) AS t FROM c
+      WHERE source IS NOT NULL GROUP BY 1 HAVING sum(n_tokens) > 0),
 thr AS (SELECT source, ({C.MIX_SCALE} * (SELECT min(t) FROM g)) // t AS thr FROM g)
 SELECT doc_id, c.source, n_tokens, CAST({h} % {C.MIX_SCALE} AS INT) AS sample_bucket
 FROM c JOIN thr ON c.source = thr.source

@@ -1130,10 +1130,15 @@ def q_repetition_stats(spark, sf_dir):
         "doc_id",
         "n_tokens",
         "top_bigram_count",
-        F.least(
-            F.lit(1.0),
-            (2.0 * F.col("top_bigram_count")) / F.col("n_tokens"),
-        ).alias("top_bigram_frac"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.least(
+                F.lit(1.0),
+                (2.0 * F.col("top_bigram_count")) / F.col("n_tokens"),
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
         "dup_trigram_occ",
         F.when(
             F.col("n_trigrams") > 0,

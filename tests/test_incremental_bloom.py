@@ -141,3 +141,26 @@ def test_bloom_null_keys_build_and_probe(spark):
         for r in keys.select("k", mc(F.col("k")).alias("m")).collect()
     }
     assert (1, True) in got and (2, True) in got and (None, True) in got
+
+
+def test_bloom_large_keys_with_null_in_same_batch_keep_precision(spark):
+    # Arrow hands a long column with any null to pandas as float64;
+    # an int64 round-trip through float64 rounds 60-bit keys. Both the
+    # build and the probe must keep exact keys even when nulls share
+    # the batch: a member key > 2^53 must never probe negative.
+    big = [(576460752315769165 + i,) for i in range(50)]  # ~2^59, odd lsbs
+    keys = spark.createDataFrame(big + [(None,)], "k long").coalesce(1)
+    bits = bloom.build_bloom(keys, "k", 1 << 12, 4)
+    mc = bloom.might_contain(spark, bits, 4)
+    got = keys.select("k", mc(F.col("k")).alias("m")).collect()
+    assert all(r["m"] for r in got)  # no false negative, null -> maybe
+
+
+def test_bloom_fan_in_tree_bounds_group_size(spark):
+    # more input partitions than fan_in**2: the coalesce caps the
+    # partition-bitset count; correctness is unchanged
+    keys = spark.range(500).select(F.xxhash64("id").alias("k")).repartition(30)
+    bits = bloom.build_bloom(keys, "k", 1 << 12, 4, fan_in=5)
+    mc = bloom.might_contain(spark, bits, 4)
+    members = spark.range(500).select(F.xxhash64("id").alias("k"))
+    assert members.filter(~mc(F.col("k"))).count() == 0

@@ -251,3 +251,46 @@ def test_lm_quality_bands_terciles_and_validation(spark):
     assert max(by_band["head"]) <= min(by_band["tail"])
     with pytest.raises(ValueError):
         prep.lm_quality_bands(docs, cuts=(0.5, 0.4))
+
+
+def test_mixture_sample_degenerate_groups(spark):
+    # a zero-mass source must not crash or empty the other sources, and
+    # a null source key must not crash the literal map
+    rows = [(1, "a", "tok tok"), (2, "b", ""), (3, None, "tok"), (4, "a", "tok")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = prep.balanced_mixture_sample(df, group_col="source").collect()
+    ids = {r["doc_id"] for r in out}
+    assert ids == {1, 4}  # source a (the only positive-mass source) kept whole
+    # all-empty corpus: empty result, no ZeroDivisionError
+    empty = spark.createDataFrame([(1, "a", "")], "doc_id long, source string, text string")
+    assert prep.balanced_mixture_sample(empty, group_col="source").count() == 0
+
+
+def test_repetition_stats_empty_doc_fractions_are_zero(spark):
+    import math
+
+    # exercise q_repetition_stats' guarded fraction expr on a frame
+    # with an empty doc (the fixtures carry none)
+    docs = spark.createDataFrame([(0, ""), (1, "a a a a")], "doc_id long, text string")
+    toks = tokenize(F.col("text"))
+    bigrams = textstats.word_ngram_multiset(toks, 2)
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            textstats.top_ngram_count(bigrams).alias("top_bigram_count"),
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.least(F.lit(1.0), (2.0 * F.col("top_bigram_count")) / F.col("n_tokens")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("f"),
+        )
+        .collect()
+    }
+    assert out[0]["f"] == 0.0 and not math.isnan(out[0]["f"])
+    assert out[1]["f"] == 1.0
