@@ -514,6 +514,58 @@ def main():
             probe_once()
             block["lsh_batch_100_bucketed"] = timed_min(probe_once, reps)
 
+            # new round-4 heavyweights, same 1x/10x discipline:
+            # substring-contamination pass (the cap bounds per-gram
+            # state), LM quality scoring (vocab agg + token join +
+            # per-doc fold), and the full incremental-ingest step with
+            # a FIXED batch against the growing history (bloom build
+            # is the history-linear term)
+            def spans_once():
+                dedup.shared_ngram_spans(docs_s, n=8, max_doc_freq=16).count()
+
+            spans_once()
+            block["shared_ngram_spans"] = timed_min(spans_once, max(1, reps - 1))
+
+            from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import prep as prep_ops
+
+            def lm_once():
+                prep_ops.unigram_lm_scores(docs_s).count()
+
+            lm_once()
+            block["lm_quality"] = timed_min(lm_once, max(1, reps - 1))
+
+            from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions import bloom
+            from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.hashing import (
+                portable_hash64,
+            )
+
+            hist_hashes_s = docs_s.select(
+                portable_hash64(dedup.normalize_text(F.col("text"))).alias(
+                    "content_hash"
+                )
+            )
+            ingest_batch = docs_s.filter(F.col("doc_id") < 2000).select(
+                (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+                F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+                .otherwise(F.concat(F.lit("fresh "), F.col("text")))
+                .alias("text"),
+            )
+
+            def ingest_once():
+                nb_s, nh_s = bloom.optimal_params(n_docs_s, 0.01)
+                bits_s = bloom.build_bloom(
+                    hist_hashes_s, "content_hash", nb_s, nh_s
+                )
+                dedup.incremental_exact_dedup(
+                    ingest_batch,
+                    hist_hashes_s,
+                    bloom_bits=bits_s,
+                    bloom_hashes=nh_s,
+                ).count()
+
+            ingest_once()
+            block["incremental_dedup"] = timed_min(ingest_once, max(1, reps - 1))
+
             scaling[label] = {
                 k: (round(v, 4) if isinstance(v, float) else v)
                 for k, v in block.items()
@@ -531,6 +583,9 @@ def main():
                 "dedup_lsh_pairs",
                 "corpus_dedup_pipeline",
                 "lsh_batch_100_bucketed",
+                "shared_ngram_spans",
+                "lm_quality",
+                "incremental_dedup",
             )
         }
 

@@ -55,10 +55,20 @@ def stream_ingest_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     trigger_kwargs: dict | None = None,
+    index_params=None,
+    sigs_path: str | None = None,
+    bands_table: str | None = None,
 ):
     """Start the ingest-dedup stream. Kept rows (all input columns +
     ``content_hash``) land under ``out_path`` partitioned by
     ``ingest_batch``; their hashes join ``history_table``.
+
+    With ``index_params`` + ``sigs_path`` + ``bands_table`` the same
+    epoch ALSO signs and bands the kept rows into the LSH index via
+    ``append_to_index_exactly_once`` — the complete production ingest
+    loop (crawl stream → dedup vs history → index the survivors) with
+    every store converging under replay: all three writes are dynamic
+    overwrites of the epoch's own ``ingest_batch`` partition.
 
     Requires a history built by :func:`write_hash_history_partitioned`
     (the ``ingest_batch`` partition column is what makes replayed
@@ -69,6 +79,15 @@ def stream_ingest_dedup(
         incremental_exact_dedup,
     )
 
+    index_args = (index_params, sigs_path, bands_table)
+    if any(a is not None for a in index_args) and not all(
+        a is not None for a in index_args
+    ):
+        raise ValueError(
+            "index maintenance needs all of index_params, sigs_path, "
+            "bands_table (or none)"
+        )
+    with_index = index_params is not None
     spark = stream_docs.sparkSession
     # catalog metadata, NOT spark.table(...): resolving the relation
     # here would pin a pre-stream file listing in the relation cache
@@ -79,6 +98,14 @@ def stream_ingest_dedup(
             f"{history_table} is not batch-partitioned; build it with "
             "write_hash_history_partitioned — a flat history cannot "
             "absorb replayed epochs idempotently"
+        )
+    if with_index and "ingest_batch" not in {
+        c.name for c in spark.catalog.listColumns(bands_table)
+    }:
+        raise ValueError(
+            f"{bands_table} is not batch-partitioned; build it with "
+            "write_bands_bucketed(batch_partitioned=True) so index "
+            "appends converge under replay like the other two stores"
         )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -123,6 +150,16 @@ def stream_ingest_dedup(
             )
         finally:
             s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        if with_index:
+            from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+                append_to_index_exactly_once,
+            )
+
+            survivors = kept.select(F.col(id_col).alias("doc_id"), text_col)
+            if not survivors.isEmpty():
+                append_to_index_exactly_once(
+                    survivors, int(batch_id), index_params, sigs_path, bands_table
+                )
 
     writer = stream_docs.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint

@@ -136,3 +136,80 @@ def test_stream_ingest_dedup_rejects_flat_history(spark, tmp_path):
             )
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ingest_flat")
+
+
+def test_stream_ingest_pipeline_dedup_plus_index(spark, tmp_path):
+    """The full production loop: stream -> dedup vs history -> index
+    the survivors. The index must end probe-identical to a batch build
+    over base + kept docs, across a checkpoint restart."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.config import MinHashParams
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import lsh, minhash
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources import tables as T
+
+    params = MinHashParams()
+    base = spark.createDataFrame(
+        [(i, f"seed doc number {i} with words") for i in range(40)],
+        "doc_id long, text string",
+    )
+    _fresh_table(spark, "t_pipe_hist")
+    _fresh_table(spark, "t_pipe_idx")
+    SI.write_hash_history_partitioned(_hashed(base), "t_pipe_hist", num_buckets=4)
+    sigs_p = str(tmp_path / "pipe_sigs")
+    base_sigs = minhash.signatures(base, params)
+    T.write_sigs_batch_partitioned(base_sigs, sigs_p)
+    T.write_bands_bucketed(
+        lsh.bands_table(base_sigs, params), "t_pipe_idx",
+        num_buckets=4, batch_partitioned=True,
+    )
+    src = str(tmp_path / "pipe_src")
+    out = str(tmp_path / "pipe_out")
+    ckpt = str(tmp_path / "pipe_ckpt")
+    first = spark.createDataFrame(
+        [(100, "a brand new crawl document"), (101, "seed doc number 3 with words")],
+        "doc_id long, text string",
+    )
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    try:
+        SI.stream_ingest_dedup(
+            spark.readStream.schema(first.schema).parquet(src),
+            "t_pipe_hist", out, ckpt,
+            index_params=params, sigs_path=sigs_p, bands_table="t_pipe_idx",
+        ).awaitTermination(180)
+        # restart with a second file: one cross-run dup + one fresh doc
+        second = spark.createDataFrame(
+            [(200, "a brand new crawl document"), (201, "another fresh one")],
+            "doc_id long, text string",
+        )
+        second.coalesce(1).write.mode("append").parquet(src)
+        SI.stream_ingest_dedup(
+            spark.readStream.schema(first.schema).parquet(src),
+            "t_pipe_hist", out, ckpt,
+            index_params=params, sigs_path=sigs_p, bands_table="t_pipe_idx",
+        ).awaitTermination(180)
+
+        kept_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert kept_ids == {100, 201}
+        # the index holds exactly base + kept, once each
+        sigs_all = spark.read.parquet(sigs_p)
+        assert sigs_all.count() == 40 + 2
+        assert sigs_all.select("doc_id").distinct().count() == 42
+        # probe-identical to a batch build over the same corpus
+        full = base.unionByName(
+            spark.read.parquet(out).select("doc_id", "text")
+        )
+        sigs_full = minhash.signatures(full, params).cache()
+        bands_full = lsh.bands_table(sigs_full, params)
+        qd = sigs_full.filter(F.col("doc_id") == 100).select(
+            F.col("doc_id").alias("query_id"), "sig"
+        )
+        got = lsh.lsh_topk(
+            sigs_all.select("doc_id", "sig"), spark.table("t_pipe_idx"),
+            qd, params, k=5, n_queries=1,
+        ).collect()
+        expect = lsh.lsh_topk(
+            sigs_full, bands_full, qd, params, k=5, n_queries=1
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_pipe_hist")
+        spark.sql("DROP TABLE IF EXISTS t_pipe_idx")
