@@ -1433,6 +1433,25 @@ WHERE ({h} % {C.MIX_SCALE}) < thr.thr
 """
 
 
+def sql_quality_report() -> str:
+    """Mirrors q_quality_report by composing the already-verified
+    fragment queries (MATERIALIZED — plain CTEs inline per use); the
+    keep rule is the corpus_clean quality boundary AND the repetition
+    oracle's own integer-exact keep column."""
+    return f"""
+WITH ts AS MATERIALIZED ({sql_text_stats()}),
+ent AS MATERIALIZED ({sql_token_entropy()}),
+rep AS MATERIALIZED ({sql_repetition_stats()}),
+lm AS MATERIALIZED ({sql_lm_quality()})
+SELECT ts.doc_id, ts.n_tokens, round(ts.quality, 6) AS quality,
+       ent.entropy, lm.lm_nll,
+       (ts.quality >= 0.5 AND rep.keep) AS keep
+FROM ts JOIN ent ON ts.doc_id = ent.doc_id
+        JOIN rep ON ts.doc_id = rep.doc_id
+        LEFT JOIN lm ON ts.doc_id = lm.doc_id
+"""
+
+
 def sql_bpe_pair_counts() -> str:
     """Mirrors q_bpe_pair_counts: word counts, char split with the
     </w> sentinel appended, adjacent-pair expansion weighted by word
@@ -1596,6 +1615,7 @@ def registry() -> dict[str, str]:
         "lm_quality": sql_lm_quality(),
         "lm_quality_bands": sql_lm_quality_bands(),
         "bpe_pair_counts": sql_bpe_pair_counts(),
+        "quality_report": sql_quality_report(),
         "incremental_dedup": sql_incremental_dedup(),
         "lang_id": sql_lang_id(),
         "token_frequencies": sql_token_frequencies(),

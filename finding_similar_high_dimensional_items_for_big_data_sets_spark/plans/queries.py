@@ -1222,6 +1222,49 @@ def q_lm_quality(spark, sf_dir):
     return prep.unigram_lm_scores(_docs(spark, sf_dir))
 
 
+def q_quality_report(spark, sf_dir):
+    """Per-doc quality dashboard: every scoring signal the pipeline
+    computes, in one table, with the combined keep decision — the
+    heuristic score (corpus_clean's >= 0.5 rule, bit-exact across
+    engines) AND the integer-exact Gopher repetition thresholds. The
+    heuristic/entropy/repetition columns are ONE shuffle-free scan
+    (row-local HOFs); the LM score joins on doc_id."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    toks = tokenize(t)
+    trigrams = textstats.word_ngram_multiset(toks, 3)
+    local = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        textstats.quality_score(t).alias("quality"),
+        F.round(textstats.token_entropy(toks), 6).alias("entropy"),
+        textstats.top_ngram_count(textstats.word_ngram_multiset(toks, 2)).alias(
+            "top_bigram_count"
+        ),
+        F.size(trigrams).alias("n_trigrams"),
+        textstats.dup_ngram_occurrences(trigrams).alias("dup_trigram_occ"),
+    )
+    lm = prep.unigram_lm_scores(docs).select("doc_id", "lm_nll")
+    return local.join(lm, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.round("quality", 6).alias("quality"),
+        "entropy",
+        "lm_nll",
+        (
+            (F.col("quality") >= 0.5)
+            & (
+                F.lit(C.REP_TOP_BIGRAM_X) * F.col("top_bigram_count")
+                <= F.col("n_tokens")
+            )
+            & (
+                F.lit(C.REP_DUP_TRIGRAM_X) * F.col("dup_trigram_occ")
+                <= F.col("n_trigrams")
+            )
+        ).alias("keep"),
+    )
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     """Top 200 BPE symbol-pair frequencies over the initial char
     vocabulary (the statistic the first merge maximizes) — one corpus
@@ -1302,6 +1345,7 @@ REGISTRY = {
     "lm_quality": q_lm_quality,
     "lm_quality_bands": q_lm_quality_bands,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "quality_report": q_quality_report,
     "incremental_dedup": q_incremental_dedup,
     "corpus_clean": q_corpus_clean,
     "lang_id": q_lang_id,
