@@ -97,3 +97,7 @@ INC_BATCH_MOD = 10
 INC_PLANT_MOD = 7
 INC_PLANT_OFFSET = 20_000_000
 INC_BLOOM_FP = 0.01
+
+# Sliding-window chunking: token window and stride (overlap = 16).
+CHUNK_WINDOW = 64
+CHUNK_STRIDE = 48

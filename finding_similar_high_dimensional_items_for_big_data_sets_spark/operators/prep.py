@@ -363,3 +363,50 @@ def lm_quality_bands(
         .otherwise(F.lit("tail"))
         .alias("band"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking: split each document into token windows
+    of ``window`` tokens starting every ``stride`` tokens (overlap =
+    window - stride), the standard long-document prep for context-
+    bounded training. Chunk starts at 0, stride, 2*stride, ... while
+    the start is inside the document, so the last chunk may be short;
+    empty documents produce no chunks.
+
+    Row-local: one transform + posexplode, shuffle-free — at 100 TB
+    this is pure map work that fuses into the scan.
+
+    Output: (doc_id, chunk_idx INT, chunk_text STRING, n_chunk_tokens INT).
+    """
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.text import tokenize
+
+    if window <= 0 or stride <= 0:
+        raise ValueError(f"window and stride must be positive, got {window}/{stride}")
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    # start indices: 0, stride, ... < n. NOTE sequence(0, -1) DESCENDS
+    # ([0, -1]) rather than being empty — empty docs need the explicit
+    # empty-array branch.
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.floor((n - F.lit(1)) / stride)),
+            lambda i: F.slice(toks, i * stride + F.lit(1), window),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(chunks).alias("chunk_idx", "ct"),
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int"),
+        F.array_join("ct", " ").alias("chunk_text"),
+        F.size("ct").alias("n_chunk_tokens"),
+    )

@@ -1433,6 +1433,24 @@ WHERE ({h} % {C.MIX_SCALE}) < thr.thr
 """
 
 
+def sql_chunk_documents() -> str:
+    """Mirrors prep.chunk_documents: DuckDB's inclusive 1-based list
+    slice t[s : s+W-1] == Spark's slice(toks, s, W)."""
+    w, st = C.CHUNK_WINDOW, C.CHUNK_STRIDE
+    return f"""
+WITH toks AS ({TOKS}),
+idx AS (
+  SELECT doc_id, t,
+         unnest(range(0, CAST(CASE WHEN len(t) > 0
+                THEN floor((len(t) - 1) / {st}) + 1 ELSE 0 END AS BIGINT))) AS ci
+  FROM toks)
+SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+       array_to_string(t[ci*{st}+1 : ci*{st}+{w}], ' ') AS chunk_text,
+       CAST(len(t[ci*{st}+1 : ci*{st}+{w}]) AS INT) AS n_chunk_tokens
+FROM idx
+"""
+
+
 def sql_quality_report() -> str:
     """Mirrors q_quality_report by composing the already-verified
     fragment queries (MATERIALIZED — plain CTEs inline per use); the
@@ -1616,6 +1634,7 @@ def registry() -> dict[str, str]:
         "lm_quality_bands": sql_lm_quality_bands(),
         "bpe_pair_counts": sql_bpe_pair_counts(),
         "quality_report": sql_quality_report(),
+        "chunk_documents": sql_chunk_documents(),
         "incremental_dedup": sql_incremental_dedup(),
         "lang_id": sql_lang_id(),
         "token_frequencies": sql_token_frequencies(),

@@ -1222,6 +1222,15 @@ def q_lm_quality(spark, sf_dir):
     return prep.unigram_lm_scores(_docs(spark, sf_dir))
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking: 64-token windows every 48 tokens
+    (16-token overlap) — row-local transform + posexplode,
+    shuffle-free."""
+    return prep.chunk_documents(
+        _docs(spark, sf_dir), window=C.CHUNK_WINDOW, stride=C.CHUNK_STRIDE
+    )
+
+
 def q_quality_report(spark, sf_dir):
     """Per-doc quality dashboard: every scoring signal the pipeline
     computes, in one table, with the combined keep decision — the
@@ -1346,6 +1355,7 @@ REGISTRY = {
     "lm_quality_bands": q_lm_quality_bands,
     "bpe_pair_counts": q_bpe_pair_counts,
     "quality_report": q_quality_report,
+    "chunk_documents": q_chunk_documents,
     "incremental_dedup": q_incremental_dedup,
     "corpus_clean": q_corpus_clean,
     "lang_id": q_lang_id,

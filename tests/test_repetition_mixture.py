@@ -294,3 +294,36 @@ def test_repetition_stats_empty_doc_fractions_are_zero(spark):
     }
     assert out[0]["f"] == 0.0 and not math.isnan(out[0]["f"])
     assert out[1]["f"] == 1.0
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    import pytest
+
+    texts = {
+        0: " ".join(f"t{i}" for i in range(10)),  # 10 toks: chunks at 0,4,8
+        1: "a b c",                                # shorter than window
+        2: "",                                     # no chunks
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = prep.chunk_documents(df, window=5, stride=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 2 not in by_doc
+    c0 = sorted(by_doc[0], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_text"] for r in c0] == [
+        "t0 t1 t2 t3 t4", "t4 t5 t6 t7 t8", "t8 t9"
+    ]
+    assert [r["n_chunk_tokens"] for r in c0] == [5, 5, 2]
+    assert by_doc[1][0]["chunk_text"] == "a b c" and len(by_doc[1]) == 1
+    # overlap reconstruction: stride tokens of each non-final chunk
+    # prefix-concatenated + final chunk == original doc
+    rebuilt = " ".join(
+        " ".join(r["chunk_text"].split(" ")[:4]) for r in c0[:-1]
+    ) + " " + c0[-1]["chunk_text"]
+    assert rebuilt == texts[0]
+    with pytest.raises(ValueError):
+        prep.chunk_documents(df, window=0, stride=4)
+    # shuffle-free plan
+    plan = prep.chunk_documents(df, 5, 4)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
