@@ -101,3 +101,9 @@ INC_BLOOM_FP = 0.01
 # Sliding-window chunking: token window and stride (overlap = 16).
 CHUNK_WINDOW = 64
 CHUNK_STRIDE = 48
+
+# Product quantization: subspaces, codes per subspace, codebook seed.
+PQ_M = 8
+PQ_CODES = 16
+PQ_SEED = 44
+PQ_SHORTLIST = 50

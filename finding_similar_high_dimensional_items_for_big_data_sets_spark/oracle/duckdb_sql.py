@@ -1433,6 +1433,87 @@ WHERE ({h} % {C.MIX_SCALE}) < thr.thr
 """
 
 
+def _pq_codes_expr(vec: str) -> str:
+    """DuckDB list of the PQ_M per-subspace argmin codes for ``vec``,
+    mirroring ann.pq_encode (first-tie argmin, same fold)."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        random_codebooks,
+    )
+
+    books = random_codebooks(C.EMB_DIM, C.PQ_M, C.PQ_CODES, C.PQ_SEED)
+    dsub = C.EMB_DIM // C.PQ_M
+    parts = []
+    for s, book in enumerate(books):
+        sub = f"({vec}[{s * dsub + 1}:{(s + 1) * dsub}])"
+        ds = "[" + ", ".join(_sq_l2_lit(sub, code) for code in book) + "]"
+        parts.append(
+            f"CAST(list_position({ds}, list_min({ds})) - 1 AS INT)"
+        )
+    return "[" + ", ".join(parts) + "]"
+
+
+def sql_pq_codes() -> str:
+    """Mirrors ann.pq_encode against the seeded codebooks."""
+    return f"SELECT vec_id, {_pq_codes_expr('embedding')} AS codes FROM embeddings"
+
+
+def sql_pq_topk() -> str:
+    """Mirrors ann.pq_topk: the ADC lookup table is the same
+    sequential-fold squared-L2 the Spark driver computes in Python
+    ((a-b)^2 vs pow(b-a, 2) are IEEE-identical), summed over
+    subspaces left-associatively in subspace order."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        random_codebooks,
+    )
+
+    books = random_codebooks(C.EMB_DIM, C.PQ_M, C.PQ_CODES, C.PQ_SEED)
+    dsub = C.EMB_DIM // C.PQ_M
+    terms = []
+    for s, book in enumerate(books):
+        sub = f"(q.qv[{s * dsub + 1}:{(s + 1) * dsub}])"
+        lut = "[" + ", ".join(_sq_l2_lit(sub, code) for code in book) + "]"
+        terms.append(f"({lut})[c.codes[{s + 1}] + 1]")
+    adc = " + ".join(terms)
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {C.QUERY_VEC}),
+c AS (SELECT vec_id, {_pq_codes_expr('embedding')} AS codes FROM embeddings),
+scored AS (
+  SELECT c.vec_id, round(sqrt({adc}), 6) AS dist FROM c, q)
+SELECT vec_id, dist, CAST(row_number() OVER (ORDER BY dist ASC, vec_id) AS INT) AS rank
+FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
+"""
+
+
+def sql_pq_topk_rerank() -> str:
+    """Mirrors ann.pq_topk_rerank: the ADC shortlist (same expression
+    as sql_pq_topk, LIMIT PQ_SHORTLIST) semi-joins the full vectors
+    for an exact-L2 rerank."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        random_codebooks,
+    )
+
+    books = random_codebooks(C.EMB_DIM, C.PQ_M, C.PQ_CODES, C.PQ_SEED)
+    dsub = C.EMB_DIM // C.PQ_M
+    terms = []
+    for s, book in enumerate(books):
+        sub = f"(q.qv[{s * dsub + 1}:{(s + 1) * dsub}])"
+        lut = "[" + ", ".join(_sq_l2_lit(sub, code) for code in book) + "]"
+        terms.append(f"({lut})[c.codes[{s + 1}] + 1]")
+    adc = " + ".join(terms)
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {C.QUERY_VEC}),
+c AS (SELECT vec_id, {_pq_codes_expr('embedding')} AS codes FROM embeddings),
+short AS (
+  SELECT c.vec_id FROM c, q
+  ORDER BY round(sqrt({adc}), 6) ASC, c.vec_id LIMIT {C.PQ_SHORTLIST}),
+scored AS (
+  SELECT e.vec_id, round({_l2('e.embedding', 'q.qv', C.EMB_DIM)}, 6) AS dist
+  FROM embeddings e, q WHERE e.vec_id IN (SELECT vec_id FROM short))
+SELECT vec_id, dist, CAST(row_number() OVER (ORDER BY dist ASC, vec_id) AS INT) AS rank
+FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
+"""
+
+
 def sql_chunk_documents() -> str:
     """Mirrors prep.chunk_documents: DuckDB's inclusive 1-based list
     slice t[s : s+W-1] == Spark's slice(toks, s, W)."""
@@ -1635,6 +1716,9 @@ def registry() -> dict[str, str]:
         "bpe_pair_counts": sql_bpe_pair_counts(),
         "quality_report": sql_quality_report(),
         "chunk_documents": sql_chunk_documents(),
+        "pq_codes": sql_pq_codes(),
+        "pq_topk": sql_pq_topk(),
+        "pq_topk_rerank": sql_pq_topk_rerank(),
         "incremental_dedup": sql_incremental_dedup(),
         "lang_id": sql_lang_id(),
         "token_frequencies": sql_token_frequencies(),

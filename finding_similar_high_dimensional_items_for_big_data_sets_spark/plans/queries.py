@@ -1222,6 +1222,42 @@ def q_lm_quality(spark, sf_dir):
     return prep.unigram_lm_scores(_docs(spark, sf_dir))
 
 
+def q_pq_codes(spark, sf_dir):
+    """PQ encoding: every embedding compressed to PQ_M per-subspace
+    argmin codes against the seeded codebooks — the 64x-smaller index
+    artifact ADC search scans. Row-local, shuffle-free."""
+    books = ann.random_codebooks(C.EMB_DIM, C.PQ_M, C.PQ_CODES, C.PQ_SEED)
+    return ann.pq_encode(_emb(spark, sf_dir), books)
+
+
+def q_pq_topk(spark, sf_dir):
+    """PQ ADC search for the fixture query vector: m table lookups per
+    corpus vector instead of a 64-dim distance."""
+    emb = _emb(spark, sf_dir)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == C.QUERY_VEC).first()["embedding"]
+    ]
+    return ann.pq_topk(
+        emb, qvec, k=C.K_VEC, m=C.PQ_M, n_codes=C.PQ_CODES, seed=C.PQ_SEED
+    )
+
+
+def q_pq_topk_rerank(spark, sf_dir):
+    """PQ serving architecture: ADC shortlist over the codes, exact L2
+    rerank of the shortlist — recall set by shortlist size, not ADC
+    distortion."""
+    emb = _emb(spark, sf_dir)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == C.QUERY_VEC).first()["embedding"]
+    ]
+    return ann.pq_topk_rerank(
+        emb, qvec, k=C.K_VEC, shortlist=C.PQ_SHORTLIST,
+        m=C.PQ_M, n_codes=C.PQ_CODES, seed=C.PQ_SEED,
+    )
+
+
 def q_chunk_documents(spark, sf_dir):
     """Sliding-window chunking: 64-token windows every 48 tokens
     (16-token overlap) — row-local transform + posexplode,
@@ -1356,6 +1392,9 @@ REGISTRY = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "quality_report": q_quality_report,
     "chunk_documents": q_chunk_documents,
+    "pq_codes": q_pq_codes,
+    "pq_topk": q_pq_topk,
+    "pq_topk_rerank": q_pq_topk_rerank,
     "incremental_dedup": q_incremental_dedup,
     "corpus_clean": q_corpus_clean,
     "lang_id": q_lang_id,

@@ -1,0 +1,113 @@
+"""Product quantization: encoding semantics vs numpy, prebuilt-codes
+path identity, trained-codebook distortion, and recall sanity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import ann, bruteforce
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import load_table
+
+DIM, M, CODES = 64, 8, 16
+
+
+def _emb(spark):
+    return load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    emb = _emb(spark).limit(50)
+    books = ann.random_codebooks(DIM, M, CODES, seed=44)
+    got = {r["vec_id"]: r["codes"] for r in ann.pq_encode(emb, books).collect()}
+    rows = emb.collect()
+    dsub = DIM // M
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        for s in range(M):
+            sub = v[s * dsub : (s + 1) * dsub]
+            d = ((np.array(books[s]) - sub) ** 2).sum(axis=1)
+            assert got[r["vec_id"]][s] == int(np.argmin(d)), (r["vec_id"], s)
+
+
+def test_pq_topk_prebuilt_codes_identical(spark):
+    emb = _emb(spark)
+    books = ann.random_codebooks(DIM, M, CODES, seed=44)
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    inline = ann.pq_topk(emb, q, k=10, codebooks=books).collect()
+    prebuilt = ann.pq_topk(
+        emb, q, k=10, codebooks=books,
+        codes=ann.pq_encode(emb, books),
+    ).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, prebuilt))
+
+
+def test_train_pq_reduces_quantization_error(spark):
+    emb = _emb(spark)
+    rnd = ann.random_codebooks(DIM, M, CODES, seed=44)
+    trained = ann.train_pq(emb, DIM, m=M, n_codes=CODES, n_iters=4, seed=44)
+
+    def mse(books):
+        vecs = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+        dsub = DIM // M
+        tot = 0.0
+        for s in range(M):
+            sub = vecs[:, s * dsub : (s + 1) * dsub]
+            d = ((sub[:, None, :] - np.array(books[s])[None, :, :]) ** 2).sum(-1)
+            tot += d.min(axis=1).sum()
+        return tot / len(vecs)
+
+    assert mse(trained) < mse(rnd) * 0.9  # Lloyd buys a real improvement
+
+
+def test_pq_recall_beats_chance_and_trained_beats_random(spark):
+    emb = _emb(spark).cache()
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    qdf = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {r["vec_id"] for r in bruteforce.l2_topk(emb, qdf, k=10).collect()}
+    rnd_books = ann.random_codebooks(DIM, M, CODES, seed=44)
+    got_rnd = {r["vec_id"] for r in ann.pq_topk(emb, q, k=10, codebooks=rnd_books).collect()}
+    assert len(got_rnd & exact) >= 1  # far above the ~10/500 chance rate
+    trained = ann.train_pq(emb, DIM, m=M, n_codes=CODES, n_iters=4, seed=44)
+    got_tr = {r["vec_id"] for r in ann.pq_topk(emb, q, k=10, codebooks=trained).collect()}
+    assert len(got_tr & exact) >= len(got_rnd & exact)
+
+
+def test_pq_validation():
+    with pytest.raises(ValueError):
+        ann.random_codebooks(63, 8, 16)  # dim not divisible by m
+
+
+def test_pq_rerank_with_full_shortlist_equals_exact(spark):
+    emb = _emb(spark)
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    books = ann.random_codebooks(DIM, M, CODES, seed=44)
+    got = ann.pq_topk_rerank(
+        emb, q, k=10, shortlist=10_000, codebooks=books
+    ).collect()
+    qdf = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = bruteforce.l2_topk(emb, qdf, k=10).collect()
+    assert [(r["vec_id"], r["dist"], r["rank"]) for r in sorted(got, key=lambda r: r["rank"])] == [
+        (r["vec_id"], r["dist"], r["rank"]) for r in sorted(exact, key=lambda r: r["rank"])
+    ]
+
+
+def test_pq_rerank_recall_improves_on_raw_adc(spark):
+    emb = _emb(spark).cache()
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    books = ann.random_codebooks(DIM, M, CODES, seed=44)
+    qdf = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {r["vec_id"] for r in bruteforce.l2_topk(emb, qdf, k=10).collect()}
+    raw = {r["vec_id"] for r in ann.pq_topk(emb, q, k=10, codebooks=books).collect()}
+    rr = {
+        r["vec_id"]
+        for r in ann.pq_topk_rerank(emb, q, k=10, shortlist=100, codebooks=books).collect()
+    }
+    assert len(rr & exact) >= len(raw & exact)
