@@ -920,6 +920,14 @@ def pq_topk(
     Output: (vec_id, dist, rank) — dist is the ADC approximation of
     L2 (sqrt of the summed table entries), rounded to 6.
     """
+    if codes is not None and codebooks is None:
+        # scoring a prebuilt codes table against freshly-seeded books
+        # would be silently meaningless — the LUT must come from the
+        # SAME quantizer that assigned the codes
+        raise ValueError(
+            "codes passed without codebooks: supply the codebooks the "
+            "codes table was encoded with"
+        )
     if codebooks is None:
         codebooks = random_codebooks(len(query), m, n_codes, seed)
     dsub = len(codebooks[0][0])

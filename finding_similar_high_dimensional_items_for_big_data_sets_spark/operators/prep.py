@@ -388,6 +388,12 @@ def chunk_documents(
 
     if window <= 0 or stride <= 0:
         raise ValueError(f"window and stride must be positive, got {window}/{stride}")
+    if stride > window:
+        # a gap mode would silently drop the tokens between windows
+        # from the training corpus — refuse rather than lose data
+        raise ValueError(
+            f"stride {stride} > window {window} would skip tokens between chunks"
+        )
     toks = tokenize(F.col(text_col))
     n = F.size(toks)
     # start indices: 0, stride, ... < n. NOTE sequence(0, -1) DESCENDS

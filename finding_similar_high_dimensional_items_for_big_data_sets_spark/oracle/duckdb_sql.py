@@ -1457,11 +1457,12 @@ def sql_pq_codes() -> str:
     return f"SELECT vec_id, {_pq_codes_expr('embedding')} AS codes FROM embeddings"
 
 
-def sql_pq_topk() -> str:
-    """Mirrors ann.pq_topk: the ADC lookup table is the same
-    sequential-fold squared-L2 the Spark driver computes in Python
-    ((a-b)^2 vs pow(b-a, 2) are IEEE-identical), summed over
-    subspaces left-associatively in subspace order."""
+def _pq_adc_expr() -> str:
+    """The ADC score over q.qv / c.codes: per-subspace lookup tables
+    (same sequential-fold squared-L2 the Spark driver computes in
+    Python — (a-b)^2 vs pow(b-a, 2) are IEEE-identical), summed
+    left-associatively in subspace order. Shared by sql_pq_topk and
+    sql_pq_topk_rerank so the two oracles cannot diverge."""
     from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
         random_codebooks,
     )
@@ -1473,7 +1474,12 @@ def sql_pq_topk() -> str:
         sub = f"(q.qv[{s * dsub + 1}:{(s + 1) * dsub}])"
         lut = "[" + ", ".join(_sq_l2_lit(sub, code) for code in book) + "]"
         terms.append(f"({lut})[c.codes[{s + 1}] + 1]")
-    adc = " + ".join(terms)
+    return " + ".join(terms)
+
+
+def sql_pq_topk() -> str:
+    """Mirrors ann.pq_topk (see _pq_adc_expr for the parity notes)."""
+    adc = _pq_adc_expr()
     return f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {C.QUERY_VEC}),
 c AS (SELECT vec_id, {_pq_codes_expr('embedding')} AS codes FROM embeddings),
@@ -1485,21 +1491,10 @@ FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
 
 
 def sql_pq_topk_rerank() -> str:
-    """Mirrors ann.pq_topk_rerank: the ADC shortlist (same expression
-    as sql_pq_topk, LIMIT PQ_SHORTLIST) semi-joins the full vectors
-    for an exact-L2 rerank."""
-    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
-        random_codebooks,
-    )
-
-    books = random_codebooks(C.EMB_DIM, C.PQ_M, C.PQ_CODES, C.PQ_SEED)
-    dsub = C.EMB_DIM // C.PQ_M
-    terms = []
-    for s, book in enumerate(books):
-        sub = f"(q.qv[{s * dsub + 1}:{(s + 1) * dsub}])"
-        lut = "[" + ", ".join(_sq_l2_lit(sub, code) for code in book) + "]"
-        terms.append(f"({lut})[c.codes[{s + 1}] + 1]")
-    adc = " + ".join(terms)
+    """Mirrors ann.pq_topk_rerank: the ADC shortlist (the SAME shared
+    expression as sql_pq_topk, LIMIT PQ_SHORTLIST) semi-joins the full
+    vectors for an exact-L2 rerank."""
+    adc = _pq_adc_expr()
     return f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {C.QUERY_VEC}),
 c AS (SELECT vec_id, {_pq_codes_expr('embedding')} AS codes FROM embeddings),

@@ -111,3 +111,20 @@ def test_pq_rerank_recall_improves_on_raw_adc(spark):
         for r in ann.pq_topk_rerank(emb, q, k=10, shortlist=100, codebooks=books).collect()
     }
     assert len(rr & exact) >= len(raw & exact)
+
+
+def test_pq_topk_rejects_codes_without_codebooks(spark):
+    emb = _emb(spark).limit(5)
+    books = ann.random_codebooks(DIM, M, CODES, seed=44)
+    codes = ann.pq_encode(emb, books)
+    q = [0.0] * DIM
+    with pytest.raises(ValueError, match="codebooks"):
+        ann.pq_topk(emb, q, codes=codes)
+
+
+def test_chunk_documents_rejects_gap_stride(spark):
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import prep
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="skip tokens"):
+        prep.chunk_documents(df, window=4, stride=5)
