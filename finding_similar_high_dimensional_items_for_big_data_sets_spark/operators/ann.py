@@ -1033,3 +1033,33 @@ def pq_topk_rerank(
         .limit(k)
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+def pq_topk_store(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    embeddings: DataFrame | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ search against a persisted :func:`..sources.tables.
+    write_pq_index` store: codes and quantizer both come from the
+    store, so the LUT always matches the codes. Plain ADC top-k by
+    default; pass ``shortlist`` + ``embeddings`` for the
+    shortlist-then-exact-rerank serving path."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        read_pq_index,
+    )
+
+    codes, books = read_pq_index(spark, path)
+    if shortlist is None:
+        return pq_topk(codes, query, k=k, id_col=id_col, codebooks=books, codes=codes)
+    if embeddings is None:
+        raise ValueError("shortlist rerank needs the embeddings DataFrame")
+    return pq_topk_rerank(
+        embeddings, query, k=k, shortlist=shortlist,
+        id_col=id_col, vec_col=vec_col, codebooks=books, codes=codes,
+    )

@@ -760,3 +760,44 @@ def write_content_hashes_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def write_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """PQ store: the encoded codes table plus the quantizer in the
+    ``_index_meta.json`` sidecar — the 64x-compressed artifact ADC
+    search scans. Encoding (the expensive per-subspace argmin) runs
+    once at build, never per query; probes self-configure from the
+    sidecar so a mismatched-quantizer scoring bug cannot happen (the
+    failure :func:`operators.ann.pq_topk` guards against for in-memory
+    codes)."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        pq_encode,
+    )
+
+    pq_encode(embeddings, codebooks, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(path)
+    _write_store_meta(
+        path,
+        {
+            "kind": "pq",
+            "codebooks": [
+                [[float(x) for x in code] for code in book] for book in codebooks
+            ],
+        },
+    )
+
+
+def read_pq_index(spark, path: str):
+    """(codes DataFrame, codebooks) from a :func:`write_pq_index`
+    store; raises on a non-PQ store rather than scoring garbage."""
+    meta = read_store_meta(path)
+    if meta.get("kind") != "pq":
+        raise ValueError(f"{path} is not a PQ store (kind={meta.get('kind')!r})")
+    return spark.read.parquet(path), meta["codebooks"]

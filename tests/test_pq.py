@@ -128,3 +128,35 @@ def test_chunk_documents_rejects_gap_stride(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="skip tokens"):
         prep.chunk_documents(df, window=4, stride=5)
+
+
+def test_pq_store_round_trip_and_kind_guard(spark, tmp_path):
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        write_pq_index,
+    )
+
+    emb = _emb(spark)
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    books = ann.random_codebooks(DIM, M, CODES, seed=44)
+    p = str(tmp_path / "pq_store")
+    write_pq_index(emb, p, books)
+    # plain ADC from the store == inline against the same books
+    got = ann.pq_topk_store(spark, p, q, k=10).collect()
+    expect = ann.pq_topk(emb, q, k=10, codebooks=books).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
+    # rerank path from the store == inline rerank
+    got_rr = ann.pq_topk_store(spark, p, q, k=10, shortlist=100, embeddings=emb).collect()
+    expect_rr = ann.pq_topk_rerank(emb, q, k=10, shortlist=100, codebooks=books).collect()
+    assert sorted(map(tuple, got_rr)) == sorted(map(tuple, expect_rr))
+    # a non-PQ store is refused
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        _write_store_meta,
+    )
+
+    bad = str(tmp_path / "not_pq")
+    emb.limit(1).write.parquet(bad)
+    _write_store_meta(bad, {"kind": "ivf"})
+    with pytest.raises(ValueError, match="not a PQ store"):
+        ann.pq_topk_store(spark, bad, q, k=10)
+    with pytest.raises(ValueError, match="embeddings"):
+        ann.pq_topk_store(spark, p, q, k=10, shortlist=50)
