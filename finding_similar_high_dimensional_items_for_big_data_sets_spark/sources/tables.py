@@ -801,3 +801,32 @@ def read_pq_index(spark, path: str):
     if meta.get("kind") != "pq":
         raise ValueError(f"{path} is not a PQ store (kind={meta.get('kind')!r})")
     return spark.read.parquet(path), meta["codebooks"]
+
+
+def append_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental PQ-store maintenance: encode ONLY the new vectors
+    with the store's quantizer and append. Rejects a mismatched
+    quantizer (codes from different books are incomparable under one
+    ADC table) — same contract as :func:`append_ivf_partitioned`."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        pq_encode,
+    )
+
+    _check_store_meta(
+        path,
+        {
+            "kind": "pq",
+            "codebooks": [
+                [[float(x) for x in code] for code in book] for book in codebooks
+            ],
+        },
+    )
+    pq_encode(embeddings, codebooks, id_col, vec_col).write.mode("append").parquet(
+        path
+    )

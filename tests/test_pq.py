@@ -160,3 +160,28 @@ def test_pq_store_round_trip_and_kind_guard(spark, tmp_path):
         ann.pq_topk_store(spark, bad, q, k=10)
     with pytest.raises(ValueError, match="embeddings"):
         ann.pq_topk_store(spark, p, q, k=10, shortlist=50)
+
+
+def test_pq_store_append_parity_and_quantizer_guard(spark, tmp_path):
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        append_pq_index,
+        write_pq_index,
+    )
+
+    emb = _emb(spark)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    books = ann.random_codebooks(DIM, M, CODES, seed=44)
+    p = str(tmp_path / "pq_app")
+    write_pq_index(half_a, p, books)
+    append_pq_index(half_b, p, books)
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    got = ann.pq_topk_store(spark, p, q, k=10).collect()
+    full = str(tmp_path / "pq_full")
+    write_pq_index(emb, full, books)
+    expect = ann.pq_topk_store(spark, full, q, k=10).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
+    # a different quantizer is refused
+    other = ann.random_codebooks(DIM, M, CODES, seed=99)
+    with pytest.raises(ValueError):
+        append_pq_index(half_b, p, other)
