@@ -107,3 +107,14 @@ PQ_M = 8
 PQ_CODES = 16
 PQ_SEED = 44
 PQ_SHORTLIST = 50
+
+# Snapshot diff plant pattern: the "new" snapshot drops every DIFF_DROP-th
+# doc, rewrites every DIFF_EDIT-th, and adds DIFF_ADD_OFFSET-shifted rows.
+DIFF_DROP = 13
+DIFF_EDIT = 9
+DIFF_ADD_OFFSET = 30_000_000
+DIFF_ADD_EVERY = 25
+
+# Triplet mining: negatives per positive pair and sampling salt.
+TRIPLET_NEGATIVES = 2
+TRIPLET_SEED = 11

@@ -416,3 +416,116 @@ def chunk_documents(
         F.array_join("ct", " ").alias("chunk_text"),
         F.size("ct").alias("n_chunk_tokens"),
     )
+
+
+def snapshot_diff(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff — what a re-crawl changed: rows only in the
+    new snapshot are ``added``, rows only in the old are ``removed``,
+    rows present in both with different normalized content hashes are
+    ``modified`` (unchanged rows are omitted). The audit step before an
+    incremental re-processing run: everything downstream (dedup,
+    quality, index maintenance) only needs to touch added+modified.
+
+    One full outer join on the stable id; both sides reduce to
+    (id, 8-byte hash) projections before the shuffle.
+
+    Output: (doc_id, change STRING, old_hash LONG?, new_hash LONG?).
+    """
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.dedup import (
+        normalize_text,
+    )
+
+    def hashed(df, alias):
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            portable_hash64(normalize_text(F.col(text_col))).alias(alias),
+        )
+
+    joined = hashed(old_docs, "old_hash").join(
+        hashed(new_docs, "new_hash"), "doc_id", "full_outer"
+    )
+    return joined.select(
+        "doc_id",
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+        "old_hash",
+        "new_hash",
+    ).filter(F.col("change") != "unchanged")
+
+
+def mine_triplets(
+    positives: DataFrame,
+    docs: DataFrame,
+    n_negatives: int = 2,
+    seed: int = 11,
+    n_docs: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contrastive training triplets for embedding models: every
+    positive pair (``doc_a``, ``doc_b`` — e.g. near-duplicate or
+    shared-span pairs) paired with ``n_negatives`` deterministically
+    hash-sampled corpus documents.
+
+    Negative sampling at 100 TB cannot enumerate the id domain; this
+    uses hash-BUCKET sampling as one equi-join: every corpus doc gets
+    ``bucket = hash(id) mod S`` (S = corpus size, so buckets hold ~1
+    doc), every (anchor, slot) gets ``target = hash(anchor:slot:seed)
+    mod S``, and the join on bucket == target resolves each slot to
+    the smallest doc id in its bucket. Misses (empty buckets) drop the
+    slot — the expected yield per anchor is
+    ``n_negatives * (1 - 1/e)``; accidental hits on the anchor or
+    positive are filtered. Fully deterministic: re-runs and both
+    engines produce identical triplets.
+
+    Output: (anchor_id, positive_id, negative_id, slot INT).
+    """
+    if n_negatives <= 0:
+        raise ValueError(f"n_negatives must be positive, got {n_negatives}")
+    if n_docs is None:
+        n_docs = docs.count()
+    if n_docs <= 0:
+        return positives.sparkSession.createDataFrame(
+            [], "anchor_id long, positive_id long, negative_id long, slot int"
+        )
+    buckets = docs.select(
+        F.col(id_col).alias("negative_id"),
+        F.pmod(portable_hash64(F.col(id_col).cast("string")), F.lit(n_docs)).alias(
+            "bucket"
+        ),
+    ).groupBy("bucket").agg(F.min("negative_id").alias("negative_id"))
+    slots = positives.select(
+        F.col("doc_a").alias("anchor_id"),
+        F.col("doc_b").alias("positive_id"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(n_negatives)])
+        ).alias("slot"),
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            portable_hash64(
+                F.concat(
+                    F.col("anchor_id").cast("string"),
+                    F.lit(":"),
+                    F.col("slot").cast("string"),
+                    F.lit(f":{seed}"),
+                )
+            ),
+            F.lit(n_docs),
+        ),
+    )
+    return (
+        slots.join(buckets, "bucket")
+        .filter(
+            (F.col("negative_id") != F.col("anchor_id"))
+            & (F.col("negative_id") != F.col("positive_id"))
+        )
+        .select("anchor_id", "positive_id", "negative_id", "slot")
+    )

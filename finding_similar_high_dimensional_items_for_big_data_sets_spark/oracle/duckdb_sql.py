@@ -1509,6 +1509,62 @@ FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
 """
 
 
+def sql_mine_triplets() -> str:
+    """Mirrors q_mine_triplets: the shared-span pairs (the verified
+    sql_shared_ngram_spans, materialized) crossed with the slot range,
+    hash-bucket negative sampling as one equi-join. n_docs is the
+    static fixture count — the engine derives it with a count() job,
+    the oracle inlines the subquery (identical integer)."""
+    nn, seed = C.TRIPLET_NEGATIVES, C.TRIPLET_SEED
+    return f"""
+WITH pos AS MATERIALIZED ({sql_shared_ngram_spans()}),
+n AS (SELECT count(*) AS n_docs FROM documents),
+buckets AS (
+  SELECT ({H('CAST(doc_id AS VARCHAR)')} % (SELECT n_docs FROM n)) AS bucket,
+         min(doc_id) AS negative_id
+  FROM documents GROUP BY 1),
+slots AS (
+  SELECT doc_a AS anchor_id, doc_b AS positive_id, s.slot,
+         ({H(f"CAST(doc_a AS VARCHAR) || ':' || CAST(s.slot AS VARCHAR) || ':{seed}'")}
+          % (SELECT n_docs FROM n)) AS bucket
+  FROM pos, (SELECT unnest(range({nn})) AS slot) s)
+SELECT anchor_id, positive_id, negative_id, CAST(slot AS INT) AS slot
+FROM slots JOIN buckets USING (bucket)
+WHERE negative_id <> anchor_id AND negative_id <> positive_id
+"""
+
+
+def sql_snapshot_diff() -> str:
+    """Mirrors q_snapshot_diff: full outer join of the two snapshots'
+    normalized content hashes on the stable id."""
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    d, e, off, a = C.DIFF_DROP, C.DIFF_EDIT, C.DIFF_ADD_OFFSET, C.DIFF_ADD_EVERY
+    return f"""
+WITH old AS (SELECT doc_id, {H(norm)} AS old_hash FROM documents),
+newdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {e} = 0 THEN 'edited ' || text ELSE text END AS text
+  FROM documents WHERE doc_id % {d} <> 0
+  UNION ALL
+  SELECT doc_id + {off} AS doc_id, text FROM documents WHERE doc_id % {a} = 0),
+new AS (SELECT doc_id, {H(norm)} AS new_hash FROM newdocs),
+j AS (
+  SELECT coalesce(old.doc_id, new.doc_id) AS doc_id, old_hash, new_hash
+  FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
+SELECT doc_id,
+  CASE WHEN old_hash IS NULL THEN 'added'
+       WHEN new_hash IS NULL THEN 'removed'
+       WHEN old_hash <> new_hash THEN 'modified'
+       ELSE 'unchanged' END AS change,
+  old_hash, new_hash
+FROM j
+WHERE (CASE WHEN old_hash IS NULL THEN 'added'
+            WHEN new_hash IS NULL THEN 'removed'
+            WHEN old_hash <> new_hash THEN 'modified'
+            ELSE 'unchanged' END) <> 'unchanged'
+"""
+
+
 def sql_chunk_documents() -> str:
     """Mirrors prep.chunk_documents: DuckDB's inclusive 1-based list
     slice t[s : s+W-1] == Spark's slice(toks, s, W)."""
@@ -1711,6 +1767,8 @@ def registry() -> dict[str, str]:
         "bpe_pair_counts": sql_bpe_pair_counts(),
         "quality_report": sql_quality_report(),
         "chunk_documents": sql_chunk_documents(),
+        "snapshot_diff": sql_snapshot_diff(),
+        "mine_triplets": sql_mine_triplets(),
         "pq_codes": sql_pq_codes(),
         "pq_topk": sql_pq_topk(),
         "pq_topk_rerank": sql_pq_topk_rerank(),

@@ -1258,6 +1258,45 @@ def q_pq_topk_rerank(spark, sf_dir):
     )
 
 
+def q_mine_triplets(spark, sf_dir):
+    """Contrastive training triplets: shared-span pairs as positives,
+    hash-bucket-sampled negatives (deterministic, one equi-join)."""
+    docs = _docs(spark, sf_dir)
+    positives = dedup.shared_ngram_spans(
+        docs, n=C.SPAN_NGRAM, max_doc_freq=C.SPAN_MAX_DOC_FREQ,
+        min_shared=C.SPAN_MIN_SHARED,
+    )
+    return prep.mine_triplets(
+        positives, docs,
+        n_negatives=C.TRIPLET_NEGATIVES, seed=C.TRIPLET_SEED,
+    )
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Re-crawl audit: old = the corpus; new = the corpus with every
+    13th doc dropped, every 9th rewritten (case/padding change the
+    normalized hash ignores is NOT enough — a real edit is planted),
+    and id-shifted copies of every 25th doc added."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % C.DIFF_DROP != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % C.DIFF_EDIT == 0,
+                F.concat(F.lit("edited "), F.col("text")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % C.DIFF_ADD_EVERY == 0).select(
+                (F.col("doc_id") + F.lit(C.DIFF_ADD_OFFSET)).alias("doc_id"),
+                "text",
+            )
+        )
+    )
+    return prep.snapshot_diff(docs, new)
+
+
 def q_chunk_documents(spark, sf_dir):
     """Sliding-window chunking: 64-token windows every 48 tokens
     (16-token overlap) — row-local transform + posexplode,
@@ -1392,6 +1431,8 @@ REGISTRY = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "quality_report": q_quality_report,
     "chunk_documents": q_chunk_documents,
+    "snapshot_diff": q_snapshot_diff,
+    "mine_triplets": q_mine_triplets,
     "pq_codes": q_pq_codes,
     "pq_topk": q_pq_topk,
     "pq_topk_rerank": q_pq_topk_rerank,

@@ -327,3 +327,40 @@ def test_chunk_documents_windows_and_edges(spark):
     # shuffle-free plan
     plan = prep.chunk_documents(df, 5, 4)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_snapshot_diff_semantics(spark):
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "Gamma  ")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha"), (3, "something else"), (4, "delta")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["change"] for r in prep.snapshot_diff(old, new).collect()}
+    assert got == {2: "removed", 3: "modified", 4: "added"}  # 1 unchanged, omitted
+    # normalization: case/whitespace-only changes are NOT modifications
+    new2 = spark.createDataFrame([(3, "gamma")], "doc_id long, text string")
+    old2 = spark.createDataFrame([(3, "Gamma  ")], "doc_id long, text string")
+    assert prep.snapshot_diff(old2, new2).count() == 0
+
+
+def test_mine_triplets_determinism_and_filters(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], "doc_id long, text string"
+    )
+    positives = spark.createDataFrame(
+        [(1, 2, 3), (10, 11, 1)], "doc_a long, doc_b long, shared_ngrams int"
+    )
+    a = prep.mine_triplets(positives, docs, n_negatives=4, seed=11).collect()
+    b = prep.mine_triplets(positives, docs, n_negatives=4, seed=11).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) > 0
+    for r in a:
+        assert r["negative_id"] not in (r["anchor_id"], r["positive_id"])
+        assert 0 <= r["slot"] < 4
+    # a different seed changes the sampled negatives
+    c = prep.mine_triplets(positives, docs, n_negatives=4, seed=12).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+    with pytest.raises(ValueError):
+        prep.mine_triplets(positives, docs, n_negatives=0)
