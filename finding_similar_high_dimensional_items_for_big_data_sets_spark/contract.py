@@ -118,3 +118,6 @@ DIFF_ADD_EVERY = 25
 # Triplet mining: negatives per positive pair and sampling salt.
 TRIPLET_NEGATIVES = 2
 TRIPLET_SEED = 11
+
+# Weighted mixture: per-mille target token-mass ratios by language.
+MIX_WEIGHTS = {"en": 400, "de": 150, "es": 150, "fr": 150, "zh": 150}

@@ -529,3 +529,79 @@ def mine_triplets(
         )
         .select("anchor_id", "positive_id", "negative_id", "slot")
     )
+
+
+def weighted_mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, int],
+    group_col: str = "source",
+    count_col: str | None = None,
+    seed: int = 7,
+    scale: int = 1_000_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Target-ratio data mixing: downsample groups so the post-sample
+    token masses follow ``weights`` (integer parts, e.g. per-mille) —
+    the general form of :func:`balanced_mixture_sample` (which is the
+    all-equal-weights special case). No group is upsampled: the total
+    budget is the largest B with ``B * w_g / W <= T_g`` for every
+    weighted group, i.e. ``B = min_g floor(T_g * W / w_g)``, then
+    ``thr_g = floor(scale * B * w_g / (W * T_g))`` and a row is kept
+    iff ``hash(id:seed) mod scale < thr_g``. All arithmetic is exact
+    integer (Python big ints driver-side; the oracle uses HUGEINT with
+    the same floor-division order), so both engines keep identical
+    rows. Groups without a weight — and null/zero-mass groups — drop.
+
+    Same two-pass scale shape as the balanced variant: one tiny
+    group-by, then a shuffle-free literal-map filter.
+
+    Output: kept rows as (doc_id, <group_col>, n_tokens, sample_bucket).
+    """
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty dict of positive integers")
+    if count_col is None:
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.textstats import (
+            token_count,
+        )
+
+        counted = docs.select(
+            id_col, group_col, token_count(F.col("text")).alias("n_tokens")
+        )
+    else:
+        counted = docs.select(
+            id_col, group_col, F.col(count_col).alias("n_tokens")
+        )
+    totals = {
+        r["g"]: r["t"]
+        for r in counted.groupBy(F.col(group_col).alias("g"))
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    totals = {
+        g: t
+        for g, t in totals.items()
+        if g is not None and t and t > 0 and g in weights
+    }
+    if not totals:
+        return counted.withColumn("sample_bucket", F.lit(0)).limit(0)
+    W = sum(weights[g] for g in totals)
+    budget = min((t * W) // weights[g] for g, t in totals.items())
+    thresholds = {
+        g: (scale * budget * weights[g]) // (W * t) for g, t in totals.items()
+    }
+    thr = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for gt in thresholds.items() for x in gt]
+        )[F.col(group_col)],
+        F.lit(0),
+    )
+    bucket = F.pmod(
+        portable_hash64(
+            F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+        ),
+        F.lit(scale),
+    ).cast("int")
+    return (
+        counted.withColumn("sample_bucket", bucket)
+        .filter(F.col("sample_bucket") < thr)
+    )

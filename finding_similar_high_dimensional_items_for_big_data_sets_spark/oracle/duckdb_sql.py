@@ -1534,6 +1534,35 @@ WHERE negative_id <> anchor_id AND negative_id <> positive_id
 """
 
 
+def sql_mixture_weighted() -> str:
+    """Mirrors prep.weighted_mixture_sample: HUGEINT arithmetic with
+    the SAME floor-division order as the engine's Python big ints —
+    B = (t*W) // w, thr = (scale*B*w) // (W*t)."""
+    h = H(f"CAST(doc_id AS VARCHAR) || ':{C.MIX_SEED}'")
+    wvals = ", ".join(f"('{g}', {w})" for g, w in C.MIX_WEIGHTS.items())
+    return f"""
+WITH c AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_tokens
+  FROM documents),
+w(lang, wt) AS (VALUES {wvals}),
+gw AS (
+  SELECT c.lang, CAST(sum(n_tokens) AS HUGEINT) AS t, CAST(any_value(wt) AS HUGEINT) AS wt
+  FROM c JOIN w ON c.lang = w.lang
+  WHERE c.lang IS NOT NULL GROUP BY 1 HAVING sum(n_tokens) > 0),
+tot AS (SELECT CAST(sum(wt) AS HUGEINT) AS W FROM gw),
+b AS (SELECT min((t * (SELECT W FROM tot)) // wt) AS B FROM gw),
+thr AS (
+  SELECT lang,
+         (CAST({C.MIX_SCALE} AS HUGEINT) * (SELECT B FROM b) * wt)
+           // ((SELECT W FROM tot) * t) AS thr
+  FROM gw)
+SELECT doc_id, c.lang, n_tokens, CAST({h} % {C.MIX_SCALE} AS INT) AS sample_bucket
+FROM c JOIN thr ON c.lang = thr.lang
+WHERE ({h} % {C.MIX_SCALE}) < thr.thr
+"""
+
+
 def sql_snapshot_diff() -> str:
     """Mirrors q_snapshot_diff: full outer join of the two snapshots'
     normalized content hashes on the stable id."""
@@ -1761,6 +1790,7 @@ def registry() -> dict[str, str]:
         "repetition_stats": sql_repetition_stats(),
         "shared_ngram_spans": sql_shared_ngram_spans(),
         "mixture_sample": sql_mixture_sample(),
+        "mixture_weighted": sql_mixture_weighted(),
         "token_entropy": sql_token_entropy(),
         "lm_quality": sql_lm_quality(),
         "lm_quality_bands": sql_lm_quality_bands(),

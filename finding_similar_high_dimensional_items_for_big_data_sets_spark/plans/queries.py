@@ -1272,6 +1272,15 @@ def q_mine_triplets(spark, sf_dir):
     )
 
 
+def q_mixture_weighted(spark, sf_dir):
+    """Target-ratio mixture over languages: token masses steered to
+    the MIX_WEIGHTS per-mille spec without upsampling any group."""
+    return prep.weighted_mixture_sample(
+        _docs(spark, sf_dir), weights=C.MIX_WEIGHTS, group_col="lang",
+        seed=C.MIX_SEED, scale=C.MIX_SCALE,
+    )
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Re-crawl audit: old = the corpus; new = the corpus with every
     13th doc dropped, every 9th rewritten (case/padding change the
@@ -1425,6 +1434,7 @@ REGISTRY = {
     "repetition_stats": q_repetition_stats,
     "shared_ngram_spans": q_shared_ngram_spans,
     "mixture_sample": q_mixture_sample,
+    "mixture_weighted": q_mixture_weighted,
     "token_entropy": q_token_entropy,
     "lm_quality": q_lm_quality,
     "lm_quality_bands": q_lm_quality_bands,

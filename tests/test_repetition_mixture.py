@@ -364,3 +364,41 @@ def test_mine_triplets_determinism_and_filters(spark):
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
     with pytest.raises(ValueError):
         prep.mine_triplets(positives, docs, n_negatives=0)
+
+
+def test_weighted_mixture_hits_target_ratios(spark):
+    import pytest
+
+    # three sources with masses 4000/2000/1000; target 50/25/25 ->
+    # the binding constraint is C (1000 tokens must be 25%), so the
+    # expected kept masses are 2000/1000/1000
+    rows = (
+        [(i, "A", "t " * 40) for i in range(100)]
+        + [(200 + i, "B", "t " * 40) for i in range(50)]
+        + [(400 + i, "C", "t " * 40) for i in range(25)]
+    )
+    df = spark.createDataFrame(
+        [(i, s, t.strip()) for i, s, t in rows], "doc_id long, source string, text string"
+    )
+    out = prep.weighted_mixture_sample(
+        df, weights={"A": 500, "B": 250, "C": 250}
+    ).collect()
+    mass = {}
+    for r in out:
+        mass[r["source"]] = mass.get(r["source"], 0) + r["n_tokens"]
+    assert mass["C"] == 1000  # binding group kept whole
+    assert 1400 <= mass["A"] <= 2600  # expect 2000 +- binomial noise
+    assert 700 <= mass["B"] <= 1300   # expect 1000
+    # a group without a weight is dropped entirely
+    out2 = prep.weighted_mixture_sample(df, weights={"A": 1, "B": 1}).collect()
+    assert all(r["source"] != "C" for r in out2)
+    with pytest.raises(ValueError):
+        prep.weighted_mixture_sample(df, weights={})
+    with pytest.raises(ValueError):
+        prep.weighted_mixture_sample(df, weights={"A": 0})
+    # equal weights reproduce the balanced variant exactly
+    eq = prep.weighted_mixture_sample(df, weights={"A": 1, "B": 1, "C": 1})
+    bal = prep.balanced_mixture_sample(df)
+    assert sorted(r["doc_id"] for r in eq.collect()) == sorted(
+        r["doc_id"] for r in bal.collect()
+    )
