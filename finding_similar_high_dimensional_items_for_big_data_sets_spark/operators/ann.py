@@ -894,7 +894,7 @@ def pq_encode(
 
 
 def pq_topk(
-    embeddings: DataFrame,
+    embeddings: DataFrame | None,
     query: list[float],
     k: int = 10,
     m: int = 8,
@@ -939,6 +939,8 @@ def pq_topk(
         for s, book in enumerate(codebooks)
     ]
     if codes is None:
+        if embeddings is None:
+            raise ValueError("need embeddings to encode, or a prebuilt codes table")
         codes = pq_encode(embeddings, codebooks, id_col, vec_col)
     expr = None
     for s in range(len(codebooks)):
@@ -1056,7 +1058,7 @@ def pq_topk_store(
 
     codes, books = read_pq_index(spark, path)
     if shortlist is None:
-        return pq_topk(codes, query, k=k, id_col=id_col, codebooks=books, codes=codes)
+        return pq_topk(None, query, k=k, id_col=id_col, codebooks=books, codes=codes)
     if embeddings is None:
         raise ValueError("shortlist rerank needs the embeddings DataFrame")
     return pq_topk_rerank(

@@ -136,6 +136,57 @@ def pack_chunks(
     )
 
 
+def _mixture_counts(docs, group_col, count_col, id_col):
+    """Shared (id, group, n_tokens) projection for the mixture
+    samplers."""
+    if count_col is None:
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.textstats import (
+            token_count,
+        )
+
+        return docs.select(
+            id_col, group_col, token_count(F.col("text")).alias("n_tokens")
+        )
+    return docs.select(id_col, group_col, F.col(count_col).alias("n_tokens"))
+
+
+def _mixture_totals(counted, group_col):
+    """Per-group token totals, with null-keyed and zero-mass groups
+    excluded: a null key would crash create_map and a zero total has
+    no tokens to contribute — both groups' rows drop via the
+    coalesce(0) threshold, matching the oracles' inner joins."""
+    totals = {
+        r["g"]: r["t"]
+        for r in counted.groupBy(F.col(group_col).alias("g"))
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    return {g: t for g, t in totals.items() if g is not None and t and t > 0}
+
+
+def _threshold_sample(counted, thresholds, scale, seed, group_col, id_col):
+    """Apply per-group keep thresholds as one shuffle-free literal-map
+    filter over the salted id-hash buckets."""
+    if not thresholds:
+        return counted.withColumn("sample_bucket", F.lit(0)).limit(0)
+    thr = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for gt in thresholds.items() for x in gt]
+        )[F.col(group_col)],
+        F.lit(0),
+    )
+    bucket = F.pmod(
+        portable_hash64(
+            F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+        ),
+        F.lit(scale),
+    ).cast("int")
+    return (
+        counted.withColumn("sample_bucket", bucket)
+        .filter(F.col("sample_bucket") < thr)
+    )
+
+
 def balanced_mixture_sample(
     docs: DataFrame,
     group_col: str = "source",
@@ -146,7 +197,9 @@ def balanced_mixture_sample(
 ) -> DataFrame:
     """Data-mixing downsampler: deterministically subsample every group
     (source/domain/language) toward the SMALLEST group's token mass, so
-    no single source dominates the training mixture.
+    no single source dominates the training mixture — the all-equal-
+    weights special case of :func:`weighted_mixture_sample` (tested
+    identical), kept as the convenience entry point.
 
     Per group g with token total T_g, the acceptance threshold is
     ``floor(scale * min_g(T_g) / T_g)`` and a row is kept iff
@@ -165,51 +218,14 @@ def balanced_mixture_sample(
 
     Output: kept rows as (doc_id, <group_col>, n_tokens, sample_bucket).
     """
-    if count_col is None:
-        from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.textstats import (
-            token_count,
-        )
+    counted = _mixture_counts(docs, group_col, count_col, id_col)
+    totals = _mixture_totals(counted, group_col)
+    thresholds = {}
+    if totals:
+        floor_mass = min(totals.values())
+        thresholds = {g: (scale * floor_mass) // t for g, t in totals.items()}
+    return _threshold_sample(counted, thresholds, scale, seed, group_col, id_col)
 
-        counted = docs.select(
-            id_col, group_col, token_count(F.col("text")).alias("n_tokens")
-        )
-    else:
-        counted = docs.select(
-            id_col, group_col, F.col(count_col).alias("n_tokens")
-        )
-    totals = {
-        r["g"]: r["t"]
-        for r in counted.groupBy(F.col(group_col).alias("g"))
-        .agg(F.sum("n_tokens").alias("t"))
-        .collect()
-    }
-    # null group keys and zero-mass groups cannot participate in a
-    # token-balanced mixture: a null key would crash create_map, and a
-    # zero total would make floor_mass 0 (emptying EVERY source) and
-    # divide by zero. Both fall through to the coalesce(0) threshold —
-    # their rows are dropped, matching the oracle's inner join + the
-    # "no tokens to contribute" semantics.
-    totals = {g: t for g, t in totals.items() if g is not None and t and t > 0}
-    if not totals:
-        return counted.withColumn("sample_bucket", F.lit(0)).limit(0)
-    floor_mass = min(totals.values())
-    thresholds = {g: (scale * floor_mass) // t for g, t in totals.items()}
-    thr = F.coalesce(
-        F.create_map(
-            *[F.lit(x) for gt in thresholds.items() for x in gt]
-        )[F.col(group_col)],
-        F.lit(0),
-    )
-    bucket = F.pmod(
-        portable_hash64(
-            F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
-        ),
-        F.lit(scale),
-    ).cast("int")
-    return (
-        counted.withColumn("sample_bucket", bucket)
-        .filter(F.col("sample_bucket") < thr)
-    )
 
 
 def unigram_lm_scores(
@@ -440,20 +456,26 @@ def snapshot_diff(
         normalize_text,
     )
 
-    def hashed(df, alias):
+    def hashed(df, alias, marker):
         return df.select(
             F.col(id_col).alias("doc_id"),
             portable_hash64(normalize_text(F.col(text_col))).alias(alias),
+            F.lit(True).alias(marker),
         )
 
-    joined = hashed(old_docs, "old_hash").join(
-        hashed(new_docs, "new_hash"), "doc_id", "full_outer"
+    # presence comes from explicit markers, NOT hash nullability: a
+    # doc with NULL text hashes to NULL, and inferring "absent" from
+    # that would misreport live documents as added/removed
+    joined = hashed(old_docs, "old_hash", "in_old").join(
+        hashed(new_docs, "new_hash", "in_new"), "doc_id", "full_outer"
     )
     return joined.select(
         "doc_id",
-        F.when(F.col("old_hash").isNull(), F.lit("added"))
-        .when(F.col("new_hash").isNull(), F.lit("removed"))
-        .when(F.col("old_hash") != F.col("new_hash"), F.lit("modified"))
+        F.when(F.col("in_old").isNull(), F.lit("added"))
+        .when(F.col("in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("old_hash").eqNullSafe(F.col("new_hash")), F.lit("modified")
+        )
         .otherwise(F.lit("unchanged"))
         .alias("change"),
         "old_hash",
@@ -542,66 +564,33 @@ def weighted_mixture_sample(
 ) -> DataFrame:
     """Target-ratio data mixing: downsample groups so the post-sample
     token masses follow ``weights`` (integer parts, e.g. per-mille) —
-    the general form of :func:`balanced_mixture_sample` (which is the
-    all-equal-weights special case). No group is upsampled: the total
-    budget is the largest B with ``B * w_g / W <= T_g`` for every
-    weighted group, i.e. ``B = min_g floor(T_g * W / w_g)``, then
+    the general form of :func:`balanced_mixture_sample`. No group is
+    upsampled: the total budget is the largest B with
+    ``B * w_g / W <= T_g`` for every weighted group, i.e.
+    ``B = min_g floor(T_g * W / w_g)``, then
     ``thr_g = floor(scale * B * w_g / (W * T_g))`` and a row is kept
     iff ``hash(id:seed) mod scale < thr_g``. All arithmetic is exact
     integer (Python big ints driver-side; the oracle uses HUGEINT with
     the same floor-division order), so both engines keep identical
     rows. Groups without a weight — and null/zero-mass groups — drop.
 
-    Same two-pass scale shape as the balanced variant: one tiny
-    group-by, then a shuffle-free literal-map filter.
+    Same two-pass scale shape as the balanced variant (shared
+    machinery: one tiny group-by, then a shuffle-free literal-map
+    filter).
 
     Output: kept rows as (doc_id, <group_col>, n_tokens, sample_bucket).
     """
     if not weights or any(w <= 0 for w in weights.values()):
         raise ValueError("weights must be a non-empty dict of positive integers")
-    if count_col is None:
-        from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.textstats import (
-            token_count,
-        )
-
-        counted = docs.select(
-            id_col, group_col, token_count(F.col("text")).alias("n_tokens")
-        )
-    else:
-        counted = docs.select(
-            id_col, group_col, F.col(count_col).alias("n_tokens")
-        )
+    counted = _mixture_counts(docs, group_col, count_col, id_col)
     totals = {
-        r["g"]: r["t"]
-        for r in counted.groupBy(F.col(group_col).alias("g"))
-        .agg(F.sum("n_tokens").alias("t"))
-        .collect()
+        g: t for g, t in _mixture_totals(counted, group_col).items() if g in weights
     }
-    totals = {
-        g: t
-        for g, t in totals.items()
-        if g is not None and t and t > 0 and g in weights
-    }
-    if not totals:
-        return counted.withColumn("sample_bucket", F.lit(0)).limit(0)
-    W = sum(weights[g] for g in totals)
-    budget = min((t * W) // weights[g] for g, t in totals.items())
-    thresholds = {
-        g: (scale * budget * weights[g]) // (W * t) for g, t in totals.items()
-    }
-    thr = F.coalesce(
-        F.create_map(
-            *[F.lit(x) for gt in thresholds.items() for x in gt]
-        )[F.col(group_col)],
-        F.lit(0),
-    )
-    bucket = F.pmod(
-        portable_hash64(
-            F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
-        ),
-        F.lit(scale),
-    ).cast("int")
-    return (
-        counted.withColumn("sample_bucket", bucket)
-        .filter(F.col("sample_bucket") < thr)
-    )
+    thresholds = {}
+    if totals:
+        W = sum(weights[g] for g in totals)
+        budget = min((t * W) // weights[g] for g, t in totals.items())
+        thresholds = {
+            g: (scale * budget * weights[g]) // (W * t) for g, t in totals.items()
+        }
+    return _threshold_sample(counted, thresholds, scale, seed, group_col, id_col)

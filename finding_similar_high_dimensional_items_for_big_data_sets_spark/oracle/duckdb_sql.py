@@ -1578,19 +1578,16 @@ newdocs AS (
   SELECT doc_id + {off} AS doc_id, text FROM documents WHERE doc_id % {a} = 0),
 new AS (SELECT doc_id, {H(norm)} AS new_hash FROM newdocs),
 j AS (
-  SELECT coalesce(old.doc_id, new.doc_id) AS doc_id, old_hash, new_hash
+  SELECT coalesce(old.doc_id, new.doc_id) AS doc_id, old_hash, new_hash,
+         old.doc_id IS NOT NULL AS in_old, new.doc_id IS NOT NULL AS in_new
   FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
 SELECT doc_id,
-  CASE WHEN old_hash IS NULL THEN 'added'
-       WHEN new_hash IS NULL THEN 'removed'
-       WHEN old_hash <> new_hash THEN 'modified'
-       ELSE 'unchanged' END AS change,
+  CASE WHEN NOT in_old THEN 'added'
+       WHEN NOT in_new THEN 'removed'
+       ELSE 'modified' END AS change,
   old_hash, new_hash
 FROM j
-WHERE (CASE WHEN old_hash IS NULL THEN 'added'
-            WHEN new_hash IS NULL THEN 'removed'
-            WHEN old_hash <> new_hash THEN 'modified'
-            ELSE 'unchanged' END) <> 'unchanged'
+WHERE NOT in_old OR NOT in_new OR old_hash IS DISTINCT FROM new_hash
 """
 
 

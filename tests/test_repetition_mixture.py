@@ -402,3 +402,12 @@ def test_weighted_mixture_hits_target_ratios(spark):
     assert sorted(r["doc_id"] for r in eq.collect()) == sorted(
         r["doc_id"] for r in bal.collect()
     )
+
+
+def test_snapshot_diff_null_text_presence(spark):
+    # presence comes from markers, not hash nullability: NULL-text docs
+    # present in both snapshots must not be reported added/removed
+    old = spark.createDataFrame([(1, None), (2, None), (3, "x")], "doc_id long, text string")
+    new = spark.createDataFrame([(1, None), (2, "now set"), (4, None)], "doc_id long, text string")
+    got = {r["doc_id"]: r["change"] for r in prep.snapshot_diff(old, new).collect()}
+    assert got == {2: "modified", 3: "removed", 4: "added"}  # 1 unchanged
