@@ -121,3 +121,9 @@ TRIPLET_SEED = 11
 
 # Weighted mixture: per-mille target token-mass ratios by language.
 MIX_WEIGHTS = {"en": 400, "de": 150, "es": 150, "fr": 150, "zh": 150}
+
+# N-gram benchmark decontamination: gram length and the plant pattern
+# embedding every 3rd benchmark doc inside a longer "train" page.
+NGRAM_DECON_N = 8
+NGRAM_DECON_PLANT_EVERY = 3
+NGRAM_DECON_OFFSET = 40_000_000

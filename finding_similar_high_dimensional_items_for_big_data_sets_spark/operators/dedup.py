@@ -815,3 +815,48 @@ def incremental_exact_dedup(
     return firsts.join(hist, "content_hash", "left_anti").select(
         "doc_id", "content_hash"
     )
+
+
+def cross_corpus_ngram_hits(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """N-gram benchmark decontamination (the GPT-3-style "13-gram"
+    filter): training documents containing ANY exact word ``n``-gram
+    that also appears in the held-out benchmark corpus, with the count
+    of distinct shared grams. Catches partial containment — a
+    benchmark problem EMBEDDED in a longer page — that whole-document
+    MinHash similarity (:func:`cross_corpus_duplicates`) dilutes below
+    threshold.
+
+    Plan: the benchmark's distinct gram hashes are one vocab-bounded
+    aggregation (the small side — broadcast or hash join, Spark's
+    choice); the training side explodes its distinct grams once and
+    joins on the compact 8-byte key. Both engines join on the SAME
+    hash, so a collision cannot diverge the result.
+
+    Output: (doc_id, n_contaminated_ngrams INT) for flagged train docs.
+    """
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.textstats import (
+        word_ngram_multiset,
+    )
+
+    def grams(df):
+        toks = tokenize(F.col(text_col))
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(word_ngram_multiset(toks, n))).alias("gram"),
+        ).select("doc_id", portable_hash64(F.col("gram")).alias("gram_hash"))
+
+    bench_grams = grams(benchmark).select("gram_hash").distinct()
+    return (
+        grams(train)
+        .join(bench_grams, "gram_hash")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_contaminated_ngrams"))
+        .filter(F.col("n_contaminated_ngrams") >= F.lit(min_hits))
+    )

@@ -1509,6 +1509,34 @@ FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
 """
 
 
+def sql_ngram_decontaminate() -> str:
+    """Mirrors q_ngram_decontaminate: distinct per-doc n-gram hashes of
+    both sides, join on the shared 60-bit key, per-train-doc count."""
+    n, pe, off = C.NGRAM_DECON_N, C.NGRAM_DECON_PLANT_EVERY, C.NGRAM_DECON_OFFSET
+    return f"""
+WITH bench_src AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+train_src AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + {off} AS doc_id,
+         'page header text ' || text || ' page footer' AS text
+  FROM bench_src WHERE doc_id % {pe} = 0),
+tg AS (
+  SELECT doc_id, {H('gram')} AS gram_hash
+  FROM (SELECT doc_id, unnest(list_distinct({_ngram_list(n)})) AS gram
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM train_src))),
+bg AS (
+  SELECT DISTINCT {H('gram')} AS gram_hash
+  FROM (SELECT unnest(list_distinct({_ngram_list(n)})) AS gram
+        FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM bench_src)))
+SELECT doc_id, CAST(count(*) AS INT) AS n_contaminated_ngrams
+FROM tg JOIN bg USING (gram_hash)
+GROUP BY 1 HAVING count(*) >= 1
+"""
+
+
 def sql_mine_triplets() -> str:
     """Mirrors q_mine_triplets: the shared-span pairs (the verified
     sql_shared_ngram_spans, materialized) crossed with the slot range,
@@ -1796,6 +1824,7 @@ def registry() -> dict[str, str]:
         "chunk_documents": sql_chunk_documents(),
         "snapshot_diff": sql_snapshot_diff(),
         "mine_triplets": sql_mine_triplets(),
+        "ngram_decontaminate": sql_ngram_decontaminate(),
         "pq_codes": sql_pq_codes(),
         "pq_topk": sql_pq_topk(),
         "pq_topk_rerank": sql_pq_topk_rerank(),

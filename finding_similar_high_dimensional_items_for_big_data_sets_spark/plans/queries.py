@@ -1258,6 +1258,25 @@ def q_pq_topk_rerank(spark, sf_dir):
     )
 
 
+def q_ngram_decontaminate(spark, sf_dir):
+    """GPT-3-style n-gram benchmark decontamination: train = the %17
+    train split plus planted pages EMBEDDING every 3rd benchmark doc
+    (prefix + text + suffix — the partial-containment case whole-doc
+    MinHash dilutes); benchmark = the %17 holdout."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    planted = bench.filter(F.col("doc_id") % C.NGRAM_DECON_PLANT_EVERY == 0).select(
+        (F.col("doc_id") + F.lit(C.NGRAM_DECON_OFFSET)).alias("doc_id"),
+        F.concat(
+            F.lit("page header text "), F.col("text"), F.lit(" page footer")
+        ).alias("text"),
+    )
+    train = docs.filter(F.col("doc_id") % 17 != 0).unionByName(planted)
+    return dedup.cross_corpus_ngram_hits(
+        train, bench, n=C.NGRAM_DECON_N, min_hits=1
+    )
+
+
 def q_mine_triplets(spark, sf_dir):
     """Contrastive training triplets: shared-span pairs as positives,
     hash-bucket-sampled negatives (deterministic, one equi-join)."""
@@ -1443,6 +1462,7 @@ REGISTRY = {
     "chunk_documents": q_chunk_documents,
     "snapshot_diff": q_snapshot_diff,
     "mine_triplets": q_mine_triplets,
+    "ngram_decontaminate": q_ngram_decontaminate,
     "pq_codes": q_pq_codes,
     "pq_topk": q_pq_topk,
     "pq_topk_rerank": q_pq_topk_rerank,

@@ -411,3 +411,28 @@ def test_snapshot_diff_null_text_presence(spark):
     new = spark.createDataFrame([(1, None), (2, "now set"), (4, None)], "doc_id long, text string")
     got = {r["doc_id"]: r["change"] for r in prep.snapshot_diff(old, new).collect()}
     assert got == {2: "modified", 3: "removed", 4: "added"}  # 1 unchanged
+
+
+def test_ngram_decontamination_catches_embedded_benchmark(spark):
+    bench = spark.createDataFrame(
+        [(1, "q1 q2 q3 q4 q5 q6 q7 q8"), (2, "r1 r2 r3 r4 r5 r6 r7 r8")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "header q1 q2 q3 q4 q5 q6 q7 q8 footer"),  # embedded bench 1
+            (11, "clean x1 x2 x3 x4 x5 x6 x7 x8 page"),     # no overlap
+            (12, "r1 r2 r3 r4 r5 r6 r7 r8"),                # verbatim bench 2
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_contaminated_ngrams"]
+        for r in dedup.cross_corpus_ngram_hits(train, bench, n=8).collect()
+    }
+    assert got == {10: 1, 12: 1}
+    # min_hits prunes single-gram overlaps
+    assert dedup.cross_corpus_ngram_hits(train, bench, n=8, min_hits=2).count() == 0
+    # MinHash whole-doc decontamination DILUTES the embedded case: the
+    # n-gram filter exists precisely for containment
+    assert 10 in got
