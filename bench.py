@@ -433,6 +433,14 @@ def main():
     decontam_indexed()
     t, _ = timed(decontam_indexed)
     timings["decontaminate_indexed"] = t
+
+    # exact n-gram containment decontamination (the GPT-3-style filter)
+    def decontam_ngram():
+        return dedup.cross_corpus_ngram_hits(train_docs, bench_docs, n=8).count()
+
+    decontam_ngram()
+    t, _ = timed(decontam_ngram)
+    timings["decontaminate_ngram"] = t
     # sequence packing: two-phase distributed prefix sum over the corpus
     from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.textstats import (
         token_count,
