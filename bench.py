@@ -391,6 +391,17 @@ def main():
     Q.q_lm_quality(spark, sf_dir).count()
     t, _ = timed(lambda: Q.q_lm_quality(spark, sf_dir).count())
     timings["lm_quality_full"] = t
+    # PII scrub: pure row-local regexp count+replace — with
+    # repetition_stats this brackets the cost of the shuffle-free
+    # quality/scrub passes a 100 TB sweep stacks onto the scan
+    Q.q_pii_scrub(spark, sf_dir).count()
+    t, _ = timed(lambda: Q.q_pii_scrub(spark, sf_dir).count())
+    timings["pii_scrub_full"] = t
+    # boilerplate line removal: one 8-byte-hash dictionary shuffle +
+    # the broadcast-set Arrow line filter (corpus text never shuffles)
+    Q.q_boilerplate_removal(spark, sf_dir).count()
+    t, _ = timed(lambda: Q.q_boilerplate_removal(spark, sf_dir).count())
+    timings["boilerplate_removal_full"] = t
     # incremental ingest dedup incl. the distributed bloom build over
     # the history hashes (the whole ingest-step cost, not just the join)
     Q.q_incremental_dedup(spark, sf_dir).count()

@@ -127,3 +127,20 @@ MIX_WEIGHTS = {"en": 400, "de": 150, "es": 150, "fr": 150, "zh": 150}
 NGRAM_DECON_N = 8
 NGRAM_DECON_PLANT_EVERY = 3
 NGRAM_DECON_OFFSET = 40_000_000
+
+# PII scrub plant pattern: every PII_EMAIL_EVERY-th doc gets an email,
+# every PII_PHONE_EVERY-th a phone number, every PII_IP_EVERY-th an IP.
+PII_EMAIL_EVERY = 5
+PII_PHONE_EVERY = 7
+PII_IP_EVERY = 11
+
+# Boilerplate line removal: planted header/footer lines (high doc
+# frequency -> removed) and a rare line family (df under the threshold
+# -> kept), with the removal threshold.
+BP_HEADER = "SUBSCRIBE TO OUR NEWSLETTER"
+BP_FOOTER = "copyright 2026 example corp all rights reserved"
+BP_HEADER_EVERY = 3
+BP_FOOTER_EVERY = 4
+BP_RARE_EVERY = 25
+BP_RARE_MOD = 5
+BP_MIN_DF = 30

@@ -217,3 +217,38 @@ def token_entropy(tokens: Column) -> Column:
         counts, F.lit(0.0), lambda acc, c: acc + c * F.log(c)
     )
     return F.when(n > 0, F.log(n.cast("double")) - s / n).otherwise(F.lit(0.0))
+
+
+# PII patterns (pii_scrub). One dialect-portable subset of Java regex
+# and RE2: character classes, bounded repetition, and \b word
+# boundaries only — no lookaround, no backreferences, so Spark's
+# java.util.regex and DuckDB's RE2 agree on every match. Both engines
+# treat \d as ASCII digits by default.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts over the ORIGINAL text (so a phone
+    number inside an email's local part counts under both kinds —
+    counts are independent detectors, not a partition of the text).
+    Row-local ``regexp_count``, shuffle-free."""
+    return {
+        kind: F.regexp_count(text, F.lit(pat)).cast("int")
+        for kind, (pat, _) in PII_PATTERNS.items()
+    }
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace every PII match with its placeholder token, applying
+    the patterns in ``PII_PATTERNS`` insertion order (email first, so
+    an address containing an IP-shaped domain is redacted whole rather
+    than leaving ``user@<IP>`` fragments). Deterministic: both engines
+    apply global replacement left-to-right per pattern."""
+    out = text
+    for pat, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out

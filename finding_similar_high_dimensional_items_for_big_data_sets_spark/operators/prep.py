@@ -11,6 +11,7 @@ pure DataFrame operators designed for 100 TB inputs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -594,3 +595,159 @@ def weighted_mixture_sample(
             g: (scale * budget * weights[g]) // (W * t) for g, t in totals.items()
         }
     return _threshold_sample(counted, thresholds, scale, seed, group_col, id_col)
+
+
+def pii_scrub(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PII detection + redaction (the BigScience/CCNet-style scrub
+    pass): per-document counts of email / phone / IPv4 matches over
+    the original text, plus the text with every match replaced by its
+    placeholder token (``functions.textstats.PII_PATTERNS``). Counts
+    are independent detectors (overlapping matches count under every
+    kind that fires); redaction applies the patterns in declaration
+    order so nested matches resolve deterministically.
+
+    Scale: entirely row-local ``regexp_count`` / ``regexp_replace``
+    expressions — shuffle-free, fuses into the scan's whole-stage
+    codegen, trivially linear at 100 TB.
+
+    Output: (doc_id, clean_text, n_emails, n_phones, n_ips).
+    """
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.textstats import (
+        pii_counts,
+        pii_redact,
+    )
+
+    text = F.col(text_col)
+    counts = pii_counts(text)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        pii_redact(text).alias("clean_text"),
+        counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
+        counts["ipv4"].alias("n_ips"),
+    )
+
+
+# Broadcast-path gate for remove_boilerplate_lines: above this many
+# boilerplate lines the dictionary stops being driver/executor-cheap
+# and the operator switches to the explode/anti-join/regroup plan.
+BOILERPLATE_BCAST_MAX = 100_000
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    min_doc_freq: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_dict_size: int = BOILERPLATE_BCAST_MAX,
+) -> DataFrame:
+    """Line-level boilerplate removal (the RefinedWeb/MassiveText
+    pass doc-level dedup cannot express): drop every line whose
+    document frequency is >= ``min_doc_freq`` — navigation headers,
+    cookie banners, copyright footers — and reassemble each document
+    from its surviving lines in original order. Documents whose every
+    line is boilerplate disappear; empty lines are dropped as
+    normalization on both sides of the comparison.
+
+    Plan, pass 1 (dictionary): split -> per-doc-distinct lines ->
+    one aggregation keyed on the 8-byte portable line hash -> lines
+    with df >= min_doc_freq. The dictionary is corpus-bounded by
+    construction: at most total_lines / min_doc_freq entries.
+
+    Plan, pass 2, broadcast path (dictionary fits ``max_dict_size``):
+    the hash set rides a closure into one Arrow ``mapInPandas``-style
+    pandas UDF that re-derives the same md5-based hash per line
+    (``hashlib`` == Spark ``conv(substring(md5..`` bit-for-bit) and
+    filters row-locally — the corpus text never shuffles. The single
+    dictionary collect doubles as the size probe (no separate count
+    job). Join path (dictionary too big): posexplode -> broadcast
+    anti join on line_hash -> regroup by doc_id (the one unavoidable
+    text shuffle when the dictionary cannot be carried to the rows).
+    Both paths produce identical rows (tested).
+
+    Output: (doc_id, clean_text, n_removed INT), docs with >= 1 kept
+    line only.
+    """
+    if min_doc_freq < 2:
+        raise ValueError(f"min_doc_freq must be >= 2, got {min_doc_freq}")
+    # coalesce keeps null texts out of the Arrow batch (they become an
+    # empty lines array and the doc drops on the no-kept-lines rule,
+    # same as the join path's empty posexplode)
+    import re
+
+    lines_arr = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), F.lit(re.escape(sep))),
+        lambda x: x != "",
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), lines_arr.alias("lines"))
+    dictionary = (
+        base.select(F.explode(F.array_distinct("lines")).alias("line"))
+        .select(portable_hash64(F.col("line")).alias("line_hash"))
+        .groupBy("line_hash")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= F.lit(min_doc_freq))
+        .select("line_hash")
+    )
+    head = dictionary.limit(max_dict_size + 1).collect()
+    if len(head) <= max_dict_size:
+        return _strip_lines_broadcast(base, {r["line_hash"] for r in head}, sep)
+    return _strip_lines_join(base, dictionary, sep)
+
+
+def _strip_lines_broadcast(base, hash_set, sep):
+    """Row-local line filter against the broadcast hash set. Python
+    md5 here is bit-identical to ``functions.hashing.portable_hash64``
+    (same 15-hex-digit truncation); set membership is O(1) per line."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def keep_lines(lines: pd.Series) -> pd.Series:
+        return lines.map(
+            lambda ls: [
+                l
+                for l in ls
+                if int(hashlib.md5(l.encode("utf-8")).hexdigest()[:15], 16)
+                not in hash_set
+            ]
+        )
+
+    out = base.select(
+        "doc_id", F.size("lines").alias("n"), keep_lines(F.col("lines")).alias("kept")
+    )
+    return out.filter(F.size("kept") > 0).select(
+        "doc_id",
+        F.array_join("kept", sep).alias("clean_text"),
+        (F.col("n") - F.size("kept")).cast("int").alias("n_removed"),
+    )
+
+
+def _strip_lines_join(base, dictionary, sep):
+    """Explode/anti-join/regroup fallback for dictionaries too large to
+    broadcast as a closure: one shuffle on doc_id to reassemble."""
+    exploded = base.select(
+        "doc_id",
+        F.size("lines").alias("n_lines"),
+        F.posexplode("lines").alias("pos", "line"),
+    ).withColumn("line_hash", portable_hash64(F.col("line")))
+    kept = exploded.join(F.broadcast(dictionary), "line_hash", "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("clean_text"),
+            (F.first("n_lines") - F.count("*")).cast("int").alias("n_removed"),
+        )
+        .select("doc_id", "clean_text", "n_removed")
+    )

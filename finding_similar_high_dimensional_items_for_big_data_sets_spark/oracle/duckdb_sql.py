@@ -1771,6 +1771,82 @@ FROM toks t LEFT JOIN s ON t.doc_id = s.doc_id
 """
 
 
+def sql_pii_scrub() -> str:
+    """Mirrors q_pii_scrub: same planted PII, same regex patterns
+    (dialect-portable subset — RE2 here, java.util.regex in Spark agree
+    on every construct used), counts via regexp_extract_all on the
+    original text, redaction via chained global regexp_replace in
+    PII_PATTERNS declaration order."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.textstats import (
+        PII_PATTERNS,
+    )
+
+    redact = "text"
+    for pat, token in PII_PATTERNS.values():
+        redact = f"regexp_replace({redact}, '{pat}', '{token}', 'g')"
+    counts = {
+        kind: f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT)"
+        for kind, (pat, _) in PII_PATTERNS.items()
+    }
+    e, p, i = C.PII_EMAIL_EVERY, C.PII_PHONE_EVERY, C.PII_IP_EVERY
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % {e} = 0
+            THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % {p} = 0 THEN ' call 555-123-4567' ELSE '' END
+    || CASE WHEN doc_id % {i} = 0
+            THEN ' from 192.168.1.' || (doc_id % 250) ELSE '' END AS text
+  FROM documents)
+SELECT doc_id, {redact} AS clean_text,
+  {counts['email']} AS n_emails,
+  {counts['phone']} AS n_phones,
+  {counts['ipv4']} AS n_ips
+FROM src
+"""
+
+
+def sql_boilerplate_removal() -> str:
+    """Mirrors q_boilerplate_removal: same planted header/footer/rare
+    lines, doc-frequency dictionary keyed on the SAME portable line
+    hash the engine shuffles on (a hash collision cannot diverge the
+    result), surviving lines reassembled in position order; docs with
+    zero kept lines drop on both sides."""
+    he, fe, re_, rm, k = (
+        C.BP_HEADER_EVERY,
+        C.BP_FOOTER_EVERY,
+        C.BP_RARE_EVERY,
+        C.BP_RARE_MOD,
+        C.BP_MIN_DF,
+    )
+    return f"""
+WITH src AS (
+  SELECT doc_id, concat_ws(chr(10),
+    CASE WHEN doc_id % {he} = 0 THEN '{C.BP_HEADER}' END,
+    text,
+    CASE WHEN doc_id % {fe} = 0 THEN '{C.BP_FOOTER}' END,
+    CASE WHEN doc_id % {re_} = 0
+         THEN 'visit docs page ' || (doc_id % {rm}) END) AS text
+  FROM documents),
+la AS (SELECT doc_id, list_filter(string_split(text, chr(10)), x -> x <> '') AS l
+       FROM src),
+lines AS (SELECT doc_id, unnest(l) AS line, generate_subscripts(l, 1) AS pos
+          FROM la),
+dict AS (
+  SELECT {H('line')} AS lh
+  FROM (SELECT DISTINCT doc_id, line FROM lines)
+  GROUP BY 1 HAVING count(*) >= {k}),
+kept AS (SELECT doc_id, line, pos FROM lines
+         WHERE {H('line')} NOT IN (SELECT lh FROM dict)),
+tot AS (SELECT doc_id, count(*) AS n FROM lines GROUP BY 1)
+SELECT k.doc_id, string_agg(k.line, chr(10) ORDER BY k.pos) AS clean_text,
+       CAST(t.n - count(*) AS INT) AS n_removed
+FROM kept k JOIN tot t USING (doc_id)
+GROUP BY k.doc_id, t.n
+"""
+
+
 def registry() -> dict[str, str]:
     """name -> DuckDB SQL, for every oracle-checkable query."""
     return {
@@ -1825,6 +1901,8 @@ def registry() -> dict[str, str]:
         "snapshot_diff": sql_snapshot_diff(),
         "mine_triplets": sql_mine_triplets(),
         "ngram_decontaminate": sql_ngram_decontaminate(),
+        "pii_scrub": sql_pii_scrub(),
+        "boilerplate_removal": sql_boilerplate_removal(),
         "pq_codes": sql_pq_codes(),
         "pq_topk": sql_pq_topk(),
         "pq_topk_rerank": sql_pq_topk_rerank(),

@@ -1413,6 +1413,57 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction over a corpus with planted emails /
+    phone numbers / IPv4s (the synthetic text has none): per-doc match
+    counts on the original text plus the placeholder-redacted text.
+    Entirely row-local regexp expressions — shuffle-free."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % C.PII_EMAIL_EVERY == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(did % C.PII_PHONE_EVERY == 0, F.lit(" call 555-123-4567")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                did % C.PII_IP_EVERY == 0,
+                F.concat(F.lit(" from 192.168.1."), (did % 250).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return prep.pii_scrub(planted)
+
+
+def q_boilerplate_removal(spark, sf_dir):
+    """RefinedWeb-style line-level boilerplate removal: a corpus with a
+    planted high-df header (every 3rd doc), footer (every 4th), and a
+    RARE line family (every 25th doc, 5 variants — df under the
+    threshold, must survive); lines with doc frequency >= BP_MIN_DF are
+    stripped and documents reassembled in original line order."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(did % C.BP_HEADER_EVERY == 0, F.lit(C.BP_HEADER)),
+            F.col("text"),
+            F.when(did % C.BP_FOOTER_EVERY == 0, F.lit(C.BP_FOOTER)),
+            F.when(
+                did % C.BP_RARE_EVERY == 0,
+                F.concat(F.lit("visit docs page "), (did % C.BP_RARE_MOD).cast("string")),
+            ),
+        ).alias("text"),
+    )
+    return prep.remove_boilerplate_lines(planted, min_doc_freq=C.BP_MIN_DF)
+
+
 REGISTRY = {
     "shingle_stats": q_shingle_stats,
     "content_hashes": q_content_hashes,
@@ -1463,6 +1514,8 @@ REGISTRY = {
     "snapshot_diff": q_snapshot_diff,
     "mine_triplets": q_mine_triplets,
     "ngram_decontaminate": q_ngram_decontaminate,
+    "pii_scrub": q_pii_scrub,
+    "boilerplate_removal": q_boilerplate_removal,
     "pq_codes": q_pq_codes,
     "pq_topk": q_pq_topk,
     "pq_topk_rerank": q_pq_topk_rerank,
