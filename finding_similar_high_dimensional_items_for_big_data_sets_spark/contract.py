@@ -128,6 +128,10 @@ NGRAM_DECON_N = 8
 NGRAM_DECON_PLANT_EVERY = 3
 NGRAM_DECON_OFFSET = 40_000_000
 
+# SemDeDup: cosine threshold for the cluster-blocked semantic dedup
+# queries (cells/seed reuse the IVF constants above).
+SEM_THRESHOLD = 0.3
+
 # PII scrub plant pattern: every PII_EMAIL_EVERY-th doc gets an email,
 # every PII_PHONE_EVERY-th a phone number, every PII_IP_EVERY-th an IP.
 PII_EMAIL_EVERY = 5

@@ -534,6 +534,30 @@ def ann_lsh_topk_store(
     )
 
 
+def nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell id (argmin squared-L2, first tie wins) as
+    a pure column expression — the coarse-quantizer assignment shared
+    by :func:`ivf_assign` and ``dedup.semantic_duplicates``. Sequential
+    ``zip_with`` + fold keeps the IEEE op order identical to the DuckDB
+    oracle's ``list_reduce`` twin.
+    """
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda x, y: F.pow(x.cast("double") - y, F.lit(2)),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    return F.array_position(dists, F.array_min(dists)).cast("int") - 1
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: list[list[float]],
@@ -545,22 +569,7 @@ def ivf_assign(
     One pass, no shuffle; at scale you'd persist partitioned by cell.
     Output: original columns + cell INT.
     """
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in c]),
-                    lambda x, y: F.pow(x.cast("double") - y, F.lit(2)),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for c in centroids
-        ]
-    )
-    cell = F.array_position(dists, F.array_min(dists)).cast("int") - 1
-    return embeddings.withColumn("cell", cell)
+    return embeddings.withColumn("cell", nearest_cell(F.col(vec_col), centroids))
 
 
 def probe_cells(

@@ -397,13 +397,37 @@ def embedding_cosine_duplicates(
             n_rows if n_rows is not None else embeddings.count()
         )
 
+    return _cosine_pairs_blocked(
+        embeddings,
+        lambda v: hyperplane_bucket(v, dim, n_planes=n_planes, seed=seed),
+        threshold,
+        id_col,
+        vec_col,
+        compress_identical,
+    )
+
+
+def _cosine_pairs_blocked(
+    embeddings: DataFrame,
+    block_of,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    compress_identical: bool,
+) -> DataFrame:
+    """Shared core of the blocked exact-cosine pair finders: compute a
+    blocking key per vector via ``block_of(vec_column)``, self-join
+    within blocks, verify with the exact (rounded-6) cosine fold, and
+    optionally clone-compress identical vectors first. Both
+    :func:`embedding_cosine_duplicates` (hyperplane-sign blocks) and
+    :func:`semantic_duplicates` (nearest-centroid cells) route here,
+    so their outputs differ ONLY in the candidate blocking.
+    Output: (vec_a, vec_b, cos_sim)."""
     if not compress_identical:
         bucketed = embeddings.select(
             F.col(id_col),
             F.col(vec_col),
-            hyperplane_bucket(F.col(vec_col), dim, n_planes=n_planes, seed=seed).alias(
-                "bucket"
-            ),
+            block_of(F.col(vec_col)).alias("bucket"),
         )
         left = bucketed.select(
             F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a"), "bucket"
@@ -438,9 +462,7 @@ def embedding_cosine_duplicates(
         "rep",
         "vec",
         "members",
-        hyperplane_bucket(F.col("vec"), dim, n_planes=n_planes, seed=seed).alias(
-            "bucket"
-        ),
+        block_of(F.col("vec")).alias("bucket"),
     )
     la = bucketed.select(
         F.col("rep").alias("rep_a"),
@@ -669,6 +691,85 @@ def _probe_array(vec_col: str, dim: int, n_planes: int, seed: int, probe_margin:
         ]
     )
     return F.concat(F.array(bucket), F.filter(flips, lambda x: x.isNotNull()))
+
+
+def semantic_duplicates(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compress_identical: bool = True,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540): block vectors by their nearest-centroid cluster
+    cell (the IVF coarse quantizer, ``ann.nearest_cell``), then verify
+    every within-cell pair with exact cosine similarity >= threshold.
+
+    vs :func:`embedding_cosine_duplicates` (hyperplane-sign blocking):
+    clustering adapts the blocks to the DATA — a corpus concentrated
+    in a few directions still splits into balanced cells, where sign
+    buckets would collapse — at the cost of needing centroids up
+    front. Train them with ``ann.ivf_train`` (Lloyd) for real corpora,
+    or pass ``ann.random_centroids`` for a deterministic pipeline.
+    Known recall caveat (inherent to the paper's design): a true pair
+    straddling a cell boundary is missed; raise the threshold's
+    safety margin or lower the cell count for higher recall.
+
+    Scale: one narrow shuffle on the cell key; within-cell work is
+    quadratic per cell, so size ``len(centroids)`` ~ N/target_cell.
+    Clone compression (on by default) keeps the adversarial
+    identical-vector corpus linear, same as the hyperplane path.
+    Output: (vec_a, vec_b, cos_sim).
+    """
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import nearest_cell
+
+    return _cosine_pairs_blocked(
+        embeddings,
+        lambda v: nearest_cell(v, centroids),
+        threshold,
+        id_col,
+        vec_col,
+        compress_identical,
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Full SemDeDup pass: cluster-blocked cosine pairs
+    (:func:`semantic_duplicates`) -> connected components -> keep one
+    representative (the smallest id) per semantic-duplicate group.
+    Deterministic given the centroids, unlike the paper's
+    keep-farthest-from-centroid tie-break, so results are stable
+    across re-runs and oracle-checkable.
+
+    Output: (vec_id, group_id, keep BOOLEAN) for EVERY input vector —
+    filter ``keep`` for the deduplicated corpus, or join ``group_id``
+    back for provenance. Same contract as the MinHash pipeline's
+    group stage, so the two dedup families compose in one plan.
+    """
+    pairs = semantic_duplicates(
+        embeddings, centroids, threshold, id_col=id_col, vec_col=vec_col
+    )
+    groups = connected_components(
+        pairs,
+        embeddings.select(id_col),
+        max_iter=max_iter,
+        id_col=id_col,
+        a_col="vec_a",
+        b_col="vec_b",
+    )
+    return groups.select(
+        F.col(id_col),
+        "group_id",
+        (F.col(id_col) == F.col("group_id")).alias("keep"),
+    )
 
 
 def shared_ngram_spans(

@@ -483,6 +483,67 @@ SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.3
 """
 
 
+def _sem_assigned() -> str:
+    """Shared CTE body for the SemDeDup twins: nearest-centroid cell
+    per embedding, argmin (first tie) of the same sequential squared-L2
+    fold ``ann.nearest_cell`` evaluates (seeded IVF centroids)."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        random_centroids,
+    )
+
+    cents = random_centroids(C.EMB_DIM, C.IVF_CELLS, C.IVF_SEED)
+    dists = "[" + ", ".join(_sq_l2_lit("embedding", c) for c in cents) + "]"
+    return (
+        "SELECT vec_id, embedding, "
+        "CAST(list_position(d.ds, list_min(d.ds)) - 1 AS INT) AS cell "
+        f"FROM (SELECT vec_id, embedding, {dists} AS ds FROM embeddings) d"
+    )
+
+
+def _sem_pairs_body() -> str:
+    cos = (
+        f"{_dot('a.embedding', 'b.embedding', C.EMB_DIM)} / "
+        f"({_norm('a.embedding', C.EMB_DIM)} * {_norm('b.embedding', C.EMB_DIM)})"
+    )
+    return (
+        "SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        f"round({cos}, 6) AS cos_sim "
+        "FROM assigned a JOIN assigned b ON a.cell = b.cell "
+        "WHERE a.vec_id < b.vec_id"
+    )
+
+
+def sql_semantic_dup_pairs() -> str:
+    """Twin of dedup.semantic_duplicates: within-cell self-join,
+    rounded-6 exact cosine at SEM_THRESHOLD."""
+    return f"""
+WITH assigned AS MATERIALIZED ({_sem_assigned()}),
+scored AS ({_sem_pairs_body()})
+SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= {C.SEM_THRESHOLD}
+"""
+
+
+def sql_semantic_dedup() -> str:
+    """Twin of dedup.semantic_dedup: the pair graph's min-label
+    connected components as a recursive CTE (same construction as
+    sql_dedup_groups), keep = own-id representative."""
+    return f"""
+WITH RECURSIVE assigned AS MATERIALIZED ({_sem_assigned()}),
+scored AS ({_sem_pairs_body()}),
+pairs AS (SELECT vec_a, vec_b FROM scored WHERE cos_sim >= {C.SEM_THRESHOLD}),
+edges AS MATERIALIZED (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION SELECT vec_b, vec_a FROM pairs),
+reach(node, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+  WHERE r.label < e.src)
+SELECT node AS vec_id, min(label) AS group_id, node = min(label) AS keep
+FROM reach GROUP BY node
+"""
+
+
 def sql_embedding_dup_pairs_multiprobe() -> str:
     """Twin of dedup.embedding_cosine_duplicates_multiprobe: bucket +
     margin-gated single-bit flips per vector, pairs on any shared
@@ -1887,6 +1948,8 @@ def registry() -> dict[str, str]:
         "simhash": sql_simhash(),
         "simhash_dup_pairs": sql_simhash_dup_pairs(),
         "embedding_dup_pairs": sql_embedding_dup_pairs(),
+        "semantic_dup_pairs": sql_semantic_dup_pairs(),
+        "semantic_dedup": sql_semantic_dedup(),
         "text_stats": sql_text_stats(),
         "repetition_stats": sql_repetition_stats(),
         "shared_ngram_spans": sql_shared_ngram_spans(),

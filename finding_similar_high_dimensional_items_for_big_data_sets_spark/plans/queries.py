@@ -349,6 +349,27 @@ def q_embedding_dup_pairs(spark, sf_dir):
     )
 
 
+def q_semantic_dup_pairs(spark, sf_dir):
+    """SemDeDup pairs: nearest-centroid (IVF cell) blocking over the
+    seeded deterministic centroids, exact-cosine verify — the
+    cluster-adapted sibling of ``embedding_dup_pairs``."""
+    return dedup.semantic_duplicates(
+        _emb(spark, sf_dir),
+        centroids=ann.random_centroids(C.EMB_DIM, C.IVF_CELLS, C.IVF_SEED),
+        threshold=C.SEM_THRESHOLD,
+    )
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """Full SemDeDup keep-set: cluster-blocked pairs -> connected
+    components -> smallest-id representative per semantic group."""
+    return dedup.semantic_dedup(
+        _emb(spark, sf_dir),
+        centroids=ann.random_centroids(C.EMB_DIM, C.IVF_CELLS, C.IVF_SEED),
+        threshold=C.SEM_THRESHOLD,
+    )
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic train/val split by salted stable-id hash —
     content-independent, reproducible, shuffle-free."""
@@ -1497,6 +1518,8 @@ REGISTRY = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "embedding_dup_pairs": q_embedding_dup_pairs,
+    "semantic_dup_pairs": q_semantic_dup_pairs,
+    "semantic_dedup": q_semantic_dedup,
     "dedup_groups": q_dedup_groups,
     "mllib_pairs": q_mllib_pairs,
     "mllib_pairs_verified": q_mllib_pairs_verified,

@@ -1,0 +1,98 @@
+"""SemDeDup-style cluster-blocked semantic dedup (dedup.semantic_*)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import ann, dedup
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def _planted(spark):
+    """Four well-separated directions plus planted dups: 10/11 are
+    exact clones of 0's vector, 12 is a tiny perturbation of 1's,
+    and 13 is far from everything."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(4, 16))
+    rows = []
+    for i in range(4):
+        rows.append((i, [float(x) for x in base[i]]))
+    rows.append((10, [float(x) for x in base[0]]))  # exact clone of 0
+    rows.append((11, [float(x) for x in base[0]]))  # exact clone of 0
+    near = base[1] + rng.normal(size=16) * 1e-3
+    rows.append((12, [float(x) for x in near]))  # near-dup of 1
+    rows.append((13, [float(x) for x in rng.normal(size=16) * 5]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_semantic_duplicates_finds_planted_clones(spark):
+    df = _planted(spark)
+    cents = ann.random_centroids(16, n_cells=4, seed=5)
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.semantic_duplicates(df, cents, threshold=0.99).collect()
+    }
+    # identical vectors always share a cell regardless of centroids
+    assert {(0, 10), (0, 11), (10, 11)} <= pairs
+    # the perturbed near-dup of 1 also lands in 1's cell (same argmin)
+    assert (1, 12) in pairs
+    # nothing pairs with the far-away outlier at this threshold
+    assert not any(13 in p for p in pairs)
+
+
+def test_semantic_dedup_keeps_min_id_representatives(spark):
+    df = _planted(spark)
+    cents = ann.random_centroids(16, n_cells=4, seed=5)
+    rows = {r["vec_id"]: r for r in dedup.semantic_dedup(df, cents, threshold=0.99).collect()}
+    assert len(rows) == 8  # every input vector appears
+    assert rows[0]["keep"] and rows[0]["group_id"] == 0
+    for dup in (10, 11):
+        assert rows[dup]["group_id"] == 0 and not rows[dup]["keep"]
+    assert rows[12]["group_id"] == 1 and not rows[12]["keep"]
+    assert rows[1]["keep"]
+    assert rows[13]["keep"] and rows[13]["group_id"] == 13
+
+
+def test_semantic_duplicates_compression_parity(emb):
+    """Clone compression must be invisible in the output (same rows),
+    on real fixture embeddings with a permissive threshold."""
+    cents = ann.random_centroids(64, n_cells=8, seed=43)
+    a = dedup.semantic_duplicates(emb, cents, threshold=0.2, compress_identical=True)
+    b = dedup.semantic_duplicates(emb, cents, threshold=0.2, compress_identical=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_semantic_duplicates_with_trained_centroids(spark, emb):
+    """Lloyd-trained quantizer slots straight in; exact clones are
+    found under ANY centroids (identical vectors, identical cells)."""
+    clones = spark.createDataFrame(
+        [(90001,), (90002,)], "vec_id bigint"
+    ).crossJoin(emb.filter(F.col("vec_id") == 3).select("embedding"))
+    df = emb.select("vec_id", "embedding").unionByName(
+        clones.select("vec_id", "embedding")
+    )
+    trained = ann.ivf_train(emb, n_cells=8, n_iters=2, seed=43)
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.semantic_duplicates(df, trained, threshold=0.999).collect()
+    }
+    assert {(3, 90001), (3, 90002), (90001, 90002)} <= pairs
+
+
+def test_semantic_blocking_differs_from_hyperplane_blocking(emb):
+    """Sanity: the two blockings are genuinely different candidate
+    generators — cell-blocked pairs at a low threshold are not simply
+    the hyperplane-bucket pairs under another name."""
+    cents = ann.random_centroids(64, n_cells=8, seed=43)
+    sem = dedup.semantic_duplicates(emb, cents, threshold=0.2)
+    hyp = dedup.embedding_cosine_duplicates(emb, dim=64, threshold=0.2, n_planes=8, seed=42)
+    s = {(r["vec_a"], r["vec_b"]) for r in sem.collect()}
+    h = {(r["vec_a"], r["vec_b"]) for r in hyp.collect()}
+    assert s and h and s != h
