@@ -132,6 +132,10 @@ NGRAM_DECON_OFFSET = 40_000_000
 # queries (cells/seed reuse the IVF constants above).
 SEM_THRESHOLD = 0.3
 
+# Prototypicality filter: fraction of most-prototypical vectors
+# dropped per cluster cell.
+PROTO_DROP_FRAC = 0.25
+
 # PII scrub plant pattern: every PII_EMAIL_EVERY-th doc gets an email,
 # every PII_PHONE_EVERY-th a phone number, every PII_IP_EVERY-th an IP.
 PII_EMAIL_EVERY = 5

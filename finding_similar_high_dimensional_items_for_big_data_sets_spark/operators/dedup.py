@@ -772,6 +772,70 @@ def semantic_dedup(
     )
 
 
+def semantic_outliers(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    drop_frac: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Prototypicality filter (the D4 / SSL-prototypes pass that runs
+    AFTER SemDeDup, arXiv:2308.12284 / 2206.14486): score each vector
+    by cosine similarity to its assigned cluster centroid and drop the
+    ``drop_frac`` MOST prototypical per cell — points nearly collinear
+    with the cluster center are semantically redundant; the diverse
+    tail carries the training signal.
+
+    Per-cell cutoffs are EXACT percentiles over the rounded-6 score
+    multiset (Spark ``percentile`` == DuckDB ``quantile_cont``
+    bit-identically, same parity contract as ``prep.lm_quality_bands``)
+    computed in one tiny aggregation (<= n_cells rows) and broadcast
+    back — the corpus never shuffles. Per-row cost is O(n_cells * dim)
+    for assignment + scoring, the same class as ``ann.ivf_assign``;
+    at very large cell counts fuse both into one ``mapInPandas``
+    argmin. Zero-norm vectors score NULL and are kept (nothing is
+    "prototypical about" a degenerate point).
+
+    Output: (vec_id, cell, proto_score, keep BOOLEAN) for every input
+    row; filter ``keep`` for the curated corpus.
+    """
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.arrays import (
+        cosine_similarity,
+    )
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import nearest_cell
+
+    if not 0.0 < drop_frac < 1.0:
+        raise ValueError(f"drop_frac must be in (0, 1), got {drop_frac}")
+    q = 1.0 - float(drop_frac)
+    vec = F.col(vec_col)
+    cos_all = F.array(
+        *[
+            F.round(
+                cosine_similarity(vec, F.array(*[F.lit(float(x)) for x in c])), 6
+            )
+            for c in centroids
+        ]
+    )
+    proto = embeddings.select(
+        F.col(id_col),
+        nearest_cell(vec, centroids).alias("cell"),
+        cos_all.alias("cos_all"),
+    ).select(
+        id_col,
+        "cell",
+        F.element_at("cos_all", F.col("cell") + 1).alias("proto_score"),
+    )
+    cuts = proto.groupBy("cell").agg(
+        F.expr(f"percentile(proto_score, {q!r}D)").alias("cut")
+    )
+    return proto.join(F.broadcast(cuts), "cell").select(
+        id_col,
+        "cell",
+        "proto_score",
+        F.coalesce(F.col("proto_score") <= F.col("cut"), F.lit(True)).alias("keep"),
+    )
+
+
 def shared_ngram_spans(
     docs: DataFrame,
     n: int = 8,

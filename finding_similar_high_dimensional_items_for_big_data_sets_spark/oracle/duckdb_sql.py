@@ -544,6 +544,41 @@ FROM reach GROUP BY node
 """
 
 
+def sql_semantic_outliers() -> str:
+    """Twin of dedup.semantic_outliers: rounded-6 cosine to the
+    assigned centroid, per-cell quantile_cont cutoff (bit-identical to
+    Spark's exact percentile over the same rounded multiset), keep the
+    non-prototypical tail; NULL scores (zero-norm vectors) kept."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        random_centroids,
+    )
+
+    cents = random_centroids(C.EMB_DIM, C.IVF_CELLS, C.IVF_SEED)
+    dists = "[" + ", ".join(_sq_l2_lit("embedding", c) for c in cents) + "]"
+
+    def norm_lit(c: list[float]) -> str:
+        lit = "[" + ",".join(repr(float(x)) for x in c) + "]"
+        return _norm(f"({lit})", len(c))
+
+    cos_all = "[" + ", ".join(
+        f"round({_dot_lit('embedding', c)} / ({_norm('embedding', C.EMB_DIM)} * {norm_lit(c)}), 6)"
+        for c in cents
+    ) + "]"
+    q = 1.0 - C.PROTO_DROP_FRAC
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding,
+         CAST(list_position(d.ds, list_min(d.ds)) - 1 AS INT) AS cell
+  FROM (SELECT vec_id, embedding, {dists} AS ds FROM embeddings) d),
+proto AS MATERIALIZED (
+  SELECT vec_id, cell, ({cos_all})[cell + 1] AS proto_score FROM assigned),
+cuts AS (SELECT cell, quantile_cont(proto_score, {q!r}) AS cut FROM proto GROUP BY cell)
+SELECT p.vec_id, p.cell, p.proto_score,
+       coalesce(p.proto_score <= c.cut, TRUE) AS keep
+FROM proto p JOIN cuts c USING (cell)
+"""
+
+
 def sql_embedding_dup_pairs_multiprobe() -> str:
     """Twin of dedup.embedding_cosine_duplicates_multiprobe: bucket +
     margin-gated single-bit flips per vector, pairs on any shared
@@ -1950,6 +1985,7 @@ def registry() -> dict[str, str]:
         "embedding_dup_pairs": sql_embedding_dup_pairs(),
         "semantic_dup_pairs": sql_semantic_dup_pairs(),
         "semantic_dedup": sql_semantic_dedup(),
+        "semantic_outliers": sql_semantic_outliers(),
         "text_stats": sql_text_stats(),
         "repetition_stats": sql_repetition_stats(),
         "shared_ngram_spans": sql_shared_ngram_spans(),

@@ -370,6 +370,17 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_semantic_outliers(spark, sf_dir):
+    """D4-style prototypicality filter: cosine-to-own-centroid score,
+    per-cell exact-percentile cutoff, drop the most prototypical
+    quarter per cell."""
+    return dedup.semantic_outliers(
+        _emb(spark, sf_dir),
+        centroids=ann.random_centroids(C.EMB_DIM, C.IVF_CELLS, C.IVF_SEED),
+        drop_frac=C.PROTO_DROP_FRAC,
+    )
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic train/val split by salted stable-id hash —
     content-independent, reproducible, shuffle-free."""
@@ -1520,6 +1531,7 @@ REGISTRY = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "semantic_dup_pairs": q_semantic_dup_pairs,
     "semantic_dedup": q_semantic_dedup,
+    "semantic_outliers": q_semantic_outliers,
     "dedup_groups": q_dedup_groups,
     "mllib_pairs": q_mllib_pairs,
     "mllib_pairs_verified": q_mllib_pairs_verified,

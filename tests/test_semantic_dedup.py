@@ -96,3 +96,36 @@ def test_semantic_blocking_differs_from_hyperplane_blocking(emb):
     s = {(r["vec_a"], r["vec_b"]) for r in sem.collect()}
     h = {(r["vec_a"], r["vec_b"]) for r in hyp.collect()}
     assert s and h and s != h
+
+
+def test_semantic_outliers_drops_most_prototypical(emb):
+    cents = ann.random_centroids(64, n_cells=8, seed=43)
+    rows = dedup.semantic_outliers(emb, cents, drop_frac=0.25).collect()
+    assert len(rows) == emb.count()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, members in by_cell.items():
+        kept = [r for r in members if r["keep"]]
+        dropped = [r for r in members if not r["keep"]]
+        # every dropped score strictly above every kept score
+        if dropped:
+            assert min(r["proto_score"] for r in dropped) >= max(
+                r["proto_score"] for r in kept
+            )
+        # roughly a quarter dropped (percentile cut; ties may shift it)
+        assert len(dropped) <= len(members) * 0.5
+
+
+def test_semantic_outliers_zero_vector_kept_and_validation(spark, emb):
+    import pytest as _pytest
+
+    cents = ann.random_centroids(64, n_cells=4, seed=43)
+    zero = spark.createDataFrame(
+        [(99001, [0.0] * 64)], "vec_id bigint, embedding array<double>"
+    )
+    df = emb.select("vec_id", "embedding").unionByName(zero)
+    out = {r["vec_id"]: r for r in dedup.semantic_outliers(df, cents).collect()}
+    assert out[99001]["proto_score"] is None and out[99001]["keep"]
+    with _pytest.raises(ValueError):
+        dedup.semantic_outliers(emb, cents, drop_frac=1.5)
