@@ -663,18 +663,34 @@ def compact_index(
                 f"duplicate doc_id {dup[0]['doc_id']} in {validate_sigs_path}; "
                 "an append violated the new-ids contract — dedup before compacting"
             )
+    def fold_history(current: DataFrame, part_cols: list[str]) -> DataFrame:
+        # batch-partitioned history folds into the base epoch; every
+        # OTHER partition column (e.g. the serving shard) keeps its
+        # values — the compacted table must preserve the layout
+        # probes/exports rely on
+        if "ingest_batch" in part_cols:
+            current = current.withColumn("ingest_batch", F.lit(BASE_INGEST_BATCH))
+        return current
+
+    _rewrite_bands_swapped(spark, bands_table, fold_history)
+
+
+def _rewrite_bands_swapped(spark: SparkSession, bands_table: str, transform) -> None:
+    """Crash-safe full rewrite of the bucketed bands table:
+    ``transform(current_df, part_cols)`` produces the replacement rows,
+    which are written under the SAME bucket/partition spec to a tmp
+    table, then swapped in via rename-aside / rename-in / drop-old —
+    a servable copy exists under some name at every instant, an
+    in-process failure restores the original name, and a process death
+    is healed by :func:`recover_compact_swap`. Shared by
+    :func:`compact_index` and :func:`delete_from_index`."""
     num_buckets = _table_num_buckets(spark, bands_table)
     part_cols = _table_partition_columns(spark, bands_table)
     tmp = f"{bands_table}__compact_tmp"
     old = f"{bands_table}__compact_old"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     spark.sql(f"DROP TABLE IF EXISTS {old}")
-    current = spark.table(bands_table)
-    # batch-partitioned history folds into the base epoch; every OTHER
-    # partition column (e.g. the serving shard) keeps its values — the
-    # compacted table must preserve the layout probes/exports rely on
-    if "ingest_batch" in part_cols:
-        current = current.withColumn("ingest_batch", F.lit(BASE_INGEST_BATCH))
+    current = transform(spark.table(bands_table), part_cols)
     writer = current.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
@@ -740,6 +756,87 @@ def recover_compact_swap(spark: SparkSession, bands_table: str) -> bool:
         f"no surviving copy of {bands_table} found (neither __compact_tmp "
         "nor __compact_old exists) — this state is unreachable from "
         "compact_index; restore from your table backup"
+    )
+
+
+def delete_from_index(
+    spark: SparkSession,
+    delete_ids,
+    sigs_path: str,
+    bands_table: str,
+) -> None:
+    """Targeted deletion from the persisted LSH index — the retention /
+    right-to-be-forgotten operator the create/append/compact lifecycle
+    was missing. Rewrites BOTH index halves without the given doc_ids,
+    preserving the bucketed probe layout and any partition columns.
+
+    ``delete_ids``: a single-column DataFrame of doc_ids, or a Python
+    list of ids (folded to a broadcast anti-join either way — delete
+    sets are small relative to the corpus; a corpus-scale delete is a
+    rebuild, use ``write_bands_bucketed`` on the survivors).
+
+    Ordering + crash safety: the BANDS half rewrites first through the
+    same rename-aside swap as :func:`compact_index` (recoverable via
+    :func:`recover_compact_swap`); a crash after it leaves deleted ids
+    sig'd but unprobeable — the deletion is already effective, and
+    re-running the delete converges. The SIGNATURE half then rewrites
+    to ``<sigs_path>__delete_tmp`` and swaps by directory rename
+    (:func:`recover_sigs_swap` heals a death inside that window).
+    Parquet files are immutable, so a delete is inherently O(table
+    rewrite); batch deletes and fold them into maintenance windows,
+    exactly like compaction. On HDFS the renames map to
+    ``FileSystem.rename``; object stores without atomic rename should
+    keep the index under a table format instead.
+    """
+    import shutil
+
+    if not isinstance(delete_ids, DataFrame):
+        delete_ids = spark.createDataFrame(
+            [(int(i),) for i in delete_ids], "doc_id bigint"
+        )
+    ids = F.broadcast(delete_ids.select("doc_id").distinct())
+
+    _rewrite_bands_swapped(
+        spark, bands_table, lambda cur, _parts: cur.join(ids, "doc_id", "left_anti")
+    )
+
+    sigs = spark.read.parquet(sigs_path)
+    part_cols = [c for c in ("ingest_batch",) if c in sigs.columns]
+    kept = sigs.join(ids, "doc_id", "left_anti")
+    tmp = sigs_path.rstrip("/") + "__delete_tmp"
+    old = sigs_path.rstrip("/") + "__delete_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    writer = kept.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(tmp)
+    os.rename(sigs_path, old)
+    try:
+        os.rename(tmp, sigs_path)
+    except Exception:
+        os.rename(old, sigs_path)
+        raise
+    shutil.rmtree(old)
+
+
+def recover_sigs_swap(sigs_path: str) -> bool:
+    """Startup recovery after a process death inside
+    :func:`delete_from_index`'s signature-directory swap: if the live
+    path is missing, rename the surviving copy back — the filtered
+    ``__delete_tmp`` if its write completed, else the set-aside
+    ``__delete_old``. Returns True if a recovery rename happened,
+    False if the store was already healthy."""
+    if os.path.exists(sigs_path):
+        return False
+    for cand in (sigs_path.rstrip("/") + "__delete_tmp",
+                 sigs_path.rstrip("/") + "__delete_old"):
+        if os.path.exists(cand):
+            os.rename(cand, sigs_path)
+            return True
+    raise ValueError(
+        f"no surviving copy of {sigs_path} found (neither __delete_tmp "
+        "nor __delete_old exists) — restore from backup"
     )
 
 

@@ -370,3 +370,113 @@ def test_exactly_once_append_rejects_flat_sigs_store(spark, corpus, tmp_path):
             T.append_to_index_exactly_once(docs.limit(1), 0, PARAMS, sigs_p, table)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_delete_from_index_removes_ids_from_both_halves(spark, corpus, tmp_path):
+    """Deleted doc_ids disappear from probes AND from the signature
+    store; the bucket layout and everything else survives."""
+    _docs, sigs = corpus
+    table = "t_delete_idx"
+    sigs_path = str(tmp_path / "sigs_del")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        T.write_bands_bucketed(lsh.bands_table(sigs, PARAMS), table, num_buckets=4)
+        sigs.write.parquet(sigs_path)
+        victims = [13, 14, 15]
+        assert any(r[1] == 13 for r in _probe(spark, sigs, table, qdoc=13))
+
+        T.delete_from_index(spark, victims, sigs_path, table)
+
+        left_sigs = spark.read.parquet(sigs_path)
+        assert left_sigs.filter(F.col("doc_id").isin(victims)).count() == 0
+        band_ids = {r["doc_id"] for r in spark.table(table).select("doc_id").distinct().collect()}
+        assert not band_ids & set(victims)
+        # probing with a surviving query no longer surfaces the victims
+        res = _probe(spark, left_sigs, table, qdoc=20)
+        assert res and not {r[1] for r in res} & set(victims)
+        # layout preserved: appends still accept the bucketed spec
+        T.validate_index(spark, sigs_path, table)
+        # a DataFrame of ids works too, and re-running converges (no-op)
+        T.delete_from_index(
+            spark,
+            spark.createDataFrame([(13,)], "doc_id bigint"),
+            sigs_path,
+            table,
+        )
+        T.validate_index(spark, sigs_path, table)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_delete_preserves_batch_partitioned_layout(spark, corpus, tmp_path):
+    """On the exactly-once (ingest_batch-partitioned) layout, deletion
+    keeps the partition column on both halves so streaming appends keep
+    working afterwards."""
+    docs, sigs = corpus
+    table = "t_delete_part_idx"
+    sigs_path = str(tmp_path / "sigs_del_part")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        T.write_bands_bucketed(
+            lsh.bands_table(sigs, PARAMS), table, num_buckets=4, batch_partitioned=True
+        )
+        T.write_sigs_batch_partitioned(sigs, sigs_path)
+        T.append_to_index_exactly_once(
+            docs.filter(F.col("doc_id") < 3).select(
+                (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+            ),
+            0,
+            PARAMS,
+            sigs_path,
+            table,
+        )
+        T.delete_from_index(spark, [10_000, 5], sigs_path, table)
+        left = spark.read.parquet(sigs_path)
+        assert "ingest_batch" in left.columns
+        assert left.filter(F.col("doc_id").isin([10_000, 5])).count() == 0
+        assert spark.table(table).filter(F.col("doc_id").isin([10_000, 5])).count() == 0
+        # appends after the delete still go through the exactly-once path
+        T.append_to_index_exactly_once(
+            docs.filter(F.col("doc_id") == 7).select(
+                (F.col("doc_id") + 20_000).alias("doc_id"), "text"
+            ),
+            1,
+            PARAMS,
+            sigs_path,
+            table,
+        )
+        T.validate_index(spark, sigs_path, table)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_recover_sigs_swap_after_process_death(spark, corpus, tmp_path):
+    """Both death windows of the signature-directory swap heal: tmp
+    complete + live missing -> tmp renamed in; only old left -> old
+    renamed back; healthy store -> no-op."""
+    import os
+
+    _docs, sigs = corpus
+    sigs_path = str(tmp_path / "sigs_recover")
+    sigs.write.parquet(sigs_path)
+    n = spark.read.parquet(sigs_path).count()
+    assert T.recover_sigs_swap(sigs_path) is False  # healthy
+
+    # death after rename-aside, before rename-in (tmp complete)
+    tmp = sigs_path + "__delete_tmp"
+    old = sigs_path + "__delete_old"
+    sigs.filter(F.col("doc_id") != 13).write.parquet(tmp)
+    os.rename(sigs_path, old)
+    assert T.recover_sigs_swap(sigs_path) is True
+    assert spark.read.parquet(sigs_path).count() == n - 1
+
+    # death before the tmp write finished (only old survives).
+    # recovery leaves the set-aside copy in place (the next delete
+    # clears it) — drop it before simulating the second death.
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(sigs_path, old)
+    assert T.recover_sigs_swap(sigs_path) is True
+    assert spark.read.parquet(sigs_path).count() == n - 1
