@@ -623,6 +623,39 @@ def main():
             ingest_once()
             block["incremental_dedup"] = timed_min(ingest_once, max(1, reps - 1))
 
+            # SemDeDup pairs at corpus-scaled cell counts (~N/256 cells
+            # keeps the within-cell quadratic bounded); cell assignment
+            # through the Arrow argmin kernel — the expression form
+            # would unroll one fold per centroid and blow codegen at
+            # hundreds of cells. 5% planted clones give the verify
+            # stage real work at both scales.
+            emb_base = spark.range(n_docs_s).select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda i: F.sin((F.col("id") + 1) * (i + 3) * 0.37),
+                ).alias("embedding"),
+            )
+            emb_s = emb_base.unionByName(
+                emb_base.filter(F.col("vec_id") % 20 == 0).select(
+                    (F.col("vec_id") + n_docs_s).alias("vec_id"), "embedding"
+                )
+            ).cache()
+            emb_s.count()
+            n_cells_s = max(16, n_docs_s // 256)
+            cents_s = ann.random_centroids(64, n_cells=n_cells_s, seed=43)
+
+            def semantic_once():
+                dedup.semantic_duplicates(
+                    emb_s, cents_s, threshold=0.999, assign="arrow"
+                ).count()
+
+            semantic_once()
+            block["semantic_dedup_pairs"] = timed_min(
+                semantic_once, max(1, reps - 1)
+            )
+            emb_s.unpersist()
+
             scaling[label] = {
                 k: (round(v, 4) if isinstance(v, float) else v)
                 for k, v in block.items()
@@ -643,6 +676,7 @@ def main():
                 "shared_ngram_spans",
                 "lm_quality",
                 "incremental_dedup",
+                "semantic_dedup_pairs",
             )
         }
 

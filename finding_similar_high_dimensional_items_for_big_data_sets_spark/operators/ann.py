@@ -572,6 +572,51 @@ def ivf_assign(
     return embeddings.withColumn("cell", nearest_cell(F.col(vec_col), centroids))
 
 
+def ivf_assign_vectorized(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Arrow/numpy twin of :func:`ivf_assign` for LARGE cell counts:
+    :func:`nearest_cell` unrolls one literal fold expression per
+    centroid, which is exact (oracle-parity) but makes codegen
+    explode past ~10^2 cells; here the centroid matrix travels as a
+    broadcast and each Arrow batch does one ``argmin`` matmul —
+    the same kernel :func:`ivf_train` iterates. Assignment can differ
+    from the expression path by float-tie ULPs at exact cell
+    boundaries (|m|^2 - 2m.c + |c|^2 vs the sequential fold), so use
+    the expression path when bit-parity with the SQL oracle matters
+    and this one when n_cells scales with the corpus.
+
+    Output: all input columns + ``cell_col`` INT, row order preserved
+    within partitions, no shuffle.
+    """
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cbc = embeddings.sparkSession.sparkContext.broadcast(cents)
+    # StructType.add MUTATES self — never call it on a live df.schema
+    out_schema = StructType(
+        list(embeddings.schema.fields) + [StructField(cell_col, IntegerType())]
+    )
+
+    def assign(batches):
+        c = cbc.value
+        cc = (c * c).sum(1)[None, :]
+        for pdf in batches:
+            if len(pdf):
+                m = np.vstack(pdf[vec_col].values).astype(np.float64)
+                d2 = (m * m).sum(1)[:, None] - 2.0 * (m @ c.T) + cc
+                pdf[cell_col] = d2.argmin(axis=1).astype(np.int32)
+            else:
+                pdf[cell_col] = pd.Series([], dtype=np.int32)
+            yield pdf
+
+    return embeddings.mapInPandas(assign, schema=out_schema)
+
+
 def probe_cells(
     query: list[float], centroids: list[list[float]], n_probe: int
 ) -> list[int]:

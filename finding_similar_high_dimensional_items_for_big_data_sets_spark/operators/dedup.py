@@ -397,37 +397,54 @@ def embedding_cosine_duplicates(
             n_rows if n_rows is not None else embeddings.count()
         )
 
+    def with_block(df: DataFrame, col: str) -> DataFrame:
+        return df.withColumn(
+            "bucket", hyperplane_bucket(F.col(col), dim, n_planes=n_planes, seed=seed)
+        )
+
     return _cosine_pairs_blocked(
-        embeddings,
-        lambda v: hyperplane_bucket(v, dim, n_planes=n_planes, seed=seed),
-        threshold,
-        id_col,
-        vec_col,
-        compress_identical,
+        embeddings, with_block, threshold, id_col, vec_col, compress_identical
     )
 
 
 def _cosine_pairs_blocked(
     embeddings: DataFrame,
-    block_of,
+    with_block,
     threshold: float,
     id_col: str,
     vec_col: str,
     compress_identical: bool,
+    scorer: str = "join",
 ) -> DataFrame:
-    """Shared core of the blocked exact-cosine pair finders: compute a
-    blocking key per vector via ``block_of(vec_column)``, self-join
-    within blocks, verify with the exact (rounded-6) cosine fold, and
+    """Shared core of the blocked exact-cosine pair finders:
+    ``with_block(df, vec_colname)`` adds a ``bucket`` blocking-key
+    column (an expression OR an Arrow stage), then self-join within
+    blocks, verify with the exact (rounded-6) cosine fold, and
     optionally clone-compress identical vectors first. Both
     :func:`embedding_cosine_duplicates` (hyperplane-sign blocks) and
     :func:`semantic_duplicates` (nearest-centroid cells) route here,
     so their outputs differ ONLY in the candidate blocking.
+
+    ``scorer="join"`` verifies candidates with the per-pair fold
+    expression (oracle bit-parity); ``scorer="arrow"`` replaces the
+    quadratic join with ONE normalized matmul per block
+    (``applyInPandas``) — the kernel that keeps within-block
+    verification tractable when blocks hold thousands of rows, at the
+    cost of float-reassociation ULPs (and numpy round-half-even vs
+    Spark round-half-up) on exact-boundary pairs. Requires
+    ``compress_identical`` (the matmul must not see clone mega-blocks).
     Output: (vec_a, vec_b, cos_sim)."""
+    if scorer not in ("join", "arrow"):
+        raise ValueError(f"scorer must be 'join' or 'arrow', got {scorer!r}")
+    if scorer == "arrow" and not compress_identical:
+        raise ValueError(
+            "scorer='arrow' requires compress_identical=True: the per-block "
+            "matmul is quadratic in block rows, so clone mega-groups must "
+            "be collapsed first"
+        )
     if not compress_identical:
-        bucketed = embeddings.select(
-            F.col(id_col),
-            F.col(vec_col),
-            block_of(F.col(vec_col)).alias("bucket"),
+        bucketed = with_block(
+            embeddings.select(F.col(id_col), F.col(vec_col)), vec_col
         )
         left = bucketed.select(
             F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a"), "bucket"
@@ -458,12 +475,10 @@ def _cosine_pairs_blocked(
         F.min(id_col).alias("rep"),
         F.sort_array(F.collect_list(id_col)).alias("members"),
     )
-    bucketed = groups.select(
-        "rep",
-        "vec",
-        "members",
-        block_of(F.col("vec")).alias("bucket"),
-    )
+    bucketed = with_block(groups.select("rep", "vec", "members"), "vec")
+    if scorer == "arrow":
+        cross = _pairs_in_blocks_arrow(bucketed, threshold)
+        return cross.unionByName(_within_group_pairs(groups, threshold)).distinct()
     la = bucketed.select(
         F.col("rep").alias("rep_a"),
         F.col("vec").alias("emb_a"),
@@ -499,10 +514,14 @@ def _cosine_pairs_blocked(
             "cos_sim",
         )
     )
-    # Identical-vector pairs: score once per group through the SAME
-    # cosine fold (self-cosine, ~1.0 modulo rounding) so values match
-    # the uncompressed path bit-for-bit.
-    within = (
+    return cross.unionByName(_within_group_pairs(groups, threshold)).distinct()
+
+
+def _within_group_pairs(groups: DataFrame, threshold: float) -> DataFrame:
+    """Identical-vector pairs: score once per clone group through the
+    SAME cosine fold (self-cosine, ~1.0 modulo rounding) so values
+    match the uncompressed path bit-for-bit."""
+    return (
         groups.filter(F.size("members") > 1)
         .select(
             "members",
@@ -514,7 +533,72 @@ def _cosine_pairs_blocked(
         .filter(F.col("ma") < F.col("mb"))
         .select(F.col("ma").alias("vec_a"), F.col("mb").alias("vec_b"), "cos_sim")
     )
-    return cross.unionByName(within).distinct()
+
+
+def _pairs_in_blocks_arrow(bucketed: DataFrame, threshold: float) -> DataFrame:
+    """One normalized matmul per block instead of a quadratic join of
+    per-pair fold expressions: for each bucket, stack the (distinct)
+    vectors, compute the full cosine matrix, keep upper-triangle pairs
+    at/above threshold, and expand clone-group members. The common
+    all-singleton case is fully vectorized; groups with clone members
+    expand in a short Python loop (clone groups are rare AFTER
+    compression — each contributes one row per block)."""
+    import numpy as np
+    import pandas as pd
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
+        g = len(pdf)
+        if g < 2:
+            return empty
+        m = np.vstack(pdf["vec"].values).astype(np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        norms[norms == 0.0] = np.nan  # zero vectors never pair (NULL cosine)
+        mn = m / norms[:, None]
+        sims = np.round(mn @ mn.T, 6)
+        iu, ju = np.triu_indices(g, k=1)
+        keep = sims[iu, ju] >= threshold
+        if not keep.any():
+            return empty
+        iu, ju, s = iu[keep], ju[keep], sims[iu, ju][keep]
+        members = pdf["members"].values
+        sizes = np.array([len(x) for x in members])
+        if (sizes == 1).all():
+            a = np.array([members[i][0] for i in iu], dtype=np.int64)
+            b = np.array([members[j][0] for j in ju], dtype=np.int64)
+            return pd.DataFrame(
+                {
+                    "vec_a": np.minimum(a, b),
+                    "vec_b": np.maximum(a, b),
+                    "cos_sim": s,
+                }
+            )
+        out_a, out_b, out_s = [], [], []
+        for i, j, sim in zip(iu, ju, s):
+            ma = np.asarray(members[i], dtype=np.int64)
+            mb = np.asarray(members[j], dtype=np.int64)
+            aa = np.repeat(ma, len(mb))
+            bb = np.tile(mb, len(ma))
+            out_a.append(np.minimum(aa, bb))
+            out_b.append(np.maximum(aa, bb))
+            out_s.append(np.full(len(aa), sim))
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_s),
+            }
+        )
+
+    return bucketed.groupBy("bucket").applyInPandas(
+        score, schema="vec_a long, vec_b long, cos_sim double"
+    )
 
 
 def embedding_cosine_duplicates_multiprobe(
@@ -700,6 +784,7 @@ def semantic_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     compress_identical: bool = True,
+    assign: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     arXiv:2303.09540): block vectors by their nearest-centroid cluster
@@ -720,17 +805,44 @@ def semantic_duplicates(
     quadratic per cell, so size ``len(centroids)`` ~ N/target_cell.
     Clone compression (on by default) keeps the adversarial
     identical-vector corpus linear, same as the hyperplane path.
-    Output: (vec_a, vec_b, cos_sim).
-    """
-    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import nearest_cell
 
+    ``assign`` picks the cell-assignment kernel: ``"expr"`` unrolls
+    one fold expression per centroid (bit-exact vs the SQL oracle,
+    codegen-bounded to small cell counts), ``"arrow"`` broadcasts the
+    centroid matrix into one numpy argmin per Arrow batch (the
+    :func:`ann.ivf_assign_vectorized` kernel — REQUIRED once
+    ``len(centroids)`` scales with the corpus; may differ by float-tie
+    ULPs at exact cell boundaries), ``"auto"`` switches to arrow above
+    64 centroids. Output: (vec_a, vec_b, cos_sim).
+    """
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        ivf_assign_vectorized,
+        nearest_cell,
+    )
+
+    if assign == "auto":
+        assign = "arrow" if len(centroids) > 64 else "expr"
+    if assign == "expr":
+        def with_block(df: DataFrame, col: str) -> DataFrame:
+            return df.withColumn("bucket", nearest_cell(F.col(col), centroids))
+    elif assign == "arrow":
+        def with_block(df: DataFrame, col: str) -> DataFrame:
+            return ivf_assign_vectorized(df, centroids, vec_col=col, cell_col="bucket")
+    else:
+        raise ValueError(f"assign must be 'auto', 'expr', or 'arrow', got {assign!r}")
+
+    # the scorer follows the assignment kernel: expression blocks stay
+    # oracle-exact end-to-end; Arrow blocks (corpus-scaled cell counts)
+    # also verify via the per-block matmul — the per-pair fold join
+    # would dominate once cells hold thousands of rows
     return _cosine_pairs_blocked(
         embeddings,
-        lambda v: nearest_cell(v, centroids),
+        with_block,
         threshold,
         id_col,
         vec_col,
         compress_identical,
+        scorer="arrow" if assign == "arrow" else "join",
     )
 
 
@@ -741,6 +853,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_iter: int = 25,
+    assign: str = "auto",
 ) -> DataFrame:
     """Full SemDeDup pass: cluster-blocked cosine pairs
     (:func:`semantic_duplicates`) -> connected components -> keep one
@@ -755,7 +868,7 @@ def semantic_dedup(
     group stage, so the two dedup families compose in one plan.
     """
     pairs = semantic_duplicates(
-        embeddings, centroids, threshold, id_col=id_col, vec_col=vec_col
+        embeddings, centroids, threshold, id_col=id_col, vec_col=vec_col, assign=assign
     )
     groups = connected_components(
         pairs,

@@ -129,3 +129,29 @@ def test_semantic_outliers_zero_vector_kept_and_validation(spark, emb):
     assert out[99001]["proto_score"] is None and out[99001]["keep"]
     with _pytest.raises(ValueError):
         dedup.semantic_outliers(emb, cents, drop_frac=1.5)
+
+
+def test_semantic_assign_arrow_matches_expr(emb):
+    """The Arrow argmin kernel and the fold-expression kernel must
+    produce the same pairs on the fixture (no exact cell-boundary
+    ties), and auto switches to arrow above 64 cells without error."""
+    cents = ann.random_centroids(64, n_cells=8, seed=43)
+    e = dedup.semantic_duplicates(emb, cents, threshold=0.3, assign="expr")
+    a = dedup.semantic_duplicates(emb, cents, threshold=0.3, assign="arrow")
+    assert sorted(map(tuple, e.collect())) == sorted(map(tuple, a.collect()))
+
+    many = ann.random_centroids(64, n_cells=80, seed=43)  # auto -> arrow
+    out = dedup.semantic_duplicates(emb, many, threshold=0.3).collect()
+    assert isinstance(out, list)  # runs without codegen blowup
+    with pytest.raises(ValueError):
+        dedup.semantic_duplicates(emb, cents, assign="bogus")
+
+
+def test_ivf_assign_vectorized_matches_expression(emb):
+    cents = ann.random_centroids(64, n_cells=16, seed=43)
+    ex = {r["vec_id"]: r["cell"] for r in ann.ivf_assign(emb, cents).collect()}
+    ar = {
+        r["vec_id"]: r["cell"]
+        for r in ann.ivf_assign_vectorized(emb, cents).collect()
+    }
+    assert ex == ar
