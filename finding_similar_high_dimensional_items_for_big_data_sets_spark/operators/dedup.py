@@ -891,6 +891,7 @@ def semantic_outliers(
     drop_frac: float = 0.25,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "auto",
 ) -> DataFrame:
     """Prototypicality filter (the D4 / SSL-prototypes pass that runs
     AFTER SemDeDup, arXiv:2308.12284 / 2206.14486): score each vector
@@ -909,6 +910,13 @@ def semantic_outliers(
     argmin. Zero-norm vectors score NULL and are kept (nothing is
     "prototypical about" a degenerate point).
 
+    ``assign`` follows :func:`semantic_duplicates`' kernel contract:
+    ``"expr"`` is oracle-bit-exact (literal fold per centroid, bounded
+    cell counts), ``"arrow"`` fuses assignment and scoring into one
+    broadcast-numpy pass per Arrow batch (corpus-scaled cell counts;
+    ULP/rounding-mode differences possible on exact boundaries),
+    ``"auto"`` switches to arrow above 64 centroids.
+
     Output: (vec_id, cell, proto_score, keep BOOLEAN) for every input
     row; filter ``keep`` for the curated corpus.
     """
@@ -919,25 +927,32 @@ def semantic_outliers(
 
     if not 0.0 < drop_frac < 1.0:
         raise ValueError(f"drop_frac must be in (0, 1), got {drop_frac}")
+    if assign == "auto":
+        assign = "arrow" if len(centroids) > 64 else "expr"
     q = 1.0 - float(drop_frac)
-    vec = F.col(vec_col)
-    cos_all = F.array(
-        *[
-            F.round(
-                cosine_similarity(vec, F.array(*[F.lit(float(x)) for x in c])), 6
-            )
-            for c in centroids
-        ]
-    )
-    proto = embeddings.select(
-        F.col(id_col),
-        nearest_cell(vec, centroids).alias("cell"),
-        cos_all.alias("cos_all"),
-    ).select(
-        id_col,
-        "cell",
-        F.element_at("cos_all", F.col("cell") + 1).alias("proto_score"),
-    )
+    if assign == "expr":
+        vec = F.col(vec_col)
+        cos_all = F.array(
+            *[
+                F.round(
+                    cosine_similarity(vec, F.array(*[F.lit(float(x)) for x in c])), 6
+                )
+                for c in centroids
+            ]
+        )
+        proto = embeddings.select(
+            F.col(id_col),
+            nearest_cell(vec, centroids).alias("cell"),
+            cos_all.alias("cos_all"),
+        ).select(
+            id_col,
+            "cell",
+            F.element_at("cos_all", F.col("cell") + 1).alias("proto_score"),
+        )
+    elif assign == "arrow":
+        proto = _proto_scores_arrow(embeddings, centroids, id_col, vec_col)
+    else:
+        raise ValueError(f"assign must be 'auto', 'expr', or 'arrow', got {assign!r}")
     cuts = proto.groupBy("cell").agg(
         F.expr(f"percentile(proto_score, {q!r}D)").alias("cut")
     )
@@ -946,6 +961,54 @@ def semantic_outliers(
         "cell",
         "proto_score",
         F.coalesce(F.col("proto_score") <= F.col("cut"), F.lit(True)).alias("keep"),
+    )
+
+
+def _proto_scores_arrow(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Fused assignment + prototypicality scoring: one broadcast-numpy
+    pass per Arrow batch computes the nearest cell (argmin squared L2)
+    AND the rounded-6 cosine to that centroid — the scale kernel for
+    corpus-scaled cell counts, where per-centroid fold expressions are
+    codegen-prohibitive. Zero-norm vectors score NULL (kept upstream)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cbc = embeddings.sparkSession.sparkContext.broadcast(cents)
+
+    def score(batches):
+        c = cbc.value
+        cc = (c * c).sum(1)
+        cn = np.sqrt(cc)
+        cn[cn == 0.0] = np.nan
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf[vec_col].values).astype(np.float64)
+            mm = (m * m).sum(1)
+            dots = m @ c.T
+            d2 = mm[:, None] - 2.0 * dots + cc[None, :]
+            cell = d2.argmin(axis=1)
+            mn = np.sqrt(mm)
+            mn[mn == 0.0] = np.nan
+            proto = np.round(
+                dots[np.arange(len(m)), cell] / (mn * cn[cell]), 6
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "cell": cell.astype(np.int32),
+                    "proto_score": proto,
+                }
+            )
+
+    return embeddings.mapInPandas(
+        score, schema=f"{id_col} long, cell int, proto_score double"
     )
 
 

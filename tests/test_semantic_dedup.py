@@ -155,3 +155,20 @@ def test_ivf_assign_vectorized_matches_expression(emb):
         for r in ann.ivf_assign_vectorized(emb, cents).collect()
     }
     assert ex == ar
+
+
+def test_semantic_outliers_arrow_matches_expr(emb):
+    """The fused Arrow proto kernel and the expression path agree on
+    (cell, proto_score, keep) for the fixture, and auto engages above
+    64 cells."""
+    cents = ann.random_centroids(64, n_cells=8, seed=43)
+    e = {r["vec_id"]: (r["cell"], r["proto_score"], r["keep"])
+         for r in dedup.semantic_outliers(emb, cents, assign="expr").collect()}
+    a = {r["vec_id"]: (r["cell"], r["proto_score"], r["keep"])
+         for r in dedup.semantic_outliers(emb, cents, assign="arrow").collect()}
+    assert e == a
+    many = ann.random_centroids(64, n_cells=80, seed=43)
+    out = dedup.semantic_outliers(emb, many).collect()  # auto -> arrow
+    assert len(out) == emb.count()
+    with pytest.raises(ValueError):
+        dedup.semantic_outliers(emb, cents, assign="nope")
