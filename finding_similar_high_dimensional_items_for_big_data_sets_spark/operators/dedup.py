@@ -964,6 +964,49 @@ def semantic_outliers(
     )
 
 
+def semantic_curation(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    drop_frac: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "auto",
+) -> DataFrame:
+    """The full D4 curation recipe (arXiv:2308.12284) as one plan:
+    SemDeDup first (drop semantic near-duplicates, keep the smallest-id
+    representative per group), THEN the prototypicality filter over the
+    survivors (per-cell percentile cutoffs computed on the deduped
+    corpus — the paper's ordering, since clusters of clones would
+    otherwise drag the cutoff). Returns the curated rows only:
+    (vec_id, cell, proto_score).
+
+    Both stages share the centroids (cluster once, curate twice) and
+    the ``assign`` kernel contract of :func:`semantic_duplicates`.
+    """
+    kept = semantic_dedup(
+        embeddings,
+        centroids,
+        threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        assign=assign,
+    ).filter(F.col("keep")).select(id_col)
+    survivors = embeddings.join(kept, id_col, "left_semi")
+    return (
+        semantic_outliers(
+            survivors,
+            centroids,
+            drop_frac,
+            id_col=id_col,
+            vec_col=vec_col,
+            assign=assign,
+        )
+        .filter(F.col("keep"))
+        .select(id_col, "cell", "proto_score")
+    )
+
+
 def _proto_scores_arrow(
     embeddings: DataFrame,
     centroids: list[list[float]],

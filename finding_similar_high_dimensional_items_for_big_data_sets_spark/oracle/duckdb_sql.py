@@ -544,6 +544,48 @@ FROM reach GROUP BY node
 """
 
 
+def sql_semantic_curation() -> str:
+    """Twin of dedup.semantic_curation: SemDeDup keep-set (recursive
+    min-label closure) -> prototypicality over the survivors with
+    per-cell quantile_cont cutoffs computed on the DEDUPED corpus."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        random_centroids,
+    )
+
+    cents = random_centroids(C.EMB_DIM, C.IVF_CELLS, C.IVF_SEED)
+
+    def norm_lit(c: list[float]) -> str:
+        lit = "[" + ",".join(repr(float(x)) for x in c) + "]"
+        return _norm(f"({lit})", len(c))
+
+    cos_all = "[" + ", ".join(
+        f"round({_dot_lit('embedding', c)} / ({_norm('embedding', C.EMB_DIM)} * {norm_lit(c)}), 6)"
+        for c in cents
+    ) + "]"
+    q = 1.0 - C.PROTO_DROP_FRAC
+    return f"""
+WITH RECURSIVE assigned AS MATERIALIZED ({_sem_assigned()}),
+scored AS ({_sem_pairs_body()}),
+pairs AS (SELECT vec_a, vec_b FROM scored WHERE cos_sim >= {C.SEM_THRESHOLD}),
+edges AS MATERIALIZED (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION SELECT vec_b, vec_a FROM pairs),
+reach(node, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+  WHERE r.label < e.src),
+kept AS (SELECT node AS vec_id FROM reach GROUP BY node HAVING node = min(label)),
+proto AS MATERIALIZED (
+  SELECT a.vec_id, a.cell, ({cos_all})[a.cell + 1] AS proto_score
+  FROM assigned a JOIN kept k ON a.vec_id = k.vec_id),
+cuts AS (SELECT cell, quantile_cont(proto_score, {q!r}) AS cut FROM proto GROUP BY cell)
+SELECT p.vec_id, p.cell, p.proto_score
+FROM proto p JOIN cuts c USING (cell)
+WHERE coalesce(p.proto_score <= c.cut, TRUE)
+"""
+
+
 def sql_semantic_outliers() -> str:
     """Twin of dedup.semantic_outliers: rounded-6 cosine to the
     assigned centroid, per-cell quantile_cont cutoff (bit-identical to
@@ -1986,6 +2028,7 @@ def registry() -> dict[str, str]:
         "semantic_dup_pairs": sql_semantic_dup_pairs(),
         "semantic_dedup": sql_semantic_dedup(),
         "semantic_outliers": sql_semantic_outliers(),
+        "semantic_curation": sql_semantic_curation(),
         "text_stats": sql_text_stats(),
         "repetition_stats": sql_repetition_stats(),
         "shared_ngram_spans": sql_shared_ngram_spans(),

@@ -381,6 +381,18 @@ def q_semantic_outliers(spark, sf_dir):
     )
 
 
+def q_semantic_curation(spark, sf_dir):
+    """Full D4 curation: SemDeDup then prototypicality over the
+    survivors, one shared quantizer — the embedding-side flagship
+    composition (text-side twin: ``full_prep_pipeline``)."""
+    return dedup.semantic_curation(
+        _emb(spark, sf_dir),
+        centroids=ann.random_centroids(C.EMB_DIM, C.IVF_CELLS, C.IVF_SEED),
+        threshold=C.SEM_THRESHOLD,
+        drop_frac=C.PROTO_DROP_FRAC,
+    )
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic train/val split by salted stable-id hash —
     content-independent, reproducible, shuffle-free."""
@@ -1532,6 +1544,7 @@ REGISTRY = {
     "semantic_dup_pairs": q_semantic_dup_pairs,
     "semantic_dedup": q_semantic_dedup,
     "semantic_outliers": q_semantic_outliers,
+    "semantic_curation": q_semantic_curation,
     "dedup_groups": q_dedup_groups,
     "mllib_pairs": q_mllib_pairs,
     "mllib_pairs_verified": q_mllib_pairs_verified,

@@ -172,3 +172,24 @@ def test_semantic_outliers_arrow_matches_expr(emb):
     assert len(out) == emb.count()
     with pytest.raises(ValueError):
         dedup.semantic_outliers(emb, cents, assign="nope")
+
+
+def test_semantic_curation_composes_both_stages(emb):
+    """Curation == dedup keep-set filtered by the prototypicality rule
+    computed over that keep-set (the D4 ordering)."""
+    cents = ann.random_centroids(64, n_cells=8, seed=43)
+    cur = dedup.semantic_curation(emb, cents, threshold=0.5, drop_frac=0.25)
+    got = {r["vec_id"] for r in cur.collect()}
+
+    kept = {
+        r["vec_id"]
+        for r in dedup.semantic_dedup(emb, cents, threshold=0.5).collect()
+        if r["keep"]
+    }
+    survivors = emb.filter(F.col("vec_id").isin([int(i) for i in kept]))
+    expected = {
+        r["vec_id"]
+        for r in dedup.semantic_outliers(survivors, cents, drop_frac=0.25).collect()
+        if r["keep"]
+    }
+    assert got == expected and got and got < kept
