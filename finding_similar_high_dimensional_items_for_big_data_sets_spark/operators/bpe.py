@@ -44,8 +44,18 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _char_pairs(word_col):
     """Adjacent symbol pairs of a word's initial char split, with the
-    EOW sentinel appended — row-local."""
-    chars = F.concat(F.split(word_col, ""), F.array(F.lit(EOW)))
+    EOW sentinel appended — row-local.
+
+    ``split(word, '')`` is defensively stripped of empty symbols:
+    Java's split-with-limit semantics have emitted a trailing ``""``
+    on some engine versions, which would inject phantom ``('x','')`` /
+    ``('','</w>')`` pairs that no DuckDB ``string_split`` twin
+    produces (the round-4 red ``bpe_pair_counts`` gate row's leading
+    hypothesis). ``array_remove`` makes the pair stream identical
+    regardless of the engine's trailing-empty behavior."""
+    chars = F.concat(
+        F.array_remove(F.split(word_col, ""), ""), F.array(F.lit(EOW))
+    )
     return F.transform(
         F.sequence(F.lit(1), F.size(chars) - F.lit(1)),
         lambda i: F.struct(

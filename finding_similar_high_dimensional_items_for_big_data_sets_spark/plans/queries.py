@@ -1430,6 +1430,10 @@ def q_bpe_pair_counts(spark, sf_dir):
 
     wc = bpe.word_counts(_docs(spark, sf_dir))
     pc = bpe.pair_counts(wc)
+    # orderBy+limit first so the global sort is a TakeOrderedAndProject
+    # (per-partition top-200, never a full sort); the constant-partition
+    # rank window then runs over exactly 200 rows by construction — the
+    # window's re-sort is deliberate, not load-bearing at scale.
     w = Window.partitionBy(F.pmod(F.length("left"), F.lit(1))).orderBy(
         F.col("cnt").desc(), F.col("left").asc(), F.col("right").asc()
     )

@@ -74,3 +74,27 @@ def test_encode_word_greedy_rank_order():
     merges = [("l", "o"), ("h", "e")]
     ranks = {p: i for i, p in enumerate(merges)}
     assert bpe.encode_word("helo", ranks) == ["he", "lo", bpe.EOW]
+
+
+def test_char_pairs_emit_no_empty_symbols(spark):
+    # F.split(word, "") trailing-empty behavior differs across engine
+    # versions; _char_pairs must never emit an empty symbol on either
+    # side of a pair (the round-4 red bpe_pair_counts hypothesis).
+    wc = spark.createDataFrame(
+        [("a", 1), ("ab", 2), ("xyz", 3)], "word string, cnt long"
+    )
+    rows = bpe.pair_counts(wc).collect()
+    for r in rows:
+        assert r["left"] != "", rows
+        assert r["right"] != "", rows
+    # exact pair multiset for the tiny vocab: a</w>; a b, b</w>; x y,
+    # y z, z</w> — weighted by cnt
+    got = {(r["left"], r["right"]): r["cnt"] for r in rows}
+    assert got == {
+        ("a", bpe.EOW): 1,
+        ("a", "b"): 2,
+        ("b", bpe.EOW): 2,
+        ("x", "y"): 3,
+        ("y", "z"): 3,
+        ("z", bpe.EOW): 3,
+    }
