@@ -741,16 +741,51 @@ def recover_compact_swap(spark: SparkSession, bands_table: str) -> bool:
     :func:`compact_index`'s swap: if ``bands_table`` is missing,
     re-register the surviving copy — the compacted ``__compact_tmp``
     if its write completed, else the set-aside ``__compact_old`` —
-    under the original name. Returns True if a recovery rename was
-    performed, False if the table was already healthy. Raises only if
-    no copy survives (which compact_index's ordering cannot produce).
+    under the original name, with partition metadata re-synced so a
+    leftover's stale per-partition locations can never alias (and
+    later DROP) the live table's directories. Also completes an
+    interrupted final step: if the table is healthy but a superseded
+    ``__compact_old`` lingers, it is safely sync'd and dropped.
+    Returns True if any recovery action was performed, False if the
+    table was already healthy with no leftovers. Raises only if no
+    copy survives (which compact_index's ordering cannot produce).
+    The signature-store twin is :func:`recover_sigs_swap` — run BOTH
+    at startup when operating a full index (bands table + sig path).
     """
+    tmp = f"{bands_table}__compact_tmp"
+    old = f"{bands_table}__compact_old"
     if spark.catalog.tableExists(bands_table):
+        if spark.catalog.tableExists(old):
+            # death between the tmp rename-in and the final DROP: the
+            # set-aside copy lingers. Its partition locations were
+            # synced right after the rename-aside in the normal flow,
+            # but re-sync defensively before dropping — a DROP through
+            # stale per-partition locations that alias the live table's
+            # directory would silently delete live partitions.
+            _sync_partitions(spark, old)
+            spark.sql(f"DROP TABLE {old}")
+            _sync_partitions(spark, bands_table)
+            return True
         return False
-    for cand in (f"{bands_table}__compact_tmp", f"{bands_table}__compact_old"):
+    for cand in (tmp, old):
         if spark.catalog.tableExists(cand):
+            # sync the OTHER leftover before any rename: a death
+            # between the rename-aside and its _sync_partitions leaves
+            # __compact_old's per-partition locations pointing at the
+            # original table path — exactly where the survivor is about
+            # to be renamed. Left stale, the next rewrite's DROP TABLE
+            # __compact_old would delete the live table's partition
+            # directories (silent data loss in the recovery path).
+            other = old if cand == tmp else tmp
+            if spark.catalog.tableExists(other):
+                _sync_partitions(spark, other)
             spark.sql(f"ALTER TABLE {cand} RENAME TO {bands_table}")
             _sync_partitions(spark, bands_table)
+            if spark.catalog.tableExists(other):
+                # cand == tmp: the compacted copy is live, so the
+                # set-aside original is superseded — drop it now (its
+                # locations are synced above) to complete the swap.
+                spark.sql(f"DROP TABLE {other}")
             return True
     raise ValueError(
         f"no surviving copy of {bands_table} found (neither __compact_tmp "

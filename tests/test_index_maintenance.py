@@ -480,3 +480,88 @@ def test_recover_sigs_swap_after_process_death(spark, corpus, tmp_path):
     os.rename(sigs_path, old)
     assert T.recover_sigs_swap(sigs_path) is True
     assert spark.read.parquet(sigs_path).count() == n - 1
+
+
+def test_recover_compact_swap_stale_old_partitions_never_alias_live(
+    spark, corpus
+):
+    """The ADVICE-flagged booby trap: a death between the rename-aside
+    and _sync_partitions(old) leaves __compact_old's per-partition
+    catalog locations pointing at the ORIGINAL table path — exactly
+    where recovery renames the compacted copy. Recovery must re-sync
+    (then drop) the set-aside copy so no later DROP can reach through
+    stale locations and delete the live table's partition directories.
+    """
+    docs, sigs = corpus
+    table = "t_recover_stale_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        T.write_bands_bucketed(
+            lsh.bands_table(sigs, PARAMS), table, num_buckets=4,
+            batch_partitioned=True,
+        )
+        n_before = spark.table(table).count()
+        before = _probe(spark, sigs, table)
+
+        # compacted copy complete under __compact_tmp (same layout)
+        spark.table(table).write.mode("overwrite").partitionBy(
+            "ingest_batch"
+        ).bucketBy(4, "band_id", "band_hash").sortBy(
+            "band_id", "band_hash"
+        ).format("parquet").saveAsTable(f"{table}__compact_tmp")
+        # death IMMEDIATELY after the rename-aside: old's partition
+        # locations still point at the original (soon-to-be-live) path
+        spark.sql(f"ALTER TABLE {table} RENAME TO {table}__compact_old")
+
+        assert T.recover_compact_swap(spark, table) is True
+        # recovery completed the whole swap: old is gone, live is whole
+        assert not spark.catalog.tableExists(f"{table}__compact_old")
+        assert not spark.catalog.tableExists(f"{table}__compact_tmp")
+        assert spark.table(table).count() == n_before
+        assert _probe(spark, sigs, table) == before
+
+        # the next maintenance cycle's defensive drops must be harmless
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compact_old")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compact_tmp")
+        spark.catalog.refreshTable(table)
+        assert spark.table(table).count() == n_before
+
+        # and a full follow-up compaction still works end-to-end
+        T.compact_index(spark, table)
+        assert spark.table(table).count() == n_before
+        assert _probe(spark, sigs, table) == before
+    finally:
+        for t in (table, f"{table}__compact_tmp", f"{table}__compact_old"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_recover_compact_swap_drops_lingering_old_when_healthy(spark, corpus):
+    """Death between the tmp rename-in and the final DROP: the live
+    table is healthy but a superseded __compact_old lingers. Recovery
+    must finish the job (sync + drop the leftover) without touching
+    live data."""
+    _docs, sigs = corpus
+    table = "t_recover_linger_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        T.write_bands_bucketed(
+            lsh.bands_table(sigs, PARAMS), table, num_buckets=4,
+            batch_partitioned=True,
+        )
+        n_before = spark.table(table).count()
+        # a synced set-aside copy, as the normal flow leaves it
+        spark.table(table).write.mode("overwrite").partitionBy(
+            "ingest_batch"
+        ).bucketBy(4, "band_id", "band_hash").sortBy(
+            "band_id", "band_hash"
+        ).format("parquet").saveAsTable(f"{table}__compact_old")
+
+        assert T.recover_compact_swap(spark, table) is True
+        assert not spark.catalog.tableExists(f"{table}__compact_old")
+        spark.catalog.refreshTable(table)
+        assert spark.table(table).count() == n_before
+        # idempotent: second run is a no-op
+        assert T.recover_compact_swap(spark, table) is False
+    finally:
+        for t in (table, f"{table}__compact_old"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
