@@ -407,6 +407,26 @@ def embedding_cosine_duplicates(
     )
 
 
+def _require_integral_id(df: DataFrame, id_col: str, where: str) -> None:
+    """The Arrow scale kernels emit 64-bit integer id columns
+    (``vec_a long, vec_b long`` / ``{id_col} long``) and cast
+    clone-group members through ``np.int64`` — a string or other
+    non-integral id would fail deep inside a pandas batch, or worse,
+    silently corrupt. Fail fast with an actionable message instead;
+    the ``assign='expr'`` / ``scorer='join'`` paths carry any id type.
+    """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"{where} requires an integral id column; {id_col!r} is "
+            f"{dt.simpleString()}. Use the expression path (assign='expr' / "
+            "scorer='join'), or map ids to longs first (e.g. "
+            "monotonically_increasing_id or a hash) and join back after."
+        )
+
+
 def _cosine_pairs_blocked(
     embeddings: DataFrame,
     with_block,
@@ -436,6 +456,8 @@ def _cosine_pairs_blocked(
     Output: (vec_a, vec_b, cos_sim)."""
     if scorer not in ("join", "arrow"):
         raise ValueError(f"scorer must be 'join' or 'arrow', got {scorer!r}")
+    if scorer == "arrow":
+        _require_integral_id(embeddings, id_col, "scorer='arrow'")
     if scorer == "arrow" and not compress_identical:
         raise ValueError(
             "scorer='arrow' requires compress_identical=True: the per-block "
@@ -1021,6 +1043,7 @@ def _proto_scores_arrow(
     import numpy as np
     import pandas as pd
 
+    _require_integral_id(embeddings, id_col, "assign='arrow'")
     cents = np.asarray(centroids, dtype=np.float64)
     cbc = embeddings.sparkSession.sparkContext.broadcast(cents)
 

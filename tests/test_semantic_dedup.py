@@ -193,3 +193,36 @@ def test_semantic_curation_composes_both_stages(emb):
         if r["keep"]
     }
     assert got == expected and got and got < kept
+
+
+def test_arrow_paths_reject_non_integral_ids(spark):
+    """The Arrow scale kernels emit long id columns; a string id must
+    fail fast with an actionable error (not corrupt deep in a pandas
+    batch), while the expression path carries any id type."""
+    rows = [
+        ("doc-a", [1.0, 0.0, 0.0, 0.0]),
+        ("doc-b", [1.0, 0.0, 0.0, 0.0]),
+        ("doc-c", [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    cents = ann.random_centroids(4, n_cells=2, seed=5)
+    with pytest.raises(ValueError, match="integral id"):
+        dedup.semantic_duplicates(
+            df, cents, threshold=0.99, assign="arrow"
+        )
+    with pytest.raises(ValueError, match="integral id"):
+        dedup.semantic_outliers(
+            df, cents, drop_frac=0.5, assign="arrow"
+        ).collect()
+    # the expression path works for string ids
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.semantic_duplicates(
+            df, cents, threshold=0.99, assign="expr"
+        ).collect()
+    }
+    assert ("doc-a", "doc-b") in pairs
+    keeps = dedup.semantic_outliers(
+        df, cents, drop_frac=0.5, assign="expr"
+    ).collect()
+    assert len(keeps) == 3
