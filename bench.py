@@ -624,11 +624,14 @@ def main():
             block["incremental_dedup"] = timed_min(ingest_once, max(1, reps - 1))
 
             # SemDeDup pairs at corpus-scaled cell counts (~N/256 cells
-            # keeps the within-cell quadratic bounded); cell assignment
-            # through the Arrow argmin kernel — the expression form
-            # would unroll one fold per centroid and blow codegen at
-            # hundreds of cells. 5% planted clones give the verify
-            # stage real work at both scales.
+            # keeps the within-cell quadratic bounded). Flat argmin
+            # assignment against n_cells ∝ N centroids is O(N²) total —
+            # the round-4 bench measured it 4.3x super-linear — so the
+            # corpus-scaled path trains a hierarchical k-means
+            # quantizer on a bounded driver-side sample and assigns by
+            # greedy tree descent: O(branch * log n_cells) per row.
+            # 5% planted clones give the verify stage real work at
+            # both scales.
             emb_base = spark.range(n_docs_s).select(
                 F.col("id").alias("vec_id"),
                 F.transform(
@@ -641,13 +644,44 @@ def main():
                     (F.col("vec_id") + n_docs_s).alias("vec_id"), "embedding"
                 )
             ).cache()
-            emb_s.count()
+            n_emb_s = emb_s.count()
             n_cells_s = max(16, n_docs_s // 256)
-            cents_s = ann.random_centroids(64, n_cells=n_cells_s, seed=43)
+            t_qt, hkm_q = timed(
+                lambda: ann.hkm_train_df(
+                    emb_s,
+                    n_leaves=n_cells_s,
+                    branch=16,
+                    seed=43,
+                    sample_size=16384,
+                    n_rows=n_emb_s,
+                ),
+                reps=1,
+            )
+            block["semantic_quantizer_train"] = t_qt
+            block["semantic_n_cells"] = hkm_q.n_leaves
+
+            # cell health: the quantizer must keep cells bounded at
+            # BOTH scales or the within-cell quadratic re-appears
+            occ = (
+                ann.hkm_assign(emb_s, hkm_q)
+                .groupBy("cell")
+                .count()
+                .agg(
+                    F.max("count").alias("mx"),
+                    F.expr("percentile(count, 0.99D)").alias("p99"),
+                    F.expr("percentile(count, 0.5D)").alias("p50"),
+                )
+                .first()
+            )
+            block["semantic_cell_occupancy"] = {
+                "p50": float(occ["p50"]),
+                "p99": float(occ["p99"]),
+                "max": int(occ["mx"]),
+            }
 
             def semantic_once():
                 dedup.semantic_duplicates(
-                    emb_s, cents_s, threshold=0.999, assign="arrow"
+                    emb_s, hkm_q, threshold=0.999
                 ).count()
 
             semantic_once()

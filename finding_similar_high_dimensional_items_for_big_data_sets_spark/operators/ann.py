@@ -841,6 +841,276 @@ def ivf_inertia(
     return float(row["inertia"] or 0.0)
 
 
+# --- Hierarchical k-means quantizer (the corpus-scaled cell path) ----------
+
+
+class HKMQuantizer:
+    """Hierarchical k-means coarse quantizer: a fixed-branching tree
+    whose LEAVES are the IVF cells. The scale-safe replacement for a
+    flat centroid list once ``n_cells`` grows with the corpus —
+    assigning against a flat list is O(n_cells * dim) per row, which
+    with n_cells ∝ N makes total assignment work O(N² * dim / target)
+    (measured 4.3x super-linear at 10x rows in the round-4 scaling
+    bench). Greedy tree descent costs O(branch * depth * dim) per row
+    = O(branch * log_branch(n_cells) * dim) — total work O(N log N).
+    This is the IMI/FLANN hierarchical-k-means recipe (Muja &
+    Lowe 2009; Babenko & Lempitsky inverted multi-index lineage).
+
+    The tree is data: ``levels[l]`` holds ``centers`` (n_nodes x dim,
+    float64) and ``parent`` (index into level l-1; -1 at the root
+    level), with each parent's children CONTIGUOUS so descent can
+    slice instead of gather. Leaves all live at the last level
+    (under-full nodes pass through as single-child chains), and the
+    leaf/cell id is the node index there: dense ints in
+    [0, n_leaves), same contract as a flat centroid list's cell ids.
+
+    Descent is greedy (route to the nearest child at every level), so
+    a boundary vector CAN land in a different leaf than the flat
+    argmin over leaf centers would pick — for SemDeDup-style blocking
+    that trades a sliver of pair recall (verification stays exact),
+    the same trade the paper's own k-means clustering already makes.
+    Train on a driver-side sample (:func:`hkm_train_df`): the tree is
+    O(n_leaves * dim) floats, broadcast like any quantizer.
+    """
+
+    def __init__(self, levels: list[dict]):
+        if not levels:
+            raise ValueError("HKMQuantizer needs at least one level")
+        self.levels = levels
+        # children of node p at level l-1 occupy
+        # [child_start[l][p], child_start[l][p] + child_count[l][p])
+        self.child_start: list[np.ndarray] = [np.array([], dtype=np.int64)]
+        self.child_count: list[np.ndarray] = [np.array([], dtype=np.int64)]
+        for l in range(1, len(levels)):
+            parent = levels[l]["parent"]
+            n_par = len(levels[l - 1]["centers"])
+            counts = np.bincount(parent, minlength=n_par).astype(np.int64)
+            starts = np.zeros(n_par, dtype=np.int64)
+            starts[1:] = np.cumsum(counts)[:-1]
+            if not (parent == np.repeat(np.arange(n_par), counts)).all():
+                raise ValueError(
+                    f"level {l}: children must be contiguous and ordered by parent"
+                )
+            self.child_start.append(starts)
+            self.child_count.append(counts)
+
+    @property
+    def depth(self) -> int:
+        return len(self.levels)
+
+    @property
+    def n_leaves(self) -> int:
+        return len(self.levels[-1]["centers"])
+
+    def leaf_centers(self) -> np.ndarray:
+        """(n_leaves x dim) leaf centers — the cells' centroids, e.g.
+        for prototypicality scoring against the assigned cell."""
+        return self.levels[-1]["centers"]
+
+    def payload(self) -> tuple:
+        """Plain-arrays form for broadcasting into Arrow workers."""
+        return (
+            [lvl["centers"] for lvl in self.levels],
+            self.child_start,
+            self.child_count,
+        )
+
+
+def _kmeans_node(
+    X: np.ndarray, k: int, rs: np.random.RandomState, n_iters: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Plain seeded Lloyd on one node's points: k centers + per-point
+    assignment. Init picks k distinct rows; an emptied cluster reseeds
+    to the point farthest from its current center (keeps k alive)."""
+    n = len(X)
+    k = min(k, n)
+    init_idx = rs.choice(n, size=k, replace=False)
+    cents = X[init_idx].copy()
+    assign = np.zeros(n, dtype=np.int64)
+    for _ in range(n_iters):
+        d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ cents.T) + (cents * cents).sum(1)[None, :]
+        assign = d2.argmin(axis=1)
+        for ci in range(k):
+            sel = assign == ci
+            if sel.any():
+                cents[ci] = X[sel].mean(axis=0)
+            else:
+                cents[ci] = X[d2[np.arange(n), assign].argmax()]
+    return cents, assign
+
+
+def _split_targets(target: int, sizes: np.ndarray) -> np.ndarray:
+    """Allocate a node's leaf budget to its children proportionally to
+    their point mass (largest-remainder rounding, >= 1 each)."""
+    k = len(sizes)
+    raw = target * sizes / max(1, sizes.sum())
+    t = np.maximum(1, np.floor(raw).astype(np.int64))
+    while t.sum() > target:
+        t[t.argmax()] -= 1
+    frac = raw - t
+    while t.sum() < target:
+        i = int(frac.argmax())
+        t[i] += 1
+        frac[i] = -np.inf
+    return t
+
+
+def hkm_train(
+    sample: np.ndarray,
+    n_leaves: int,
+    branch: int = 16,
+    seed: int = 43,
+    n_iters: int = 8,
+) -> HKMQuantizer:
+    """Train the hierarchical quantizer on a driver-side sample
+    (numpy; the sample is small by construction — see
+    :func:`hkm_train_df`). Top-down: each node Lloyd-splits into
+    <= ``branch`` children, children inherit leaf budgets proportional
+    to their point mass, and splitting stops when every budget is 1 —
+    leaf count lands within rounding of ``n_leaves``, balanced by
+    data density rather than by index arithmetic. Deterministic for a
+    fixed (sample, seed)."""
+    X = np.asarray(sample, dtype=np.float64)
+    if X.ndim != 2 or len(X) == 0:
+        raise ValueError(f"sample must be a non-empty 2-D array, got {X.shape}")
+    n_leaves = max(1, min(int(n_leaves), len(X)))
+    rs = np.random.RandomState(seed)
+    # frontier: (point-indices, leaf budget, parent node id)
+    frontier: list[tuple[np.ndarray, int, int]] = [
+        (np.arange(len(X)), n_leaves, -1)
+    ]
+    levels: list[dict] = []
+    while True:
+        centers_l: list[np.ndarray] = []
+        parents_l: list[int] = []
+        next_frontier: list[tuple[np.ndarray, int, int]] = []
+        for idx, target, parent in frontier:
+            pts = X[idx]
+            if target <= 1 or len(idx) < 2:
+                # pass-through: keep the leaf at uniform depth
+                node = len(centers_l)
+                centers_l.append(pts.mean(axis=0))
+                parents_l.append(parent)
+                next_frontier.append((idx, 1, node))
+                continue
+            k = min(branch, target, len(idx))
+            cents, assign = _kmeans_node(pts, k, rs, n_iters)
+            sizes = np.bincount(assign, minlength=k)
+            keep = np.flatnonzero(sizes)  # drop clusters emptied on the last sweep
+            if len(keep) < 2:
+                # unsplittable (e.g. all-identical points): force a leaf
+                # instead of looping on the same subset forever
+                node = len(centers_l)
+                centers_l.append(pts.mean(axis=0))
+                parents_l.append(parent)
+                next_frontier.append((idx, 1, node))
+                continue
+            budgets = _split_targets(target, sizes[keep])
+            for bi, ci in enumerate(keep):
+                node = len(centers_l)
+                centers_l.append(cents[ci])
+                parents_l.append(parent)
+                next_frontier.append((idx[assign == ci], int(budgets[bi]), node))
+        levels.append(
+            {
+                "centers": np.vstack(centers_l),
+                "parent": np.asarray(parents_l, dtype=np.int64),
+            }
+        )
+        if all(t <= 1 for _, t, _ in frontier):
+            break
+        frontier = next_frontier
+    return HKMQuantizer(levels)
+
+
+def hkm_train_df(
+    embeddings: DataFrame,
+    n_leaves: int,
+    branch: int = 16,
+    seed: int = 43,
+    n_iters: int = 8,
+    vec_col: str = "embedding",
+    sample_size: int = 32768,
+    n_rows: int | None = None,
+) -> HKMQuantizer:
+    """Sample-then-train: seeded ``df.sample`` down to ~``sample_size``
+    rows collected to the driver, then :func:`hkm_train`. This is how
+    production coarse quantizers train at 100 TB — the quantizer needs
+    the density SHAPE, not every row, and a bounded sample makes
+    training cost independent of corpus size. ``n_rows`` skips the
+    sizing count when the caller already knows it."""
+    if n_rows is None:
+        n_rows = embeddings.count()
+    frac = min(1.0, (sample_size * 1.2) / max(1, n_rows))
+    sampled = embeddings.select(vec_col)
+    if frac < 1.0:
+        sampled = sampled.sample(withReplacement=False, fraction=frac, seed=seed)
+    rows = sampled.limit(sample_size).collect()
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    return hkm_train(X, n_leaves, branch=branch, seed=seed, n_iters=n_iters)
+
+
+def hkm_descend(m: np.ndarray, payload: tuple) -> np.ndarray:
+    """Vectorized greedy descent for a batch: route every row to its
+    nearest child level by level. Rows are grouped by current node
+    (stable argsort) so each group is ONE small matmul against a
+    contiguous slice of <= branch child centers; |x|² is constant per
+    row and dropped from the argmin. Returns leaf ids (int64)."""
+    centers, child_start, child_count = payload
+    c0 = centers[0]
+    cur = (-2.0 * (m @ c0.T) + (c0 * c0).sum(1)[None, :]).argmin(axis=1)
+    for l in range(1, len(centers)):
+        cl, starts, counts = centers[l], child_start[l], child_count[l]
+        order = np.argsort(cur, kind="stable")
+        sorted_cur = cur[order]
+        uniq, first = np.unique(sorted_cur, return_index=True)
+        bounds = np.append(first, len(sorted_cur))
+        nxt = np.empty_like(cur)
+        for ui, p in enumerate(uniq):
+            rows = order[bounds[ui] : bounds[ui + 1]]
+            s, c = starts[p], counts[p]
+            ch = cl[s : s + c]
+            local = (
+                -2.0 * (m[rows] @ ch.T) + (ch * ch).sum(1)[None, :]
+            ).argmin(axis=1)
+            nxt[rows] = s + local
+        cur = nxt
+    return cur
+
+
+def hkm_assign(
+    embeddings: DataFrame,
+    quantizer: HKMQuantizer,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Tree twin of :func:`ivf_assign_vectorized`: assign each vector
+    to an HKM leaf cell via greedy descent — O(branch * depth * dim)
+    per row regardless of leaf count, the kernel that keeps
+    corpus-scaled cell counts linear-time. Output: all input columns
+    + ``cell_col`` INT, row order preserved within partitions, no
+    shuffle."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    pbc = embeddings.sparkSession.sparkContext.broadcast(quantizer.payload())
+    out_schema = StructType(
+        list(embeddings.schema.fields) + [StructField(cell_col, IntegerType())]
+    )
+
+    def assign(batches):
+        payload = pbc.value
+        for pdf in batches:
+            if len(pdf):
+                m = np.vstack(pdf[vec_col].values).astype(np.float64)
+                pdf[cell_col] = hkm_descend(m, payload).astype(np.int32)
+            else:
+                pdf[cell_col] = pd.Series([], dtype=np.int32)
+            yield pdf
+
+    return embeddings.mapInPandas(assign, schema=out_schema)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query: list[float],

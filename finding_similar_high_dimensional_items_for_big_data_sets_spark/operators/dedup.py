@@ -832,16 +832,41 @@ def semantic_duplicates(
     one fold expression per centroid (bit-exact vs the SQL oracle,
     codegen-bounded to small cell counts), ``"arrow"`` broadcasts the
     centroid matrix into one numpy argmin per Arrow batch (the
-    :func:`ann.ivf_assign_vectorized` kernel — REQUIRED once
-    ``len(centroids)`` scales with the corpus; may differ by float-tie
+    :func:`ann.ivf_assign_vectorized` kernel — may differ by float-tie
     ULPs at exact cell boundaries), ``"auto"`` switches to arrow above
     64 centroids. Output: (vec_a, vec_b, cos_sim).
+
+    **Corpus-scaled cell counts**: pass an :class:`ann.HKMQuantizer`
+    as ``centroids`` instead of a flat list. Flat argmin assignment is
+    O(n_cells * dim) per row — with n_cells ∝ N that is O(N²) total
+    (the round-4 scaling bench measured 4.3x super-linear at 10x
+    rows); greedy tree descent is O(branch * log n_cells * dim) per
+    row, restoring ~linear total assignment work. The quantizer's
+    leaves play the cell role; ``assign`` is ignored (the tree IS the
+    assignment kernel).
     """
     from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        HKMQuantizer,
+        hkm_assign,
         ivf_assign_vectorized,
         nearest_cell,
     )
 
+    if isinstance(centroids, HKMQuantizer):
+        quantizer = centroids
+
+        def with_block(df: DataFrame, col: str) -> DataFrame:
+            return hkm_assign(df, quantizer, vec_col=col, cell_col="bucket")
+
+        return _cosine_pairs_blocked(
+            embeddings,
+            with_block,
+            threshold,
+            id_col,
+            vec_col,
+            compress_identical,
+            scorer="arrow",
+        )
     if assign == "auto":
         assign = "arrow" if len(centroids) > 64 else "expr"
     if assign == "expr":
@@ -935,9 +960,12 @@ def semantic_outliers(
     ``assign`` follows :func:`semantic_duplicates`' kernel contract:
     ``"expr"`` is oracle-bit-exact (literal fold per centroid, bounded
     cell counts), ``"arrow"`` fuses assignment and scoring into one
-    broadcast-numpy pass per Arrow batch (corpus-scaled cell counts;
-    ULP/rounding-mode differences possible on exact boundaries),
-    ``"auto"`` switches to arrow above 64 centroids.
+    broadcast-numpy pass per Arrow batch (ULP/rounding-mode
+    differences possible on exact boundaries), ``"auto"`` switches to
+    arrow above 64 centroids. For CORPUS-SCALED cell counts pass an
+    :class:`ann.HKMQuantizer` as ``centroids`` — fused tree descent +
+    leaf scoring keeps per-row cost logarithmic in the cell count
+    (``assign`` is then ignored).
 
     Output: (vec_id, cell, proto_score, keep BOOLEAN) for every input
     row; filter ``keep`` for the curated corpus.
@@ -945,10 +973,30 @@ def semantic_outliers(
     from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.arrays import (
         cosine_similarity,
     )
-    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import nearest_cell
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        HKMQuantizer,
+        nearest_cell,
+    )
 
     if not 0.0 < drop_frac < 1.0:
         raise ValueError(f"drop_frac must be in (0, 1), got {drop_frac}")
+    if isinstance(centroids, HKMQuantizer):
+        # corpus-scaled cell counts: fused tree descent + leaf-cosine
+        # scoring, same O(branch * log n_cells) per-row class as
+        # semantic_duplicates' HKM path; ``assign`` is ignored.
+        proto = _proto_scores_hkm(embeddings, centroids, id_col, vec_col)
+        q = 1.0 - float(drop_frac)
+        cuts = proto.groupBy("cell").agg(
+            F.expr(f"percentile(proto_score, {q!r}D)").alias("cut")
+        )
+        return proto.join(F.broadcast(cuts), "cell").select(
+            id_col,
+            "cell",
+            "proto_score",
+            F.coalesce(F.col("proto_score") <= F.col("cut"), F.lit(True)).alias(
+                "keep"
+            ),
+        )
     if assign == "auto":
         assign = "arrow" if len(centroids) > 64 else "expr"
     q = 1.0 - float(drop_frac)
@@ -1004,7 +1052,9 @@ def semantic_curation(
     (vec_id, cell, proto_score).
 
     Both stages share the centroids (cluster once, curate twice) and
-    the ``assign`` kernel contract of :func:`semantic_duplicates`.
+    the ``assign`` kernel contract of :func:`semantic_duplicates` —
+    including the :class:`ann.HKMQuantizer` form of ``centroids`` for
+    corpus-scaled cell counts.
     """
     kept = semantic_dedup(
         embeddings,
@@ -1026,6 +1076,55 @@ def semantic_curation(
         )
         .filter(F.col("keep"))
         .select(id_col, "cell", "proto_score")
+    )
+
+
+def _proto_scores_hkm(
+    embeddings: DataFrame,
+    quantizer,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """HKM twin of :func:`_proto_scores_arrow`: one Arrow pass per
+    batch runs the greedy tree descent (``ann.hkm_descend``) to the
+    leaf cell AND scores the rounded-6 cosine against that leaf's
+    center — per-row cost O(branch * depth * dim) regardless of leaf
+    count. Zero-norm vectors score NULL (kept upstream)."""
+    import numpy as np
+    import pandas as pd
+
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import hkm_descend
+
+    _require_integral_id(embeddings, id_col, "HKM quantizer (arrow kernel)")
+    leaf = np.asarray(quantizer.leaf_centers(), dtype=np.float64)
+    sc = embeddings.sparkSession.sparkContext
+    pbc = sc.broadcast(quantizer.payload())
+    lbc = sc.broadcast(leaf)
+
+    def score(batches):
+        payload = pbc.value
+        lc = lbc.value
+        ln = np.sqrt((lc * lc).sum(1))
+        ln[ln == 0.0] = np.nan
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf[vec_col].values).astype(np.float64)
+            cell = hkm_descend(m, payload)
+            mn = np.sqrt((m * m).sum(1))
+            mn[mn == 0.0] = np.nan
+            dots = (m * lc[cell]).sum(1)
+            proto = np.round(dots / (mn * ln[cell]), 6)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "cell": cell.astype(np.int32),
+                    "proto_score": proto,
+                }
+            )
+
+    return embeddings.mapInPandas(
+        score, schema=f"{id_col} long, cell int, proto_score double"
     )
 
 

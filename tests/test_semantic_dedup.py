@@ -226,3 +226,68 @@ def test_arrow_paths_reject_non_integral_ids(spark):
         df, cents, drop_frac=0.5, assign="expr"
     ).collect()
     assert len(keeps) == 3
+
+
+def test_hkm_quantizer_train_and_assign(spark):
+    """HKM tree: leaves ≈ requested, dense ids, deterministic, and
+    Spark-side descent (hkm_assign) matches the driver-side kernel."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(6, 16)) * 8
+    X = np.vstack([b + rng.normal(size=(80, 16)) * 0.1 for b in base])
+    q = ann.hkm_train(X, n_leaves=6, branch=4, seed=43)
+    assert q.n_leaves == 6
+    expect = ann.hkm_descend(X, q.payload())
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["cell"] for r in ann.hkm_assign(df, q).collect()
+    }
+    assert got == {i: int(expect[i]) for i in range(len(X))}
+    assert set(got.values()) <= set(range(q.n_leaves))
+    # train twice -> identical tree
+    q2 = ann.hkm_train(X, n_leaves=6, branch=4, seed=43)
+    assert all(
+        (a["centers"] == b["centers"]).all()
+        for a, b in zip(q.levels, q2.levels)
+    )
+
+
+def test_hkm_train_df_samples_and_trains(emb):
+    q = ann.hkm_train_df(
+        emb, n_leaves=12, branch=4, seed=7, sample_size=512
+    )
+    assert 1 <= q.n_leaves <= 12
+    assigned = ann.hkm_assign(emb, q)
+    occ = assigned.groupBy("cell").count().collect()
+    assert sum(r["count"] for r in occ) == emb.count()
+    assert all(0 <= r["cell"] < q.n_leaves for r in occ)
+
+
+def test_semantic_duplicates_hkm_finds_planted_clones(spark):
+    df = _planted(spark)
+    X = np.array(
+        [r["embedding"] for r in df.select("embedding").collect()]
+    )
+    q = ann.hkm_train(X, n_leaves=3, branch=2, seed=5)
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.semantic_duplicates(df, q, threshold=0.99).collect()
+    }
+    # exact clones share every descent decision, so clone pairs are
+    # guaranteed; the near-dup pair holds on this data too
+    assert (0, 10) in pairs and (0, 11) in pairs and (10, 11) in pairs
+    assert (1, 12) in pairs
+
+
+def test_semantic_curation_hkm_end_to_end(emb):
+    q = ann.hkm_train_df(emb, n_leaves=8, branch=4, seed=7, sample_size=512)
+    out = dedup.semantic_curation(
+        emb, q, threshold=0.999, drop_frac=0.25
+    )
+    rows = out.collect()
+    n = emb.count()
+    assert 0 < len(rows) < n
+    # survivors keep <= 75% + NULL-score rows of each cell, roughly
+    assert {c for r in rows for c in [r["cell"]]} <= set(range(q.n_leaves))
