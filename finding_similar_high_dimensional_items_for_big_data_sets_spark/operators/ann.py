@@ -841,6 +841,29 @@ def ivf_inertia(
     return float(row["inertia"] or 0.0)
 
 
+def cell_stats(assigned: DataFrame, cell_col: str = "cell") -> DataFrame:
+    """IVF-cell health summary — the quantizer twin of
+    ``lsh.bucket_stats``: occupancy distribution over the assigned
+    cells, the operational signal that the coarse quantizer keeps the
+    within-cell quadratic bounded (a mega-cell here means retrain or
+    split before SemDeDup/probe costs blow up). One row:
+    (n_cells, n_rows, min_cell, p50_cell, p99_cell, max_cell,
+    avg_cell). Exact aggregates; percentiles are Spark ``percentile``
+    == DuckDB ``quantile_cont`` bit-identically over integer counts.
+    Input: any DataFrame with a cell column (``ivf_assign`` /
+    ``ivf_assign_vectorized`` / ``hkm_assign`` output)."""
+    sizes = assigned.groupBy(cell_col).agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("sz").alias("n_rows"),
+        F.min("sz").alias("min_cell"),
+        F.expr("percentile(sz, 0.5D)").alias("p50_cell"),
+        F.expr("percentile(sz, 0.99D)").alias("p99_cell"),
+        F.max("sz").alias("max_cell"),
+        F.round(F.avg("sz"), 6).alias("avg_cell"),
+    )
+
+
 # --- Hierarchical k-means quantizer (the corpus-scaled cell path) ----------
 
 

@@ -513,6 +513,24 @@ def _sem_pairs_body() -> str:
     )
 
 
+def sql_cell_stats() -> str:
+    """Twin of ann.cell_stats over ivf_assign's seeded centroids:
+    occupancy distribution per nearest-centroid cell. quantile_cont ==
+    Spark percentile bit-identically over integer counts."""
+    return f"""
+WITH assigned AS MATERIALIZED ({_sem_assigned()}),
+sizes AS (SELECT cell, count(*) AS sz FROM assigned GROUP BY cell)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(sz) AS BIGINT) AS n_rows,
+       CAST(min(sz) AS BIGINT) AS min_cell,
+       quantile_cont(sz, 0.5) AS p50_cell,
+       quantile_cont(sz, 0.99) AS p99_cell,
+       CAST(max(sz) AS BIGINT) AS max_cell,
+       round(avg(sz), 6) AS avg_cell
+FROM sizes
+"""
+
+
 def sql_semantic_dup_pairs() -> str:
     """Twin of dedup.semantic_duplicates: within-cell self-join,
     rounded-6 exact cosine at SEM_THRESHOLD."""
@@ -2026,6 +2044,7 @@ def registry() -> dict[str, str]:
         "simhash_dup_pairs": sql_simhash_dup_pairs(),
         "embedding_dup_pairs": sql_embedding_dup_pairs(),
         "semantic_dup_pairs": sql_semantic_dup_pairs(),
+        "cell_stats": sql_cell_stats(),
         "semantic_dedup": sql_semantic_dedup(),
         "semantic_outliers": sql_semantic_outliers(),
         "semantic_curation": sql_semantic_curation(),

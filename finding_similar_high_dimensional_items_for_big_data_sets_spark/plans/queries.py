@@ -381,6 +381,18 @@ def q_semantic_outliers(spark, sf_dir):
     )
 
 
+def q_cell_stats(spark, sf_dir):
+    """IVF quantizer health: cell-occupancy distribution over the
+    seeded deterministic centroids (the cell twin of bucket_stats —
+    the monitor that says when to retrain/split before within-cell
+    quadratics blow up)."""
+    assigned = ann.ivf_assign(
+        _emb(spark, sf_dir),
+        ann.random_centroids(C.EMB_DIM, C.IVF_CELLS, C.IVF_SEED),
+    )
+    return ann.cell_stats(assigned)
+
+
 def q_semantic_curation(spark, sf_dir):
     """Full D4 curation: SemDeDup then prototypicality over the
     survivors, one shared quantizer — the embedding-side flagship
@@ -1546,6 +1558,7 @@ REGISTRY = {
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "semantic_dup_pairs": q_semantic_dup_pairs,
+    "cell_stats": q_cell_stats,
     "semantic_dedup": q_semantic_dedup,
     "semantic_outliers": q_semantic_outliers,
     "semantic_curation": q_semantic_curation,
