@@ -52,6 +52,10 @@ EMB_DIM = 64
 IVF_CELLS = 16
 IVF_PROBE = 4
 IVF_SEED = 43
+# Calibratable per-query probe rule: scan every cell whose center is
+# within (1 + alpha) of the nearest center's distance (the declarative
+# recall knob; see ann.ivf_alpha_for_recall).
+IVF_PROBE_ALPHA = 0.1
 
 # Multiprobe embedding-dedup blocking: emit bit flips for planes with
 # |dot| < margin * ||v||; same threshold as the single-bucket query so

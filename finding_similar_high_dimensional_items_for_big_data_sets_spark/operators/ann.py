@@ -630,6 +630,137 @@ def probe_cells(
     return order[:n_probe]
 
 
+def ivf_probe_cells_alpha(
+    query: list[float],
+    centroids: list[list[float]],
+    alpha: float,
+    max_probe: int | None = None,
+) -> list[int]:
+    """Per-query ADAPTIVE probe set for a (trained) IVF quantizer: all
+    cells whose center distance is within ``(1 + alpha)`` of the
+    nearest center's — the IVF mirror of
+    :func:`probe_plan_for_recall`'s declarative recall knob. A query
+    deep inside one cell (big gap to the 2nd center) probes few cells;
+    a query near a Voronoi boundary probes its whole neighborhood.
+    ``alpha`` is calibrated against exact ground truth by
+    :func:`ivf_alpha_for_recall`. Distances use the same sequential
+    fold + tie-by-cell-index contract as :func:`probe_cells`, so the
+    DuckDB twin reproduces the set exactly. ``max_probe`` caps the
+    scan budget (nearest cells win)."""
+    import math
+
+    if alpha < 0.0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    cdist2 = [
+        sum(((c[i] - query[i]) ** 2 for i in range(len(query))), 0.0)
+        for c in centroids
+    ]
+    order = sorted(range(len(centroids)), key=lambda c: (cdist2[c], c))
+    d1 = math.sqrt(cdist2[order[0]])
+    bound = (1.0 + float(alpha)) * d1
+    cells = [c for c in order if math.sqrt(cdist2[c]) <= bound]
+    if max_probe is not None:
+        cells = cells[:max_probe]
+    return cells
+
+
+def ivf_alpha_for_recall(
+    queries: list[tuple[int, list[float]]],
+    truth: dict[int, set],
+    cell_of: dict,
+    centroids: list[list[float]],
+    target_recall: float,
+) -> tuple[float, float]:
+    """Calibrate the :func:`ivf_probe_cells_alpha` knob: the smallest
+    ``alpha`` whose probe sets capture, on average over the sample
+    queries, at least ``target_recall`` of each query's exact top-k.
+
+    Inputs are driver-sized: ``queries`` = (query_id, vector) sample,
+    ``truth[qid]`` = the exact top-k neighbor ids (one brute-force
+    job), ``cell_of[vec_id]`` = assigned cell for each TRUTH id only
+    (k * n_queries rows collected, never the corpus). The search space
+    is the finite set of realized distance ratios, so the returned
+    alpha is exactly achievable — no grid resolution error. Returns
+    (alpha, estimated_recall_at_alpha); in-sample estimate, so hold
+    out queries if you need an unbiased number. This is the FAISS
+    autotune recipe (calibrate the probe knob on ground truth) recast
+    for the distance-ratio rule."""
+    import math
+
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(f"target_recall must be in (0,1], got {target_recall}")
+    # per true neighbor: the distance ratio its cell needs
+    per_query_ratios: list[list[float]] = []
+    for qid, qv in queries:
+        cdist = [
+            math.sqrt(sum(((c[i] - qv[i]) ** 2 for i in range(len(qv))), 0.0))
+            for c in centroids
+        ]
+        d1 = min(cdist) or 1.0
+        ratios = sorted(
+            cdist[cell_of[v]] / d1 for v in truth.get(qid, ()) if v in cell_of
+        )
+        if ratios:
+            per_query_ratios.append(ratios)
+    if not per_query_ratios:
+        return 0.0, 0.0
+
+    def recall_at(alpha: float) -> float:
+        lim = 1.0 + alpha
+        vals = [
+            sum(1 for r in rs if r <= lim) / len(rs) for rs in per_query_ratios
+        ]
+        return sum(vals) / len(vals)
+
+    candidates = sorted(
+        {max(0.0, r - 1.0) for rs in per_query_ratios for r in rs}
+    )
+    for a in candidates:
+        rec = recall_at(a)
+        if rec >= target_recall:
+            return a, rec
+    a = candidates[-1] if candidates else 0.0
+    return a, recall_at(a)
+
+
+def ivf_topk_alpha(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    alpha: float = 0.1,
+    centroids: list[list[float]] | None = None,
+    n_cells: int = 16,
+    seed: int = 43,
+    max_probe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ivf_topk` with the probe set chosen per query by the
+    calibrated distance-ratio rule (:func:`ivf_probe_cells_alpha`)
+    instead of a fixed n_probe — the trained-IVF twin of
+    :func:`ann_lsh_topk_target_recall`: the recall knob is declarative
+    (calibrate alpha once for "recall >= target", then every query
+    spends only the scan ITS margins require). Output: (vec_id, dist,
+    rank), identical to ivf_topk whenever the rule picks the same
+    cells."""
+    if centroids is None:
+        centroids = random_centroids(len(query), n_cells, seed)
+    cells = ivf_probe_cells_alpha(query, centroids, alpha, max_probe)
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    qlit = F.array(*[F.lit(float(v)) for v in query])
+    scored = assigned.filter(F.col("cell").isin(cells)).select(
+        id_col, F.round(l2_distance(F.col(vec_col), qlit), 6).alias("dist")
+    )
+    w = Window.partitionBy(F.pmod(F.col(id_col), F.lit(1))).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
 def ivf_topk_store(
     spark,
     path: str,
@@ -683,6 +814,8 @@ def ivf_topk_batch(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    alpha: float | None = None,
+    max_probe: int | None = None,
 ) -> DataFrame:
     """Batch IVF probe: one job for a whole query set — the IVF twin
     of :func:`ann_lsh_topk_batch`. Per-query probe cells are chosen
@@ -691,7 +824,12 @@ def ivf_topk_batch(
     corpus is assigned once and joined against it. Each vector lives
     in exactly ONE cell, so no candidate dedup is needed. Output:
     (query_id, vec_id, dist, rank) — identical per query to
-    :func:`ivf_topk` at the same quantizer."""
+    :func:`ivf_topk` at the same quantizer.
+
+    ``alpha``: switch from the fixed ``n_probe`` to the calibrated
+    per-query distance-ratio rule (:func:`ivf_probe_cells_alpha`,
+    optionally budget-capped by ``max_probe``) — each query probes
+    only the cells its own margins require."""
     spark = embeddings.sparkSession
     qrows = queries.select(query_id_col, query_vec_col).collect()
     if not qrows:
@@ -701,13 +839,22 @@ def ivf_topk_batch(
     dim = len(qrows[0][query_vec_col])
     if centroids is None:
         centroids = random_centroids(dim, n_cells, seed)
-    probe_rows = [
-        (int(r[query_id_col]), int(c))
-        for r in qrows
-        for c in probe_cells(
-            [float(v) for v in r[query_vec_col]], centroids, n_probe
-        )
-    ]
+    if alpha is not None:
+        probe_rows = [
+            (int(r[query_id_col]), int(c))
+            for r in qrows
+            for c in ivf_probe_cells_alpha(
+                [float(v) for v in r[query_vec_col]], centroids, alpha, max_probe
+            )
+        ]
+    else:
+        probe_rows = [
+            (int(r[query_id_col]), int(c))
+            for r in qrows
+            for c in probe_cells(
+                [float(v) for v in r[query_vec_col]], centroids, n_probe
+            )
+        ]
     probe_df = spark.createDataFrame(probe_rows, f"{query_id_col} long, cell int")
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     qv = queries.select(query_id_col, query_vec_col)

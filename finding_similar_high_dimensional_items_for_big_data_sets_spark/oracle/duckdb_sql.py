@@ -1010,6 +1010,39 @@ FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
 """
 
 
+def sql_ivf_topk_alpha() -> str:
+    """Mirrors ann.ivf_topk_alpha: probe every cell whose center
+    distance is within (1 + IVF_PROBE_ALPHA) of the nearest center's —
+    the rule re-derived independently in SQL (sqrt of the same
+    sequential fold), not inlined from the Spark plan."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        random_centroids,
+    )
+
+    cents = random_centroids(C.EMB_DIM, C.IVF_CELLS, C.IVF_SEED)
+    dists = "[" + ", ".join(_sq_l2_lit("embedding", c) for c in cents) + "]"
+    qdists = "[" + ", ".join(_sq_l2_lit("q.qv", c) for c in cents) + "]"
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {C.QUERY_VEC}),
+qcell AS (
+  SELECT CAST(u.c AS INT) AS cell, sqrt(({qdists})[u.c + 1]) AS d
+  FROM q, (SELECT unnest(range({C.IVF_CELLS})) AS c) u),
+probe AS (
+  SELECT cell FROM qcell
+  WHERE d <= (1.0 + {C.IVF_PROBE_ALPHA!r}) * (SELECT min(d) FROM qcell)),
+assigned AS (
+  SELECT vec_id, embedding,
+         CAST(list_position(d.ds, list_min(d.ds)) - 1 AS INT) AS cell
+  FROM (SELECT vec_id, embedding, {dists} AS ds FROM embeddings) d),
+scored AS (
+  SELECT e.vec_id, round({_l2('e.embedding', 'q.qv', C.EMB_DIM)}, 6) AS dist
+  FROM assigned e, q
+  WHERE e.cell IN (SELECT cell FROM probe))
+SELECT vec_id, dist, CAST(row_number() OVER (ORDER BY dist ASC, vec_id) AS INT) AS rank
+FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
+"""
+
+
 def sql_ivf_topk_batch() -> str:
     """Mirrors ann.ivf_topk_batch: per-query probe cells (same
     sequential-fold distances, ties by cell index) for the first
@@ -2074,6 +2107,7 @@ def registry() -> dict[str, str]:
         "doc_fingerprints": sql_doc_fingerprints(),
         "ann_buckets": sql_ann_buckets(),
         "ivf_topk": sql_ivf_topk(),
+        "ivf_topk_alpha": sql_ivf_topk_alpha(),
         "ivf_topk_batch": sql_ivf_topk_batch(),
         "quality_metrics": sql_quality_metrics(),
         "lsh_topk_preview": sql_lsh_topk_preview(),

@@ -825,6 +825,26 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ivf_topk_alpha(spark, sf_dir):
+    """Probe-budgeted IVF ANN: the probe set is chosen per query by
+    the calibratable distance-ratio rule (every cell within
+    (1+IVF_PROBE_ALPHA) of the nearest center) instead of a fixed
+    n_probe — the declarative-recall twin of ivf_topk."""
+    emb = _emb(spark, sf_dir)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == C.QUERY_VEC).first()["embedding"]
+    ]
+    return ann.ivf_topk_alpha(
+        emb,
+        qvec,
+        k=C.K_VEC,
+        alpha=C.IVF_PROBE_ALPHA,
+        n_cells=C.IVF_CELLS,
+        seed=C.IVF_SEED,
+    )
+
+
 # --- result shaping + metrics (A6/A8, P3/J3, T6) ----------------------------
 
 
@@ -1595,6 +1615,7 @@ REGISTRY = {
     "ann_multiprobe_topk": q_ann_multiprobe_topk,
     "ann_target_recall_topk": q_ann_target_recall_topk,
     "ivf_topk": q_ivf_topk,
+    "ivf_topk_alpha": q_ivf_topk_alpha,
     "ivf_topk_batch": q_ivf_topk_batch,
     "quality_metrics": q_quality_metrics,
     "lsh_topk_preview": q_lsh_topk_preview,

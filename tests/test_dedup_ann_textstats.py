@@ -436,3 +436,61 @@ def test_ivf_batch_matches_per_query_loop(emb):
         for row in ann.ivf_topk(emb, qvec, k=3, n_cells=8, n_probe=3).collect():
             expect.append((r["query_id"], row["vec_id"], row["dist"], row["rank"]))
     assert got == sorted(expect) and len(got) > 0
+
+
+def test_ivf_probe_cells_alpha_rule():
+    """Hand-checked distance-ratio probe set: centers at distance
+    1, 1.05, 1.3, 2 -> alpha=0.1 probes the first two; cap applies
+    nearest-first; alpha=0 probes exactly the nearest."""
+    q = [0.0, 0.0]
+    cents = [[1.0, 0.0], [0.0, 1.05], [1.3, 0.0], [0.0, 2.0]]
+    assert ann.ivf_probe_cells_alpha(q, cents, 0.1) == [0, 1]
+    assert ann.ivf_probe_cells_alpha(q, cents, 0.0) == [0]
+    assert ann.ivf_probe_cells_alpha(q, cents, 5.0) == [0, 1, 2, 3]
+    assert ann.ivf_probe_cells_alpha(q, cents, 5.0, max_probe=2) == [0, 1]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        ann.ivf_probe_cells_alpha(q, cents, -0.5)
+
+
+def test_ivf_alpha_for_recall_calibration():
+    """Calibration returns the smallest realized-ratio alpha hitting
+    the target, and its estimate is the exact in-sample recall."""
+    cents = [[1.0, 0.0], [0.0, 1.05], [1.3, 0.0], [0.0, 2.0]]
+    # one query at origin; truth neighbors live in cells 0, 1, 2
+    queries = [(7, [0.0, 0.0])]
+    truth = {7: {100, 101, 102}}
+    cell_of = {100: 0, 101: 1, 102: 2}
+    # ratios: 1.0, 1.05, 1.3 -> alphas 0, 0.05, 0.3
+    a, rec = ann.ivf_alpha_for_recall(queries, truth, cell_of, cents, 0.5)
+    assert abs(a - 0.05) < 1e-12 and abs(rec - 2 / 3) < 1e-12
+    a, rec = ann.ivf_alpha_for_recall(queries, truth, cell_of, cents, 0.9)
+    assert abs(a - 0.3) < 1e-9 and rec == 1.0
+    # unreachable target degrades to the largest candidate, honestly
+    a, rec = ann.ivf_alpha_for_recall(queries, truth, {100: 0}, cents, 1.0)
+    assert rec == 1.0  # only one truth id known, found at alpha 0
+
+
+def test_ivf_topk_alpha_full_scan_parity_and_batch(emb):
+    """alpha large enough to cover every cell == exact scan (ivf_topk
+    probing all cells); batch-alpha answers match the per-query op."""
+    from pyspark.sql import functions as F
+
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    full = ann.ivf_topk(emb, qvec, k=4, n_cells=8, n_probe=8)
+    viaalpha = ann.ivf_topk_alpha(emb, qvec, k=4, alpha=100.0, n_cells=8)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, viaalpha.collect())
+    )
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = ann.ivf_topk_batch(emb, qs, k=3, n_cells=8, alpha=0.15)
+    got = sorted(map(tuple, batch.collect()))
+    expect = []
+    for r in qs.collect():
+        qv = [float(v) for v in r["query_vec"]]
+        for row in ann.ivf_topk_alpha(emb, qv, k=3, alpha=0.15, n_cells=8).collect():
+            expect.append((r["query_id"], row["vec_id"], row["dist"], row["rank"]))
+    assert got == sorted(expect) and len(got) > 0
