@@ -1465,27 +1465,79 @@ def train_pq(
     seed: int = 44,
     vec_col: str = "embedding",
 ) -> list[list[list[float]]]:
-    """Lloyd-trained PQ codebooks: per subspace, k-means over the
-    subvector slices via :func:`ivf_train`'s shuffle-bounded
-    iteration (m independent trainings of n_codes centroids each —
-    m * n_iters Spark jobs, every one moving O(partitions * n_codes *
-    dim/m) doubles). Tighter codes -> lower ADC distortion at the
-    same 8-byte-per-vector budget."""
+    """Lloyd-trained PQ codebooks, FUSED: one corpus pass per
+    iteration trains all ``m`` sub-codebooks at once — each Arrow
+    batch slices the vector into its m subvectors, argmin-assigns
+    every slice against that subspace's current centroids, and emits
+    partial sums keyed by (subspace, code). m× fewer corpus passes
+    than sequential per-subspace training (n_iters jobs total instead
+    of m * n_iters), with the same shuffle bound: <= m * n_codes
+    partial rows per partition reach the driver. Bit-identical to the
+    sequential form — same per-subspace init seeds (``seed + s``,
+    matching :func:`ivf_train` on the slice), same per-batch float
+    math, same batch/partition layout (asserted by test). Tighter
+    codes -> lower ADC distortion at the same 8-byte-per-vector
+    budget."""
+    import pandas as pd
+
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
     dsub = dim // m
-    books = []
-    for s in range(m):
-        sub = embeddings.select(
-            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias(vec_col)
-        )
-        books.append(
-            ivf_train(
-                sub, n_cells=n_codes, n_iters=n_iters,
-                seed=seed + s, vec_col=vec_col, dim=dsub,
-            )
-        )
-    return books
+    sc = embeddings.sparkSession.sparkContext
+    vecs = embeddings.select(vec_col)
+    cents = np.stack(
+        [
+            np.array(random_centroids(dsub, n_codes, seed + s), dtype=np.float64)
+            for s in range(m)
+        ]
+    )  # (m, n_codes, dsub)
+    for _ in range(n_iters):
+        cbc = sc.broadcast(cents)
+
+        def partials(batches):
+            c = cbc.value
+            sums = np.zeros_like(c)
+            counts = np.zeros((m, n_codes), dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.vstack(pdf[vec_col].values).astype(np.float64)
+                for s in range(m):
+                    Xs = X[:, s * dsub : (s + 1) * dsub]
+                    cs = c[s]
+                    d2 = (
+                        (Xs * Xs).sum(1)[:, None]
+                        - 2.0 * (Xs @ cs.T)
+                        + (cs * cs).sum(1)[None, :]
+                    )
+                    cell = d2.argmin(axis=1)
+                    for ci in np.unique(cell):
+                        sel = cell == ci
+                        sums[s, ci] += Xs[sel].sum(axis=0)
+                        counts[s, ci] += int(sel.sum())
+            sub_i, code_i = np.nonzero(counts)
+            if len(sub_i):
+                yield pd.DataFrame(
+                    {
+                        "sub": sub_i.astype(np.int64),
+                        "cell": code_i.astype(np.int64),
+                        "n": counts[sub_i, code_i],
+                        "s": [sums[si, ci].tolist() for si, ci in zip(sub_i, code_i)],
+                    }
+                )
+
+        rows = vecs.mapInPandas(
+            partials, schema="sub long, cell long, n long, s array<double>"
+        ).collect()
+        sums = np.zeros_like(cents)
+        counts = np.zeros((m, n_codes), dtype=np.int64)
+        for r in rows:
+            sums[r["sub"], r["cell"]] += np.asarray(r["s"], dtype=np.float64)
+            counts[r["sub"], r["cell"]] += r["n"]
+        upd = counts > 0
+        cents = cents.copy()
+        cents[upd] = sums[upd] / counts[upd][:, None]
+    return [cents[s].tolist() for s in range(m)]
 
 
 def pq_topk_rerank(

@@ -185,3 +185,27 @@ def test_pq_store_append_parity_and_quantizer_guard(spark, tmp_path):
     other = ann.random_codebooks(DIM, M, CODES, seed=99)
     with pytest.raises(ValueError):
         append_pq_index(half_b, p, other)
+
+
+def test_train_pq_fused_matches_sequential_per_subspace(spark, sf_dir):
+    """The fused one-pass-per-iteration trainer must produce
+    bit-identical codebooks to m sequential ivf_train runs over the
+    subvector slices (same seeds, same float math, same layout)."""
+    from pyspark.sql import functions as F
+
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import load_table
+
+    dim = 16
+    sub = load_table(spark, sf_dir, "embeddings").select(
+        F.slice("embedding", 1, dim).alias("embedding")
+    )
+    fused = ann.train_pq(sub, dim, m=4, n_codes=8, n_iters=3, seed=44)
+    dsub = dim // 4
+    for s in range(4):
+        sl = sub.select(
+            F.slice(F.col("embedding"), s * dsub + 1, dsub).alias("embedding")
+        )
+        seq = ann.ivf_train(
+            sl, n_cells=8, n_iters=3, seed=44 + s, dim=dsub
+        )
+        assert fused[s] == seq, f"subspace {s} diverged"
