@@ -1,0 +1,209 @@
+"""Streaming semantic ingest dedup: per-epoch cell-blocked cosine
+dedup against the persisted cell store, exactly-once across checkpoint
+restarts, batch/stream parity — the embedding-side twin of
+test_streaming_ingest."""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import ann
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.streaming import semantic as SS
+
+DIM = 8
+
+
+def _vec(rs, scale=1.0):
+    return [float(v) for v in rs.normal(size=DIM) * scale]
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _fresh_table(spark, name):
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:") + f"/{name}",
+        ignore_errors=True,
+    )
+
+
+def _setup(spark, table):
+    """Seeded base corpus of 4 well-separated directions + quantizer."""
+    rs = np.random.RandomState(3)
+    base_dirs = [rs.normal(size=DIM) * 6 for _ in range(4)]
+    rows = [(i, [float(v) for v in base_dirs[i]]) for i in range(4)]
+    cents = ann.random_centroids(DIM, n_cells=4, seed=5)
+    _fresh_table(spark, table)
+    SS.write_cell_store_partitioned(
+        _corpus(spark, rows), table, cents, num_buckets=2
+    )
+    return base_dirs, cents
+
+
+def test_semantic_new_rows_greedy_rule(spark):
+    """History dup dropped; within-batch smaller-id wins; fresh rows
+    survive; the greedy rule never revives a vector whose neighbor was
+    itself dropped."""
+    base_dirs, cents = _setup(spark, "t_sem_hist0")
+    try:
+        hist = spark.table("t_sem_hist0")
+        batch = _corpus(
+            spark,
+            [
+                (100, [float(v) for v in base_dirs[0]]),  # history dup
+                (101, [float(v) for v in base_dirs[1] * 1.0001]),  # ~cos 1 to hist 1
+                (102, [float(v) for v in -base_dirs[2]]),  # anti-parallel: fresh
+                (110, [float(v) for v in base_dirs[3] * 2.0]),  # batch clone A
+                (111, [float(v) for v in base_dirs[3] * 3.0]),  # batch clone B
+            ],
+        )
+        kept = SS.semantic_new_rows(batch, hist, cents, threshold=0.99)
+        ids = {r["vec_id"] for r in kept.collect()}
+        # 100, 101 die to history; 111 dies to smaller-id 110; 110 is a
+        # history dup of base dir 3 -> also dies; 102 survives
+        assert ids == {102}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sem_hist0")
+
+
+def test_stream_semantic_ingest_cross_batch_and_store(spark, tmp_path):
+    base_dirs, cents = _setup(spark, "t_sem_hist1")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    rs = np.random.RandomState(9)
+    fresh_a = _vec(rs, 4.0)
+    fresh_b = _vec(rs, 4.0)
+    a = _corpus(
+        spark,
+        [
+            (100, fresh_a),
+            (101, [float(v) for v in base_dirs[2]]),  # history dup
+        ],
+    )
+    b = _corpus(
+        spark,
+        [
+            (200, [float(v * 1.5) for v in fresh_a]),  # cross-batch dup of 100
+            (201, fresh_b),
+        ],
+    )
+    a.coalesce(1).write.mode("overwrite").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+    try:
+        stream = (
+            spark.readStream.schema(a.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = SS.stream_semantic_ingest(
+            stream, "t_sem_hist1", out, str(tmp_path / "ckpt"), cents,
+            threshold=0.99,
+        )
+        q.awaitTermination(180)
+        kept = spark.read.parquet(out)
+        kept_ids = {r["vec_id"] for r in kept.collect()}
+        # one of {100, 200} (arrival order decides), plus 201; never 101
+        assert len(kept_ids & {100, 200}) == 1 and 201 in kept_ids
+        assert 101 not in kept_ids and len(kept_ids) == 2
+        # the store absorbed exactly the survivors, with cells
+        store = spark.table("t_sem_hist1")
+        assert store.count() == 4 + 2
+        assert store.filter(F.col("cell").isNull()).count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sem_hist1")
+
+
+def test_stream_semantic_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Epoch 1, stop, restart on the same checkpoint with a file that
+    near-duplicates epoch 1's survivor: exactly-once into both the
+    survivor store and the cell store across the restart."""
+    base_dirs, cents = _setup(spark, "t_sem_hist2")
+    src = str(tmp_path / "src2")
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    rs = np.random.RandomState(17)
+    alpha = _vec(rs, 4.0)
+    beta = _vec(rs, 4.0)
+    first = _corpus(
+        spark,
+        [(100, alpha), (101, [float(v) for v in base_dirs[1]])],
+    )
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    try:
+        stream = spark.readStream.schema(first.schema).parquet(src)
+        SS.stream_semantic_ingest(
+            stream, "t_sem_hist2", out, ckpt, cents, threshold=0.99
+        ).awaitTermination(120)
+        assert {r["vec_id"] for r in spark.read.parquet(out).collect()} == {100}
+        second = _corpus(
+            spark,
+            [(200, [float(v * 2.0) for v in alpha]), (201, beta)],
+        )
+        second.coalesce(1).write.mode("append").parquet(src)
+        stream2 = spark.readStream.schema(first.schema).parquet(src)
+        SS.stream_semantic_ingest(
+            stream2, "t_sem_hist2", out, ckpt, cents, threshold=0.99
+        ).awaitTermination(120)
+        kept = spark.read.parquet(out)
+        assert {r["vec_id"] for r in kept.collect()} == {100, 201}
+        store = spark.table("t_sem_hist2")
+        # exactly-once: base 4 + the 2 survivors, no replay duplicates
+        assert store.count() == 6
+        assert store.select("vec_id").distinct().count() == 6
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sem_hist2")
+
+
+def test_stream_semantic_ingest_hkm_quantizer(spark, tmp_path):
+    """The loop accepts an HKMQuantizer: exact clones share every
+    descent decision, so clone dedup is guaranteed at any tree."""
+    rs = np.random.RandomState(23)
+    X = np.vstack([rs.normal(size=DIM) * 6 for _ in range(8)])
+    tree = ann.hkm_train(X, n_leaves=4, branch=2, seed=7)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(8)]
+    _fresh_table(spark, "t_sem_hist3")
+    SS.write_cell_store_partitioned(
+        _corpus(spark, rows), "t_sem_hist3", tree, num_buckets=2
+    )
+    src = str(tmp_path / "src3")
+    out = str(tmp_path / "out3")
+    fresh = _vec(rs, 4.0)
+    batch = _corpus(
+        spark,
+        [(100, [float(v) for v in X[5]]), (101, fresh)],  # clone + fresh
+    )
+    batch.coalesce(1).write.mode("overwrite").parquet(src)
+    try:
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        SS.stream_semantic_ingest(
+            stream, "t_sem_hist3", out, str(tmp_path / "ckpt3"), tree,
+            threshold=0.99,
+        ).awaitTermination(120)
+        assert {r["vec_id"] for r in spark.read.parquet(out).collect()} == {101}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sem_hist3")
+
+
+def test_stream_semantic_rejects_flat_store(spark, tmp_path):
+    import pytest
+
+    cents = ann.random_centroids(DIM, n_cells=2, seed=5)
+    _fresh_table(spark, "t_sem_flat")
+    assigned = _corpus(spark, [(0, [1.0] * DIM)])
+    SS._assign_cells(assigned, cents, "embedding").write.saveAsTable("t_sem_flat")
+    try:
+        src = tmp_path / "emptysrc"
+        src.mkdir()
+        stream = spark.readStream.schema(assigned.schema).parquet(str(src))
+        with pytest.raises(ValueError, match="batch-partitioned"):
+            SS.stream_semantic_ingest(
+                stream, "t_sem_flat", str(tmp_path / "o"), str(tmp_path / "c"),
+                cents,
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sem_flat")
