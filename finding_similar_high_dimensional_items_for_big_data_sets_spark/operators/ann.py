@@ -779,13 +779,25 @@ def ivf_topk_store(
     per fresh plan at 16x64; assignment is index-build work).
     Semantics identical to :func:`ivf_topk` at the same centroids.
     ``centroids=None`` loads the quantizer from the store's
-    ``_index_meta`` sidecar (written by ``write_ivf_partitioned``)."""
+    ``_index_meta`` sidecar (written by ``write_ivf_partitioned``) —
+    for an HKM store the tree's LEAF CENTERS become the probe
+    centroids (one driver-side flat distance pass over n_leaves
+    centers per query — O(n_cells*dim) floats, fine even at
+    corpus-scaled leaf counts; the tree is only needed for
+    corpus-side assignment at build)."""
     if centroids is None:
         from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
             read_store_meta,
         )
 
-        centroids = read_store_meta(path)["centroids"]
+        meta = read_store_meta(path)
+        if meta.get("kind") == "ivf_hkm":
+            centroids = [
+                [float(x) for x in c]
+                for c in HKMQuantizer.from_dict(meta["tree"]).leaf_centers()
+            ]
+        else:
+            centroids = meta["centroids"]
     cells = probe_cells(query, centroids, n_probe)
     store = spark.read.parquet(path).filter(F.col("cell").isin(cells))
     qlit = F.array(*[F.lit(float(v)) for v in query])
@@ -1083,6 +1095,32 @@ class HKMQuantizer:
             [lvl["centers"] for lvl in self.levels],
             self.child_start,
             self.child_count,
+        )
+
+    def to_dict(self) -> dict:
+        """JSON-safe form for store sidecars (``_index_meta.json``):
+        the quantizer is part of a store's identity — cells are only
+        comparable under the tree that assigned them."""
+        return {
+            "levels": [
+                {
+                    "centers": [[float(x) for x in c] for c in lvl["centers"]],
+                    "parent": [int(p) for p in lvl["parent"]],
+                }
+                for lvl in self.levels
+            ]
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "HKMQuantizer":
+        return cls(
+            [
+                {
+                    "centers": np.asarray(lvl["centers"], dtype=np.float64),
+                    "parent": np.asarray(lvl["parent"], dtype=np.int64),
+                }
+                for lvl in d["levels"]
+            ]
         )
 
 

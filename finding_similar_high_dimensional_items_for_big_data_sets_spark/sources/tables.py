@@ -420,20 +420,27 @@ def write_ivf_partitioned(
     ``cell IN (<probe set>)`` against the partition column — directory
     pruning at the source, and the expensive assignment expression runs
     once at build, never per query. Pass :func:`operators.ann.ivf_train`
-    output for a trained quantizer."""
+    output for a trained quantizer, or an
+    :class:`operators.ann.HKMQuantizer` for corpus-scaled cell counts
+    (tree-descent assignment; the tree itself lands in the sidecar so
+    probes and appends self-configure)."""
     from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        HKMQuantizer,
+        hkm_assign,
         ivf_assign,
     )
 
-    (
-        ivf_assign(embeddings, centroids, vec_col=vec_col)
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(path)
-    )
-    _write_store_meta(
-        path, {"kind": "ivf", "centroids": [list(map(float, c)) for c in centroids]}
-    )
+    if isinstance(centroids, HKMQuantizer):
+        assigned = hkm_assign(embeddings, centroids, vec_col=vec_col)
+        meta = {"kind": "ivf_hkm", "tree": centroids.to_dict()}
+    else:
+        assigned = ivf_assign(embeddings, centroids, vec_col=vec_col)
+        meta = {
+            "kind": "ivf",
+            "centroids": [list(map(float, c)) for c in centroids],
+        }
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    _write_store_meta(path, meta)
 
 
 def append_ivf_partitioned(
@@ -443,22 +450,28 @@ def append_ivf_partitioned(
     vec_col: str = "embedding",
 ) -> None:
     """Incremental IVF-store maintenance: assign ONLY the new vectors
-    against the store's centroids (the caller must pass the same
-    quantizer the store was built with) and append under their cell
-    directories."""
+    against the store's quantizer (the caller must pass the same
+    centroids — flat list or :class:`operators.ann.HKMQuantizer` —
+    the store was built with; a mismatch raises via the sidecar check)
+    and append under their cell directories."""
     from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        HKMQuantizer,
+        hkm_assign,
         ivf_assign,
     )
 
-    _check_store_meta(
-        path, {"kind": "ivf", "centroids": [list(map(float, c)) for c in centroids]}
-    )
-    (
-        ivf_assign(embeddings, centroids, vec_col=vec_col)
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(path)
-    )
+    if isinstance(centroids, HKMQuantizer):
+        _check_store_meta(
+            path, {"kind": "ivf_hkm", "tree": centroids.to_dict()}
+        )
+        assigned = hkm_assign(embeddings, centroids, vec_col=vec_col)
+    else:
+        _check_store_meta(
+            path,
+            {"kind": "ivf", "centroids": [list(map(float, c)) for c in centroids]},
+        )
+        assigned = ivf_assign(embeddings, centroids, vec_col=vec_col)
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
 
 
 def append_embeddings_partitioned(

@@ -284,3 +284,49 @@ def test_store_append_rejects_mismatched_quantizer(spark, sf_dir, tmp_path):
     write_ivf_partitioned(emb, s2, c1)
     with _pytest.raises(ValueError, match="different quantizer"):
         append_ivf_partitioned(emb, s2, c2)
+
+
+def test_ivf_store_hkm_round_trip_and_guard(spark, sf_dir, tmp_path):
+    """HKM-quantized IVF store: tree-descent assignment at build, the
+    tree serialized into _index_meta, probes self-configure from the
+    sidecar's leaf centers, appends require the SAME tree."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import ann
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        append_ivf_partitioned,
+        read_store_meta,
+        write_ivf_partitioned,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    X = np.array([r["embedding"] for r in emb.limit(200).collect()])
+    tree = ann.hkm_train(X, n_leaves=6, branch=3, seed=11)
+    store = str(tmp_path / "ivf_hkm_store")
+    write_ivf_partitioned(emb.filter(F.col("vec_id") % 2 == 0), store, tree)
+    append_ivf_partitioned(emb.filter(F.col("vec_id") % 2 == 1), store, tree)
+    meta = read_store_meta(store)
+    assert meta["kind"] == "ivf_hkm"
+    rt = ann.HKMQuantizer.from_dict(meta["tree"])
+    assert all(
+        (a["centers"] == b["centers"]).all() and (a["parent"] == b["parent"]).all()
+        for a, b in zip(rt.levels, tree.levels)
+    )
+    # every corpus row landed under its descent leaf
+    n = emb.count()
+    stored = spark.read.parquet(store)
+    assert stored.count() == n
+    assert stored.select("cell").distinct().count() <= tree.n_leaves
+    # probing from the sidecar == probing with explicit leaf centers
+    query = [float(v) for v in emb.first()["embedding"]]
+    leafc = [[float(x) for x in c] for c in tree.leaf_centers()]
+    explicit = ann.ivf_topk_store(spark, store, query, leafc, k=5, n_probe=3)
+    from_meta = ann.ivf_topk_store(spark, store, query, k=5, n_probe=3)
+    got = sorted(map(tuple, from_meta.collect()))
+    assert got == sorted(map(tuple, explicit.collect())) and len(got) == 5
+    # a different tree is refused
+    other = ann.hkm_train(X, n_leaves=6, branch=3, seed=12)
+    with _pytest.raises(ValueError, match="different quantizer"):
+        append_ivf_partitioned(emb.limit(3), store, other)
