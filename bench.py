@@ -772,6 +772,19 @@ def main():
             block["semantic_dedup_pairs"] = timed_min(
                 semantic_once, max(1, reps - 1)
             )
+
+            # D4 prototypicality pass at the same corpus-scaled cells:
+            # fused tree-descent + leaf-cosine Arrow kernel, per-cell
+            # exact-percentile cutoffs (<= n_cells rows broadcast back)
+            def outliers_once():
+                dedup.semantic_outliers(
+                    emb_s, hkm_q, drop_frac=0.25
+                ).count()
+
+            outliers_once()
+            block["semantic_outliers"] = timed_min(
+                outliers_once, max(1, reps - 1)
+            )
             emb_s.unpersist()
 
             scaling[label] = {
@@ -795,6 +808,7 @@ def main():
                 "lm_quality",
                 "incremental_dedup",
                 "semantic_dedup_pairs",
+                "semantic_outliers",
             )
         }
 
