@@ -61,9 +61,11 @@ def main():
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -117,7 +119,7 @@ def main():
         else:
             print(f"ok   {name}: {len(srows)} rows, hash match")
     spark.stop()
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass")
+    print(f"\n{n_run - len(failures)}/{n_run} queries pass ({len(qs)} registered)")
     return 1 if failures else 0
 
 
