@@ -332,6 +332,29 @@ def main():
     pq_codes.unpersist()
     quality["ivf_trained_recall_at_k"] = recall(ivf_tr)
 
+    # SQ8 scalar quantization: the per-dim byte codec — unlike PQ its
+    # reconstruction error is per-dim rounding, so ADC stays accurate
+    # on this unclustered fixture (the regime PQ codebooks fail in).
+    t, (sq_mins, sq_maxs) = timed(lambda: ann.sq_train(emb, dim), reps=1)
+    timings["sq_train"] = t
+    t, _ = timed(lambda: ann.sq_encode(emb, sq_mins, sq_maxs).count(), reps=1)
+    timings["sq_encode"] = t
+    sq_codes = ann.sq_encode(emb, sq_mins, sq_maxs).cache()
+    sq_codes.count()
+    t, sq_rows = timed(
+        lambda: ann.sq_topk(None, qvec, sq_mins, sq_maxs, k=K, codes=sq_codes).collect()
+    )
+    timings["sq_point_store"] = t
+    quality["sq_recall_at_k"] = recall(sq_rows)
+    t, sq_rr = timed(
+        lambda: ann.sq_topk_rerank(
+            emb, qvec, sq_mins, sq_maxs, k=K, shortlist=short, codes=sq_codes
+        ).collect()
+    )
+    timings["sq_rerank_point"] = t
+    quality["sq_rerank_recall_at_k"] = recall(sq_rr)
+    sq_codes.unpersist()
+
     # --- probe-BUDGETED trained IVF: calibrate the distance-ratio
     # knob (probe cells within (1+alpha) of the nearest center) on
     # exact L2 ground truth, then measure what the per-query rule

@@ -112,6 +112,11 @@ PQ_CODES = 16
 PQ_SEED = 44
 PQ_SHORTLIST = 50
 
+# Scalar quantization (SQ8): per-dim levels (codes in [0, SQ_LEVELS])
+# and the ADC-shortlist size for the exact-rerank serving tier.
+SQ_LEVELS = 255
+SQ_SHORTLIST = 50
+
 # Snapshot diff plant pattern: the "new" snapshot drops every DIFF_DROP-th
 # doc, rewrites every DIFF_EDIT-th, and adds DIFF_ADD_OFFSET-shifted rows.
 DIFF_DROP = 13

@@ -1649,3 +1649,168 @@ def pq_topk_store(
         embeddings, query, k=k, shortlist=shortlist,
         id_col=id_col, vec_col=vec_col, codebooks=books, codes=codes,
     )
+
+
+# --- Scalar quantization (SQ8) ---------------------------------------------
+#
+# The third rung of the quantization ladder (IVF cells -> PQ codes ->
+# SQ8 bytes): each dimension is affinely mapped onto [0, levels] and
+# stored as one small int. 4x smaller than float32 at dim preserved,
+# and — unlike PQ — the reconstruction error is a per-dimension
+# rounding error, so ADC distances track true L2 closely even on
+# unclustered corpora where PQ subspace codebooks fail (the structure-
+# free sf* embedding fixture: PQ ADC recall 0.2, SQ8 ADC ~1.0).
+# Reference analog: the FAISS scale path (SURVEY §2.3 J4); FAISS calls
+# this IndexScalarQuantizer(QT_8bit).
+
+
+def sq_train(
+    embeddings: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[float]]:
+    """Per-dimension [min, max] ranges — the entire SQ8 "model".
+
+    ONE shuffle-free corpus pass: 2*dim scalar aggregates with map-side
+    partial aggregation, a single 1-row collect. min/max are exact
+    selections (no float-order hazard), so Spark and the DuckDB oracle
+    train bit-identical quantizers from the same parquet.
+    """
+    aggs = []
+    for i in range(dim):
+        e = F.col(vec_col)[i].cast("double")
+        aggs.append(F.min(e).alias(f"mn{i}"))
+        aggs.append(F.max(e).alias(f"mx{i}"))
+    row = embeddings.agg(*aggs).first()
+    mins = [float(row[f"mn{i}"]) for i in range(dim)]
+    maxs = [float(row[f"mx{i}"]) for i in range(dim)]
+    return mins, maxs
+
+
+def _sq_scales(mins: list[float], maxs: list[float], levels: int) -> list[float]:
+    """Encode scale per dim: levels/(max-min), 0 for constant dims
+    (their code is always 0 and ADC reconstructs exactly min)."""
+    return [
+        float(levels) / (mx - mn) if mx > mn else 0.0
+        for mn, mx in zip(mins, maxs)
+    ]
+
+
+def _sq_steps(mins: list[float], maxs: list[float], levels: int) -> list[float]:
+    """Decode step per dim: (max-min)/levels — computed independently
+    of the encode scale (NOT 1/scale) so both engines evaluate the
+    same IEEE expression."""
+    return [
+        (mx - mn) / float(levels) if mx > mn else 0.0
+        for mn, mx in zip(mins, maxs)
+    ]
+
+
+def sq_encode(
+    embeddings: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    levels: int = 255,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to dim bytes: round((x-min)*levels/(max-min))
+    clamped to [0, levels]. Row-local codegen'd expressions — shuffle-
+    free, fuses into the scan at any scale.
+
+    Output: (id_col, codes array<int>), the 4x-compressed index
+    artifact ADC search scans.
+    """
+    mn = F.array(*[F.lit(float(v)) for v in mins])
+    sc = F.array(*[F.lit(float(v)) for v in _sq_scales(mins, maxs, levels)])
+    shifted = F.zip_with(F.col(vec_col), mn, lambda x, m: x.cast("double") - m)
+    codes = F.zip_with(
+        shifted,
+        sc,
+        lambda d, s: F.least(
+            F.lit(levels), F.greatest(F.lit(0), F.floor(d * s + F.lit(0.5)))
+        ).cast("int"),
+    )
+    return embeddings.select(id_col, codes.alias("codes"))
+
+
+def sq_topk(
+    embeddings: DataFrame | None,
+    query: list[float],
+    mins: list[float],
+    maxs: list[float],
+    k: int = 10,
+    levels: int = 255,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """SQ8 ADC search: score each corpus vector by L2 from the query to
+    its RECONSTRUCTION (min + code*step per dim) — dim multiply-adds
+    over the codes table, never touching the float vectors. The per-dim
+    affine terms (query minus min, decode step) are driver-computed
+    literals; the fold is the same sequential zip_with/aggregate the
+    exact-L2 path uses, so the DuckDB oracle matches bit-for-bit.
+
+    Pass a prebuilt ``codes`` table (the persisted artifact) to skip
+    encoding at query time — the production path.
+
+    Output: (vec_id, dist, rank) — dist is the ADC L2, rounded to 6.
+    """
+    if codes is None:
+        if embeddings is None:
+            raise ValueError("need embeddings to encode, or a prebuilt codes table")
+        codes = sq_encode(embeddings, mins, maxs, levels, id_col, vec_col)
+    a = [float(q) - float(mn) for q, mn in zip(query, mins)]
+    al = F.array(*[F.lit(float(v)) for v in a])
+    st = F.array(*[F.lit(float(v)) for v in _sq_steps(mins, maxs, levels)])
+    cs = F.zip_with(F.col("codes"), st, lambda c, s: c.cast("double") * s)
+    terms = F.zip_with(al, cs, lambda av, cv: F.pow(av - cv, F.lit(2)))
+    dist2 = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    scored = codes.select(id_col, F.round(F.sqrt(dist2), 6).alias("dist"))
+    w = Window.partitionBy(F.pmod(F.col(id_col), F.lit(1))).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def sq_topk_rerank(
+    embeddings: DataFrame,
+    query: list[float],
+    mins: list[float],
+    maxs: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    levels: int = 255,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """SQ8 serving architecture (mirrors :func:`pq_topk_rerank`): ADC
+    over the byte codes picks a ``shortlist``, exact L2 against the
+    fetched full vectors reranks just those. At 100 TB the codes table
+    is the RAM-resident scan; the left_semi fetch touches ``shortlist``
+    rows.
+
+    Output: (vec_id, dist, rank) — dist is the EXACT L2, rounded to 6.
+    """
+    cand = sq_topk(
+        embeddings, query, mins, maxs, k=shortlist, levels=levels,
+        id_col=id_col, vec_col=vec_col, codes=codes,
+    ).select(id_col)
+    qlit = F.array(*[F.lit(float(v)) for v in query])
+    scored = embeddings.join(cand, id_col, "left_semi").select(
+        id_col, F.round(l2_distance(F.col(vec_col), qlit), 6).alias("dist")
+    )
+    w = Window.partitionBy(F.pmod(F.col(id_col), F.lit(1))).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )

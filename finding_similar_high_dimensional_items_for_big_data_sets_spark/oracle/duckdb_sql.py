@@ -1679,6 +1679,101 @@ FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
 """
 
 
+# Mirrors ann.sq_train: per-dim exact min/max over DOUBLE-cast values —
+# selections, not folds, so both engines train the identical quantizer.
+_SQ_MM = (
+    f"(SELECT list(mn ORDER BY d) AS mins, list(mx ORDER BY d) AS maxs "
+    f"FROM (SELECT i AS d, min(embedding[i]::DOUBLE) AS mn, "
+    f"max(embedding[i]::DOUBLE) AS mx "
+    f"FROM embeddings, range(1, {C.EMB_DIM} + 1) t(i) GROUP BY i))"
+)
+
+
+def _sq8_scale(j: str) -> str:
+    """Encode scale for dim ``j`` (1-based SQL index): levels/(max-min),
+    0 for constant dims — same expression ann._sq_scales computes in
+    Python (identical IEEE division of identical doubles)."""
+    return (
+        f"(CASE WHEN mm.maxs[{j}] > mm.mins[{j}] "
+        f"THEN {float(C.SQ_LEVELS)!r} / (mm.maxs[{j}] - mm.mins[{j}]) "
+        f"ELSE 0.0 END)"
+    )
+
+
+def _sq8_step(j: str) -> str:
+    """Decode step for dim ``j``: (max-min)/levels, mirroring
+    ann._sq_steps (computed independently of the scale, NOT 1/scale)."""
+    return (
+        f"(CASE WHEN mm.maxs[{j}] > mm.mins[{j}] "
+        f"THEN (mm.maxs[{j}] - mm.mins[{j}]) / {float(C.SQ_LEVELS)!r} "
+        f"ELSE 0.0 END)"
+    )
+
+
+def _sq8_code_expr(vec: str) -> str:
+    """Mirrors ann.sq_encode: floor((x-min)*scale + 0.5) clamped to
+    [0, levels] — identical composition order, so the floor boundary
+    can never disagree between engines."""
+    return (
+        f"list_transform(range({C.EMB_DIM}), j -> CAST(least({C.SQ_LEVELS}, "
+        f"greatest(0, floor((({vec}[j+1]::DOUBLE) - mm.mins[j+1]) "
+        f"* {_sq8_scale('j+1')} + 0.5))) AS INT))"
+    )
+
+
+def _sq8_adc_expr() -> str:
+    """ADC squared-L2 over q.qv / c.codes: per-dim
+    ((q - min) - code*step)^2, sequential left fold — the same
+    parenthesization ann.sq_topk builds (a-literal minus code*step),
+    shared by sql_sq_topk and sql_sq_topk_rerank."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range({C.EMB_DIM}), "
+        f"j -> pow((q.qv[j+1]::DOUBLE - mm.mins[j+1]) "
+        f"- c.codes[j+1]::DOUBLE * {_sq8_step('j+1')}, 2))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def sql_sq_codes() -> str:
+    """Mirrors ann.sq_encode against the data-trained quantizer."""
+    return (
+        f"SELECT vec_id, {_sq8_code_expr('embedding')} AS codes "
+        f"FROM embeddings, {_SQ_MM} mm"
+    )
+
+
+def sql_sq_topk() -> str:
+    """Mirrors ann.sq_topk (see _sq8_adc_expr for the parity notes)."""
+    return f"""
+WITH mm AS MATERIALIZED (SELECT * FROM {_SQ_MM}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {C.QUERY_VEC}),
+c AS (SELECT vec_id, {_sq8_code_expr('embedding')} AS codes FROM embeddings, mm),
+scored AS (
+  SELECT c.vec_id, round(sqrt({_sq8_adc_expr()}), 6) AS dist FROM c, q, mm)
+SELECT vec_id, dist, CAST(row_number() OVER (ORDER BY dist ASC, vec_id) AS INT) AS rank
+FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
+"""
+
+
+def sql_sq_topk_rerank() -> str:
+    """Mirrors ann.sq_topk_rerank: the ADC shortlist (same shared
+    expression as sql_sq_topk, LIMIT SQ_SHORTLIST) semi-joins the full
+    vectors for an exact-L2 rerank."""
+    return f"""
+WITH mm AS MATERIALIZED (SELECT * FROM {_SQ_MM}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {C.QUERY_VEC}),
+c AS (SELECT vec_id, {_sq8_code_expr('embedding')} AS codes FROM embeddings, mm),
+short AS (
+  SELECT c.vec_id FROM c, q, mm
+  ORDER BY round(sqrt({_sq8_adc_expr()}), 6) ASC, c.vec_id LIMIT {C.SQ_SHORTLIST}),
+scored AS (
+  SELECT e.vec_id, round({_l2('e.embedding', 'q.qv', C.EMB_DIM)}, 6) AS dist
+  FROM embeddings e, q WHERE e.vec_id IN (SELECT vec_id FROM short))
+SELECT vec_id, dist, CAST(row_number() OVER (ORDER BY dist ASC, vec_id) AS INT) AS rank
+FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
+"""
+
+
 def sql_pq_topk_rerank() -> str:
     """Mirrors ann.pq_topk_rerank: the ADC shortlist (the SAME shared
     expression as sql_pq_topk, LIMIT PQ_SHORTLIST) semi-joins the full
@@ -2100,6 +2195,9 @@ def registry() -> dict[str, str]:
         "pq_codes": sql_pq_codes(),
         "pq_topk": sql_pq_topk(),
         "pq_topk_rerank": sql_pq_topk_rerank(),
+        "sq_codes": sql_sq_codes(),
+        "sq_topk": sql_sq_topk(),
+        "sq_topk_rerank": sql_sq_topk_rerank(),
         "incremental_dedup": sql_incremental_dedup(),
         "lang_id": sql_lang_id(),
         "token_frequencies": sql_token_frequencies(),

@@ -1334,6 +1334,44 @@ def q_pq_topk_rerank(spark, sf_dir):
     )
 
 
+def q_sq_codes(spark, sf_dir):
+    """SQ8 encoding: per-dim [min,max] trained in one shuffle-free agg
+    pass, then every embedding compressed to dim byte codes — the
+    4x-smaller artifact ADC search scans. Unlike PQ the reconstruction
+    error is per-dim rounding, so it stays accurate on unclustered
+    corpora (FAISS IndexScalarQuantizer analog, SURVEY §2.3 J4)."""
+    emb = _emb(spark, sf_dir)
+    mins, maxs = ann.sq_train(emb, C.EMB_DIM)
+    return ann.sq_encode(emb, mins, maxs, C.SQ_LEVELS)
+
+
+def q_sq_topk(spark, sf_dir):
+    """SQ8 ADC search for the fixture query vector: dim multiply-adds
+    against the reconstruction, never touching the float vectors."""
+    emb = _emb(spark, sf_dir)
+    mins, maxs = ann.sq_train(emb, C.EMB_DIM)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == C.QUERY_VEC).first()["embedding"]
+    ]
+    return ann.sq_topk(emb, qvec, mins, maxs, k=C.K_VEC, levels=C.SQ_LEVELS)
+
+
+def q_sq_topk_rerank(spark, sf_dir):
+    """SQ8 serving path: ADC shortlist over the byte codes, exact L2
+    rerank of the fetched shortlist rows."""
+    emb = _emb(spark, sf_dir)
+    mins, maxs = ann.sq_train(emb, C.EMB_DIM)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == C.QUERY_VEC).first()["embedding"]
+    ]
+    return ann.sq_topk_rerank(
+        emb, qvec, mins, maxs,
+        k=C.K_VEC, shortlist=C.SQ_SHORTLIST, levels=C.SQ_LEVELS,
+    )
+
+
 def q_ngram_decontaminate(spark, sf_dir):
     """GPT-3-style n-gram benchmark decontamination: train = the %17
     train split plus planted pages EMBEDDING every 3rd benchmark doc
@@ -1604,6 +1642,9 @@ REGISTRY = {
     "pq_codes": q_pq_codes,
     "pq_topk": q_pq_topk,
     "pq_topk_rerank": q_pq_topk_rerank,
+    "sq_codes": q_sq_codes,
+    "sq_topk": q_sq_topk,
+    "sq_topk_rerank": q_sq_topk_rerank,
     "incremental_dedup": q_incremental_dedup,
     "corpus_clean": q_corpus_clean,
     "lang_id": q_lang_id,
