@@ -112,6 +112,13 @@ PQ_CODES = 16
 PQ_SEED = 44
 PQ_SHORTLIST = 50
 
+# Count-Min sketch: rows x width, and the heavy-hitter report cutoff.
+# Width 256 against the fixture's ~900-key bigram space forces real
+# collisions, so the overestimate guarantee is exercised non-vacuously.
+CMS_D = 4
+CMS_W = 256
+CMS_MIN_COUNT = 40
+
 # Scalar quantization (SQ8): per-dim levels (codes in [0, SQ_LEVELS])
 # and the ADC-shortlist size for the exact-rerank serving tier.
 SQ_LEVELS = 255

@@ -1679,6 +1679,30 @@ FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
 """
 
 
+def sql_cms_heavy_hitters() -> str:
+    """Mirrors q_cms_heavy_hitters: the same deterministic d x w
+    Count-Min sketch (portable md5 hash of '{row}:{gram}' mod w),
+    min-bucket estimates, exact counts beside them. Counts are
+    integers, so no float-order hazard anywhere."""
+    return f"""
+WITH toks AS ({TOKS}),
+g AS (SELECT unnest({_ngram_list(2)}) AS gram FROM toks),
+occ AS (
+  SELECT gram, CAST(d AS INT) AS d,
+         CAST({H("d::VARCHAR || ':' || gram")} % {C.CMS_W} AS INT) AS bucket
+  FROM g, range(0, {C.CMS_D}) r(d)),
+sk AS (SELECT d, bucket, count(*) AS cnt FROM occ GROUP BY 1, 2),
+truth AS (SELECT gram, count(*) AS true_cnt FROM g GROUP BY 1),
+kb AS (SELECT DISTINCT gram, d, bucket FROM occ),
+est AS (
+  SELECT kb.gram, min(coalesce(sk.cnt, 0)) AS est
+  FROM kb LEFT JOIN sk USING (d, bucket) GROUP BY 1)
+SELECT est.gram, est, true_cnt
+FROM est JOIN truth USING (gram)
+WHERE est >= {C.CMS_MIN_COUNT}
+"""
+
+
 # Mirrors ann.sq_train: per-dim exact min/max over DOUBLE-cast values —
 # selections, not folds, so both engines train the identical quantizer.
 _SQ_MM = (
@@ -2195,6 +2219,7 @@ def registry() -> dict[str, str]:
         "pq_codes": sql_pq_codes(),
         "pq_topk": sql_pq_topk(),
         "pq_topk_rerank": sql_pq_topk_rerank(),
+        "cms_heavy_hitters": sql_cms_heavy_hitters(),
         "sq_codes": sql_sq_codes(),
         "sq_topk": sql_sq_topk(),
         "sq_topk_rerank": sql_sq_topk_rerank(),

@@ -1372,6 +1372,37 @@ def q_sq_topk_rerank(spark, sf_dir):
     )
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter bigrams via a Count-Min sketch (Cormode &
+    Muthukrishnan): build the d x w sketch over the bigram occurrence
+    stream, estimate every distinct bigram from its min bucket, report
+    those with est >= CMS_MIN_COUNT next to the exact count.
+
+    The sketch state is d*w cells regardless of corpus size — the
+    bounded-memory path for key spaces (n-grams, URLs) whose exact
+    aggregation state is unbounded at 100 TB. The exact count column
+    (affordable on the fixture) makes the one-sided error VISIBLE:
+    est >= true_cnt always, strict for collision victims. Forced here
+    by w=256 against ~900 distinct bigrams."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions import cms
+
+    grams = _docs(spark, sf_dir).select(
+        F.explode(
+            textstats.word_ngram_multiset(tokenize(F.col("text")), 2)
+        ).alias("gram")
+    )
+    sketch = cms.cms_build(grams, "gram", C.CMS_D, C.CMS_W)
+    truth = grams.groupBy("gram").agg(F.count("*").alias("true_cnt"))
+    est = cms.cms_estimate(
+        truth.select("gram"), sketch, "gram", C.CMS_D, C.CMS_W
+    )
+    return (
+        est.join(truth, "gram")
+        .filter(F.col("est") >= C.CMS_MIN_COUNT)
+        .select("gram", "est", "true_cnt")
+    )
+
+
 def q_ngram_decontaminate(spark, sf_dir):
     """GPT-3-style n-gram benchmark decontamination: train = the %17
     train split plus planted pages EMBEDDING every 3rd benchmark doc
@@ -1642,6 +1673,7 @@ REGISTRY = {
     "pq_codes": q_pq_codes,
     "pq_topk": q_pq_topk,
     "pq_topk_rerank": q_pq_topk_rerank,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "sq_codes": q_sq_codes,
     "sq_topk": q_sq_topk,
     "sq_topk_rerank": q_sq_topk_rerank,
