@@ -112,6 +112,34 @@ PQ_CODES = 16
 PQ_SEED = 44
 PQ_SHORTLIST = 50
 
+# Gopher-style quality rules (Rae et al. 2021 §A1.1), fixture-tuned
+# word-count bounds; every comparison is integer cross-multiplied so
+# the keep boundary is exact in both engines. Plant pattern: every
+# GR_*_EVERY-th doc gets a violation of one rule family (the synthetic
+# text violates none of the symbol/bullet/ellipsis/alpha rules
+# naturally).
+GR_MIN_WORDS = 30
+GR_MAX_WORDS = 90
+GR_MEAN_LEN_LO = 3  # mean word length in [LO, HI]
+GR_MEAN_LEN_HI = 10
+GR_SYMBOL_X = 10  # keep iff GR_SYMBOL_X * symbol_words <= n_words
+GR_BULLET_NUM, GR_BULLET_DEN = 9, 10  # fail iff bullet_lines/lines >= 0.9
+GR_ELLIPSIS_NUM, GR_ELLIPSIS_DEN = 3, 10  # fail iff ell_lines/lines >= 0.3
+GR_ALPHA_NUM, GR_ALPHA_DEN = 4, 5  # keep iff alpha_words/n_words >= 0.8
+GR_MIN_STOPWORDS = 2
+# Gopher's list is (the, be, to, of, and, that, have, with); the
+# synthetic fixture vocabulary contains only "the" of those, which
+# would fail EVERY doc — fixture-tuned list (function-word analogs in
+# the synthetic vocab) so the rule splits the corpus non-trivially.
+GOPHER_STOPWORDS = ("the", "a", "value", "key", "row", "data", "big", "with")
+GR_SYMBOL_EVERY = 6
+GR_BULLET_EVERY = 9
+GR_ELLIPSIS_EVERY = 11
+GR_NONALPHA_EVERY = 7
+GR_SYMBOL_PLANT = " ".join(["#"] * 15)
+GR_NONALPHA_PLANT = " ".join(["12345"] * 30)
+GR_ELLIPSIS_PLANT = "trailing..."
+
 # Count-Min sketch: rows x width, and the heavy-hitter report cutoff.
 # Width 256 against the fixture's ~900-key bigram space forces real
 # collisions, so the overestimate guarantee is exercised non-vacuously.

@@ -751,3 +751,124 @@ def _strip_lines_join(base, dictionary, sep):
         )
         .select("doc_id", "clean_text", "n_removed")
     )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    mean_len_lo: int = 3,
+    mean_len_hi: int = 10,
+    symbol_x: int = 10,
+    bullet_num: int = 9,
+    bullet_den: int = 10,
+    ellipsis_num: int = 3,
+    ellipsis_den: int = 10,
+    alpha_num: int = 4,
+    alpha_den: int = 5,
+    min_stopwords: int = 2,
+    stopwords: tuple[str, ...] = (
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    ),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1): per-document boolean verdict for each
+    heuristic plus the aggregate keep decision — the standard
+    pretraining filter bundle next to the CCNet LM scoring
+    (``unigram_lm_scores``) and the repetition rules
+    (``repetition_quality``).
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [mean_len_lo, mean_len_hi]; symbol-token ratio ('#'/'...') <=
+    1/symbol_x; < bullet_num/bullet_den of lines bullet-started;
+    < ellipsis_num/ellipsis_den of lines ellipsis-ended; >=
+    alpha_num/alpha_den of words containing an alphabetic char; >=
+    min_stopwords distinct list stopwords present.
+
+    Every verdict is an integer cross-multiplied comparison (no float
+    boundary can disagree between engines); the reported ratios are
+    single IEEE divisions for the dashboard only. Entirely row-local
+    higher-order expressions — shuffle-free, fuses into the scan.
+
+    Output: (doc_id, n_words, mean_word_len, symbol_words,
+    bullet_lines, ellipsis_lines, n_lines, alpha_words, stop_hits,
+    r_word_count, r_mean_len, r_symbol, r_bullet, r_ellipsis,
+    r_alpha, r_stopwords, keep).
+    """
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.text import (
+        tokenize,
+    )
+
+    toks = tokenize(F.col(text_col))
+    lines = F.split(F.col(text_col), "\n", -1)
+    stop_lit = F.array(*[F.lit(s) for s in stopwords])
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_words"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        F.size(
+            F.filter(toks, lambda t: (t == "#") | (t == "..."))
+        ).alias("symbol_words"),
+        F.size(lines).alias("n_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.startswith("- ") | l.startswith("* "),
+            )
+        ).alias("bullet_lines"),
+        F.size(F.filter(lines, lambda l: l.endswith("..."))).alias(
+            "ellipsis_lines"
+        ),
+        F.size(
+            F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))
+        ).alias("alpha_words"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.transform(toks, F.lower)), stop_lit
+            )
+        ).alias("stop_hits"),
+    )
+    n, sl = F.col("n_words"), F.col("sum_len")
+    return base.select(
+        "doc_id",
+        "n_words",
+        F.when(n > 0, F.round(sl.cast("double") / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("mean_word_len"),
+        "symbol_words",
+        "bullet_lines",
+        "ellipsis_lines",
+        "n_lines",
+        "alpha_words",
+        "stop_hits",
+        ((n >= min_words) & (n <= max_words)).alias("r_word_count"),
+        ((sl >= mean_len_lo * n) & (sl <= mean_len_hi * n)).alias("r_mean_len"),
+        (F.col("symbol_words") * symbol_x <= n).alias("r_symbol"),
+        (
+            F.col("bullet_lines") * bullet_den < bullet_num * F.col("n_lines")
+        ).alias("r_bullet"),
+        (
+            F.col("ellipsis_lines") * ellipsis_den
+            < ellipsis_num * F.col("n_lines")
+        ).alias("r_ellipsis"),
+        (F.col("alpha_words") * alpha_den >= alpha_num * n).alias("r_alpha"),
+        (F.col("stop_hits") >= min_stopwords).alias("r_stopwords"),
+        (
+            (n >= min_words) & (n <= max_words)
+            & (sl >= mean_len_lo * n) & (sl <= mean_len_hi * n)
+            & (F.col("symbol_words") * symbol_x <= n)
+            & (F.col("bullet_lines") * bullet_den < bullet_num * F.col("n_lines"))
+            & (
+                F.col("ellipsis_lines") * ellipsis_den
+                < ellipsis_num * F.col("n_lines")
+            )
+            & (F.col("alpha_words") * alpha_den >= alpha_num * n)
+            & (F.col("stop_hits") >= min_stopwords)
+        ).alias("keep"),
+    )

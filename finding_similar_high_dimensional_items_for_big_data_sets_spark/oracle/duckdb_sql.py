@@ -1679,6 +1679,74 @@ FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
 """
 
 
+def sql_gopher_rules() -> str:
+    """Mirrors q_gopher_rules: same plant composition order, same
+    integer cross-multiplied rule boundaries; the one float column
+    (mean_word_len) is a single division of identical ints, round(6)."""
+    stop = "[" + ", ".join(f"'{s}'" for s in C.GOPHER_STOPWORDS) + "]"
+    return f"""
+WITH p1 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % {C.GR_BULLET_EVERY} = 0 THEN '- ' || text ELSE text END AS text
+  FROM documents),
+p2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % {C.GR_SYMBOL_EVERY} = 0
+         THEN text || ' {C.GR_SYMBOL_PLANT}' ELSE text END AS text
+  FROM p1),
+p3 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % {C.GR_NONALPHA_EVERY} = 0
+         THEN text || ' {C.GR_NONALPHA_PLANT}' ELSE text END AS text
+  FROM p2),
+p4 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % {C.GR_ELLIPSIS_EVERY} = 0
+         THEN text || ' {C.GR_ELLIPSIS_PLANT}' ELSE text END AS text
+  FROM p3),
+base AS (
+  SELECT doc_id,
+    list_filter(string_split(text, ' '), x -> x <> '') AS t,
+    string_split(text, chr(10)) AS lns
+  FROM p4),
+m AS (
+  SELECT doc_id,
+    len(t) AS n,
+    list_reduce(list_prepend(0, list_transform(t, x -> length(x)::INT)), (a, x) -> a + x) AS sl,
+    len(list_filter(t, x -> x = '#' OR x = '...')) AS symw,
+    len(lns) AS nl,
+    len(list_filter(lns, l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS bl,
+    len(list_filter(lns, l -> ends_with(l, '...'))) AS el,
+    len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS aw,
+    len(list_intersect(list_distinct(list_transform(t, x -> lower(x))), {stop})) AS sh
+  FROM base)
+SELECT doc_id,
+  CAST(n AS INT) AS n_words,
+  CASE WHEN n > 0 THEN round(sl::DOUBLE / n, 6) ELSE 0.0 END AS mean_word_len,
+  CAST(symw AS INT) AS symbol_words,
+  CAST(bl AS INT) AS bullet_lines,
+  CAST(el AS INT) AS ellipsis_lines,
+  CAST(nl AS INT) AS n_lines,
+  CAST(aw AS INT) AS alpha_words,
+  CAST(sh AS INT) AS stop_hits,
+  (n >= {C.GR_MIN_WORDS} AND n <= {C.GR_MAX_WORDS}) AS r_word_count,
+  (sl >= {C.GR_MEAN_LEN_LO} * n AND sl <= {C.GR_MEAN_LEN_HI} * n) AS r_mean_len,
+  (symw * {C.GR_SYMBOL_X} <= n) AS r_symbol,
+  (bl * {C.GR_BULLET_DEN} < {C.GR_BULLET_NUM} * nl) AS r_bullet,
+  (el * {C.GR_ELLIPSIS_DEN} < {C.GR_ELLIPSIS_NUM} * nl) AS r_ellipsis,
+  (aw * {C.GR_ALPHA_DEN} >= {C.GR_ALPHA_NUM} * n) AS r_alpha,
+  (sh >= {C.GR_MIN_STOPWORDS}) AS r_stopwords,
+  (n >= {C.GR_MIN_WORDS} AND n <= {C.GR_MAX_WORDS}
+   AND sl >= {C.GR_MEAN_LEN_LO} * n AND sl <= {C.GR_MEAN_LEN_HI} * n
+   AND symw * {C.GR_SYMBOL_X} <= n
+   AND bl * {C.GR_BULLET_DEN} < {C.GR_BULLET_NUM} * nl
+   AND el * {C.GR_ELLIPSIS_DEN} < {C.GR_ELLIPSIS_NUM} * nl
+   AND aw * {C.GR_ALPHA_DEN} >= {C.GR_ALPHA_NUM} * n
+   AND sh >= {C.GR_MIN_STOPWORDS}) AS keep
+FROM m
+"""
+
+
 def sql_cms_heavy_hitters() -> str:
     """Mirrors q_cms_heavy_hitters: the same deterministic d x w
     Count-Min sketch (portable md5 hash of '{row}:{gram}' mod w),
@@ -2220,6 +2288,7 @@ def registry() -> dict[str, str]:
         "pq_topk": sql_pq_topk(),
         "pq_topk_rerank": sql_pq_topk_rerank(),
         "cms_heavy_hitters": sql_cms_heavy_hitters(),
+        "gopher_rules": sql_gopher_rules(),
         "sq_codes": sql_sq_codes(),
         "sq_topk": sql_sq_topk(),
         "sq_topk_rerank": sql_sq_topk_rerank(),

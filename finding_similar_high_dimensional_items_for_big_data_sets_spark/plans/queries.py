@@ -1372,6 +1372,48 @@ def q_sq_topk_rerank(spark, sf_dir):
     )
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule bundle (Rae et al. 2021 §A1.1) over a
+    corpus with planted violations (the synthetic text breaks none of
+    the symbol/bullet/ellipsis/alpha rules naturally): every 6th doc
+    gets symbol words, every 9th a bullet prefix, every 11th an
+    ellipsis ending, every 7th a run of numeric words. Word-count and
+    stopword rules fire naturally at the fixture-tuned bounds."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    did = F.col("doc_id")
+    t = F.col("text")
+    t = F.when(did % C.GR_BULLET_EVERY == 0, F.concat(F.lit("- "), t)).otherwise(t)
+    t = F.when(
+        did % C.GR_SYMBOL_EVERY == 0,
+        F.concat(t, F.lit(" " + C.GR_SYMBOL_PLANT)),
+    ).otherwise(t)
+    t = F.when(
+        did % C.GR_NONALPHA_EVERY == 0,
+        F.concat(t, F.lit(" " + C.GR_NONALPHA_PLANT)),
+    ).otherwise(t)
+    t = F.when(
+        did % C.GR_ELLIPSIS_EVERY == 0,
+        F.concat(t, F.lit(" " + C.GR_ELLIPSIS_PLANT)),
+    ).otherwise(t)
+    planted = docs.select("doc_id", t.alias("text"))
+    return prep.gopher_rules(
+        planted,
+        min_words=C.GR_MIN_WORDS,
+        max_words=C.GR_MAX_WORDS,
+        mean_len_lo=C.GR_MEAN_LEN_LO,
+        mean_len_hi=C.GR_MEAN_LEN_HI,
+        symbol_x=C.GR_SYMBOL_X,
+        bullet_num=C.GR_BULLET_NUM,
+        bullet_den=C.GR_BULLET_DEN,
+        ellipsis_num=C.GR_ELLIPSIS_NUM,
+        ellipsis_den=C.GR_ELLIPSIS_DEN,
+        alpha_num=C.GR_ALPHA_NUM,
+        alpha_den=C.GR_ALPHA_DEN,
+        min_stopwords=C.GR_MIN_STOPWORDS,
+        stopwords=C.GOPHER_STOPWORDS,
+    )
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Heavy-hitter bigrams via a Count-Min sketch (Cormode &
     Muthukrishnan): build the d x w sketch over the bigram occurrence
@@ -1674,6 +1716,7 @@ REGISTRY = {
     "pq_topk": q_pq_topk,
     "pq_topk_rerank": q_pq_topk_rerank,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "gopher_rules": q_gopher_rules,
     "sq_codes": q_sq_codes,
     "sq_topk": q_sq_topk,
     "sq_topk_rerank": q_sq_topk_rerank,
