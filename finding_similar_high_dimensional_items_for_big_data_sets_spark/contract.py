@@ -140,6 +140,9 @@ GR_SYMBOL_PLANT = " ".join(["#"] * 15)
 GR_NONALPHA_PLANT = " ".join(["12345"] * 30)
 GR_ELLIPSIS_PLANT = "trailing..."
 
+# HyperLogLog register bits: m = 2^HLL_P registers (error ~1.04/sqrt(m)).
+HLL_P = 6
+
 # Count-Min sketch: rows x width, and the heavy-hitter report cutoff.
 # Width 256 against the fixture's ~900-key bigram space forces real
 # collisions, so the overestimate guarantee is exercised non-vacuously.

@@ -1679,6 +1679,43 @@ FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
 """
 
 
+def sql_hll_cardinality() -> str:
+    """Mirrors q_hll_cardinality: same register split (low HLL_P hash
+    bits), the same power-of-two comparison-ladder rank (no float
+    log), exact int64 harmonic sum, ONE shared-literal division."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.hll import (
+        HLL_W,
+        hll_alpha,
+    )
+
+    p = C.HLL_P
+    m = 1 << p
+    rank = " ".join(
+        [f"CASE WHEN rest >= {1 << (HLL_W - r)} THEN {r}" for r in range(1, 2)]
+        + [f"WHEN rest >= {1 << (HLL_W - r)} THEN {r}" for r in range(2, HLL_W + 1)]
+        + [f"ELSE {HLL_W + 1} END"]
+    )
+    num = hll_alpha(m) * m * m * float(1 << HLL_W)
+    return f"""
+WITH d AS (SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+g AS (SELECT source, unnest({_ngram_list(2)}) AS gram FROM d),
+h AS (SELECT source, {H('gram')} AS hv FROM g),
+r AS (
+  SELECT source, CAST(hv % {m} AS INT) AS register, {rank} AS rank
+  FROM (SELECT source, hv, (hv >> {p}) AS rest FROM h)),
+reg AS (SELECT source, register, max(rank) AS m_j FROM r GROUP BY 1, 2),
+s AS (
+  SELECT source, CAST(sum(1::BIGINT << ({HLL_W} - m_j)) AS BIGINT) AS sp,
+         count(*) AS v
+  FROM reg GROUP BY 1),
+e AS (SELECT source, count(DISTINCT gram) AS n_exact FROM g GROUP BY 1)
+SELECT e.source, n_exact,
+  round({num!r} / (sp + ({m} - v) * (1::BIGINT << {HLL_W}))::DOUBLE, 6) AS hll_est,
+  CAST(v AS INT) AS registers_used
+FROM e JOIN s USING (source)
+"""
+
+
 def sql_gopher_rules() -> str:
     """Mirrors q_gopher_rules: same plant composition order, same
     integer cross-multiplied rule boundaries; the one float column
@@ -2289,6 +2326,7 @@ def registry() -> dict[str, str]:
         "pq_topk_rerank": sql_pq_topk_rerank(),
         "cms_heavy_hitters": sql_cms_heavy_hitters(),
         "gopher_rules": sql_gopher_rules(),
+        "hll_cardinality": sql_hll_cardinality(),
         "sq_codes": sql_sq_codes(),
         "sq_topk": sql_sq_topk(),
         "sq_topk_rerank": sql_sq_topk_rerank(),

@@ -1372,6 +1372,33 @@ def q_sq_topk_rerank(spark, sf_dir):
     )
 
 
+def q_hll_cardinality(spark, sf_dir):
+    """Per-source distinct-bigram cardinality: exact count beside the
+    HyperLogLog estimate (Flajolet et al. 2007). The sketch state is
+    2^HLL_P max-rank registers per source regardless of corpus size —
+    the distinct-count member of the sketch family (Bloom membership,
+    CMS frequency). Integer-exact registers + harmonic sum, so the
+    DuckDB oracle reproduces the estimate bit-for-bit; the exact
+    column (affordable on the fixture) makes the ~1.04/sqrt(m) error
+    visible and honest."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions import hll
+
+    grams = _docs(spark, sf_dir).select(
+        "source",
+        F.explode(
+            textstats.word_ngram_multiset(tokenize(F.col("text")), 2)
+        ).alias("gram"),
+    )
+    regs = hll.hll_registers(grams, "gram", ["source"], p=C.HLL_P)
+    est = hll.hll_estimate(regs, ["source"], p=C.HLL_P)
+    exact = grams.groupBy("source").agg(
+        F.countDistinct("gram").alias("n_exact")
+    )
+    return exact.join(est, "source").select(
+        "source", "n_exact", "hll_est", "registers_used"
+    )
+
+
 def q_gopher_rules(spark, sf_dir):
     """Gopher quality-rule bundle (Rae et al. 2021 §A1.1) over a
     corpus with planted violations (the synthetic text breaks none of
@@ -1717,6 +1744,7 @@ REGISTRY = {
     "pq_topk_rerank": q_pq_topk_rerank,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "gopher_rules": q_gopher_rules,
+    "hll_cardinality": q_hll_cardinality,
     "sq_codes": q_sq_codes,
     "sq_topk": q_sq_topk,
     "sq_topk_rerank": q_sq_topk_rerank,
