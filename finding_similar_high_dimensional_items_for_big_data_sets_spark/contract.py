@@ -143,6 +143,10 @@ GR_ELLIPSIS_PLANT = "trailing..."
 # HyperLogLog register bits: m = 2^HLL_P registers (error ~1.04/sqrt(m)).
 HLL_P = 6
 
+# As-of join fixture: clicks matched to the latest prior view per
+# user, within this tolerance (microseconds; 30 minutes).
+ASOF_TOLERANCE_US = 1_800_000_000
+
 # Count-Min sketch: rows x width, and the heavy-hitter report cutoff.
 # Width 256 against the fixture's ~900-key bigram space forces real
 # collisions, so the overestimate guarantee is exercised non-vacuously.

@@ -1679,6 +1679,28 @@ FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
 """
 
 
+def sql_events_asof() -> str:
+    """Mirrors q_events_asof with DuckDB's NATIVE ASOF LEFT JOIN — an
+    independent implementation of the as-of semantics (not a twin of
+    the Spark window plan), then the same tolerance null-out and
+    no-match defaults. Values are copied doubles (no arithmetic), the
+    lag is exact integer microseconds."""
+    return f"""
+WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+r AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'view'),
+j AS (
+  SELECT l.event_id, l.user_id, l.value AS click_value,
+         r.event_id AS v_id, r.value AS v_val,
+         epoch_us(l.ts) - epoch_us(r.ts) AS lag
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts)
+SELECT event_id, user_id, click_value,
+  coalesce(CASE WHEN lag <= {C.ASOF_TOLERANCE_US} THEN v_id END, -1) AS view_event_id,
+  coalesce(CASE WHEN lag <= {C.ASOF_TOLERANCE_US} THEN v_val END, 0.0) AS view_value,
+  coalesce(CASE WHEN lag <= {C.ASOF_TOLERANCE_US} THEN lag END, -1) AS lag_us
+FROM j
+"""
+
+
 def sql_hll_cardinality() -> str:
     """Mirrors q_hll_cardinality: same register split (low HLL_P hash
     bits), the same power-of-two comparison-ladder rank (no float
@@ -2326,6 +2348,7 @@ def registry() -> dict[str, str]:
         "pq_topk_rerank": sql_pq_topk_rerank(),
         "cms_heavy_hitters": sql_cms_heavy_hitters(),
         "gopher_rules": sql_gopher_rules(),
+        "events_asof": sql_events_asof(),
         "hll_cardinality": sql_hll_cardinality(),
         "sq_codes": sql_sq_codes(),
         "sq_topk": sql_sq_topk(),

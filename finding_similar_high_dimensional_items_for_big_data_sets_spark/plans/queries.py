@@ -1372,6 +1372,36 @@ def q_sq_topk_rerank(spark, sf_dir):
     )
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join: every click enriched with the latest prior view by
+    the same user within 30 minutes — one shuffle + sort on user_id
+    (operators/temporal.py), never a range-join blowup. The DuckDB
+    oracle runs its NATIVE ASOF LEFT JOIN: two independent
+    implementations of the semantics cross-validated."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    j = temporal.asof_join(
+        clicks, views, on="user_id", ts_col="ts",
+        tolerance_us=C.ASOF_TOLERANCE_US, tiebreak_col="event_id",
+    )
+    m = F.col("_match")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("click_value"),
+        F.coalesce(m["event_id"], F.lit(-1)).alias("view_event_id"),
+        F.coalesce(m["value"], F.lit(0.0)).alias("view_value"),
+        F.coalesce(
+            F.unix_micros(F.col("ts")) - F.unix_micros(m["ts"]), F.lit(-1)
+        ).alias("lag_us"),
+    )
+
+
 def q_hll_cardinality(spark, sf_dir):
     """Per-source distinct-bigram cardinality: exact count beside the
     HyperLogLog estimate (Flajolet et al. 2007). The sketch state is
@@ -1744,6 +1774,7 @@ REGISTRY = {
     "pq_topk_rerank": q_pq_topk_rerank,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "gopher_rules": q_gopher_rules,
+    "events_asof": q_events_asof,
     "hll_cardinality": q_hll_cardinality,
     "sq_codes": q_sq_codes,
     "sq_topk": q_sq_topk,
