@@ -1401,10 +1401,19 @@ def pq_encode(
 
     Output: (vec_id, codes array<int>).
     """
+    return embeddings.select(
+        id_col, pq_code_expr(F.col(vec_col), codebooks).alias("codes")
+    )
+
+
+def pq_code_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """The PQ code array for ``vec`` as a pure column expression
+    (per-subspace first-tie argmin, sequential fold) — shared by
+    :func:`pq_encode` and the IVF-PQ residual encoder."""
     dsub = len(codebooks[0][0])
     code_cols = []
     for s, book in enumerate(codebooks):
-        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+        sub = F.slice(vec, s * dsub + 1, dsub)
         dists = F.array(
             *[
                 F.aggregate(
@@ -1422,7 +1431,7 @@ def pq_encode(
         code_cols.append(
             F.array_position(dists, F.array_min(dists)).cast("int") - 1
         )
-    return embeddings.select(id_col, F.array(*code_cols).alias("codes"))
+    return F.array(*code_cols)
 
 
 def pq_topk(
@@ -1801,6 +1810,162 @@ def sq_topk_rerank(
     cand = sq_topk(
         embeddings, query, mins, maxs, k=shortlist, levels=levels,
         id_col=id_col, vec_col=vec_col, codes=codes,
+    ).select(id_col)
+    qlit = F.array(*[F.lit(float(v)) for v in query])
+    scored = embeddings.join(cand, id_col, "left_semi").select(
+        id_col, F.round(l2_distance(F.col(vec_col), qlit), 6).alias("dist")
+    )
+    w = Window.partitionBy(F.pmod(F.col(id_col), F.lit(1))).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+# --- IVF-PQ: coarse cells + PQ over residuals ------------------------------
+#
+# The FAISS IndexIVFPQ architecture (Jegou, Douze & Schmid, TPAMI 2011
+# §IV) — the standard billion-scale serving index: route each vector to
+# its nearest coarse cell, PQ-encode the RESIDUAL (vector minus cell
+# center), and at query time probe only the n_probe nearest cells,
+# scoring codes with a PER-CELL lookup table built from the query's
+# residual against that cell. Residual encoding is what makes shared
+# codebooks accurate: residuals from every cell live near the origin,
+# so one codebook serves all cells. Reference analog: SURVEY §2.3 J4.
+
+
+def ivfpq_encode(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode to (vec_id, cell, codes): nearest coarse cell, then PQ
+    codes of the residual — row-local expressions, shuffle-free; at
+    scale the output persists partitioned by cell (the IVF store
+    layout), 4 B + m bytes per vector.
+    """
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+    vec = F.col(vec_col)
+    cell = nearest_cell(vec, centroids)
+    res = F.zip_with(
+        vec,
+        F.element_at(cents_lit, cell + F.lit(1)),
+        lambda x, c: x.cast("double") - c,
+    )
+    return embeddings.select(
+        id_col,
+        cell.alias("cell"),
+        pq_code_expr(res, codebooks).alias("codes"),
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame | None,
+    query: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    cell_seed: int = 43,
+    code_seed: int = 44,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ ADC search: pick the n_probe cells nearest the query
+    (driver-side, same sequential fold + cell-index tie rule as
+    ivf_topk), build ONE LUT per probed cell from the query's residual
+    there (n_probe * m * n_codes driver floats), then score only rows
+    in probed cells — per row: a cell-dispatched chain of m lookups.
+    Cost shape at 100 TB: the scan touches ~n_probe/n_cells of the
+    codes table (partition-pruned when the store is cell-partitioned),
+    compute is m adds per candidate, memory is codes not vectors.
+
+    Output: (vec_id, dist, rank) — ADC L2 approximation, rounded 6.
+    """
+    dim = len(query)
+    if centroids is None:
+        centroids = random_centroids(dim, n_cells, cell_seed)
+    else:
+        n_cells = len(centroids)
+    if codebooks is None:
+        codebooks = random_codebooks(dim, m, n_codes, code_seed)
+    dsub = len(codebooks[0][0])
+    cdist = [
+        sum(((c[i] - query[i]) ** 2 for i in range(dim)), 0.0)
+        for c in centroids
+    ]
+    order = sorted(range(n_cells), key=lambda c: (cdist[c], c))
+    probes = order[:n_probe]
+    # per probed cell: residual LUT (same Python fold as pq_topk's)
+    luts = {}
+    for c in probes:
+        resq = [query[i] - centroids[c][i] for i in range(dim)]
+        luts[c] = [
+            [
+                sum(((b[i] - resq[s * dsub + i]) ** 2 for i in range(dsub)), 0.0)
+                for b in book
+            ]
+            for s, book in enumerate(codebooks)
+        ]
+    if codes is None:
+        if embeddings is None:
+            raise ValueError("need embeddings to encode, or a prebuilt codes table")
+        codes = ivfpq_encode(embeddings, centroids, codebooks, id_col, vec_col)
+    cand = codes.filter(F.col("cell").isin(probes))
+    expr = None
+    for s in range(len(codebooks)):
+        term = None
+        for c in probes:
+            lut_lit = F.array(*[F.lit(float(v)) for v in luts[c][s]])
+            pick = F.element_at(lut_lit, F.col("codes")[s] + F.lit(1))
+            term = (
+                F.when(F.col("cell") == c, pick)
+                if term is None
+                else term.when(F.col("cell") == c, pick)
+            )
+        expr = term if expr is None else expr + term
+    scored = cand.select(id_col, F.round(F.sqrt(expr), 6).alias("dist"))
+    w = Window.partitionBy(F.pmod(F.col(id_col), F.lit(1))).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def ivfpq_topk_rerank(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ serving path: ADC shortlist from the probed cells, exact
+    L2 rerank of the fetched shortlist vectors (mirrors
+    :func:`pq_topk_rerank`). Output: (vec_id, dist, rank), exact L2."""
+    dim = len(query)
+    cand = ivfpq_topk(
+        embeddings, query, k=shortlist, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+        centroids=centroids, codebooks=codebooks, codes=codes,
     ).select(id_col)
     qlit = F.array(*[F.lit(float(v)) for v in query])
     scored = embeddings.join(cand, id_col, "left_semi").select(

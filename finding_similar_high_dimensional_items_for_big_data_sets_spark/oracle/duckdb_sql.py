@@ -1925,6 +1925,130 @@ FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
 """
 
 
+# --- IVF-PQ (coarse cells + PQ over residuals) -----------------------------
+
+
+def _ivfpq_quantizers():
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        random_centroids,
+        random_codebooks,
+    )
+
+    cents = random_centroids(C.EMB_DIM, C.IVF_CELLS, C.IVF_SEED)
+    books = random_codebooks(C.EMB_DIM, C.PQ_M, C.PQ_CODES, C.PQ_SEED)
+    return cents, books
+
+
+def _ivfpq_res_codes_ctes() -> str:
+    """CTEs assigning every vector to its coarse cell and PQ-encoding
+    the residual — mirrors ann.ivfpq_encode (same assignment argmin,
+    residual = elementwise subtract of the cell's center, same
+    per-subspace first-tie argmin over the residual)."""
+    cents, books = _ivfpq_quantizers()
+    dists = "[" + ", ".join(_sq_l2_lit("embedding", c) for c in cents) + "]"
+    cents_lit = (
+        "[" + ", ".join(
+            "[" + ",".join(repr(float(v)) for v in c) + "]" for c in cents
+        ) + "]"
+    )
+    dsub = C.EMB_DIM // C.PQ_M
+    parts = []
+    for s, book in enumerate(books):
+        sub = f"(res[{s * dsub + 1}:{(s + 1) * dsub}])"
+        ds = "[" + ", ".join(_sq_l2_lit(sub, code) for code in book) + "]"
+        parts.append(f"CAST(list_position({ds}, list_min({ds})) - 1 AS INT)")
+    codes = "[" + ", ".join(parts) + "]"
+    return f"""
+assigned AS (
+  SELECT vec_id,
+         CAST(list_position(d.ds, list_min(d.ds)) - 1 AS INT) AS cell,
+         embedding
+  FROM (SELECT vec_id, embedding, {dists} AS ds FROM embeddings) d),
+resid AS (
+  SELECT vec_id, cell,
+         list_transform(range({C.EMB_DIM}),
+                        i -> embedding[i+1]::DOUBLE - ({cents_lit})[cell+1][i+1]) AS res
+  FROM assigned),
+c AS (SELECT vec_id, cell, {codes} AS codes FROM resid)"""
+
+
+def _ivfpq_adc_expr() -> str:
+    """Cell-dispatched ADC over c.cell / c.codes: for EVERY cell a
+    16-entry residual LUT whose entries are folds over
+    ((q.qv - center) - code)^2 — composition order matching the Spark
+    driver's resq-then-subtract, sign flip IEEE-exact; the CASE covers
+    all cells (rows are pre-filtered to probed cells, so extra
+    branches are inert and the probed ones match Spark's when-chain)."""
+    cents, books = _ivfpq_quantizers()
+    dsub = C.EMB_DIM // C.PQ_M
+    terms = []
+    for s, book in enumerate(books):
+        branches = []
+        for ci, cent in enumerate(cents):
+            entries = []
+            for code in book:
+                fold = (
+                    f"list_reduce(list_prepend(0.0, list_transform(range({dsub}), "
+                    f"i -> pow((q.qv[{s * dsub} + i + 1]::DOUBLE - "
+                    f"([{','.join(repr(float(v)) for v in cent[s * dsub:(s + 1) * dsub])}])[i+1]) - "
+                    f"([{','.join(repr(float(v)) for v in code)}])[i+1], 2))), (acc, x) -> acc + x)"
+                )
+                entries.append(fold)
+            lut = "[" + ", ".join(entries) + "]"
+            branches.append(f"WHEN {ci} THEN ({lut})[c.codes[{s + 1}] + 1]")
+        terms.append("CASE c.cell " + " ".join(branches) + " END")
+    return " + ".join(f"({t})" for t in terms)
+
+
+def sql_ivfpq_codes() -> str:
+    """Mirrors ann.ivfpq_encode against the seeded quantizers."""
+    return f"WITH {_ivfpq_res_codes_ctes()} SELECT vec_id, cell, codes FROM c"
+
+
+def sql_ivfpq_topk() -> str:
+    """Mirrors ann.ivfpq_topk: probe cells by the same sequential-fold
+    distance + cell-index tie rule, ADC via the per-cell residual LUT."""
+    cents, _ = _ivfpq_quantizers()
+    qdists = "[" + ", ".join(_sq_l2_lit("q.qv", c) for c in cents) + "]"
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {C.QUERY_VEC}),
+{_ivfpq_res_codes_ctes().lstrip()},
+probe AS (
+  SELECT CAST(u.c AS INT) AS cell
+  FROM q, (SELECT unnest(range({C.IVF_CELLS})) AS c) u
+  ORDER BY ({qdists})[u.c + 1], u.c LIMIT {C.IVF_PROBE}),
+scored AS (
+  SELECT c.vec_id, round(sqrt({_ivfpq_adc_expr()}), 6) AS dist
+  FROM c, q WHERE c.cell IN (SELECT cell FROM probe))
+SELECT vec_id, dist, CAST(row_number() OVER (ORDER BY dist ASC, vec_id) AS INT) AS rank
+FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
+"""
+
+
+def sql_ivfpq_topk_rerank() -> str:
+    """Mirrors ann.ivfpq_topk_rerank: the ADC shortlist (same shared
+    expressions, LIMIT SQ_SHORTLIST) semi-joins the full vectors for
+    an exact-L2 rerank."""
+    cents, _ = _ivfpq_quantizers()
+    qdists = "[" + ", ".join(_sq_l2_lit("q.qv", c) for c in cents) + "]"
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {C.QUERY_VEC}),
+{_ivfpq_res_codes_ctes().lstrip()},
+probe AS (
+  SELECT CAST(u.c AS INT) AS cell
+  FROM q, (SELECT unnest(range({C.IVF_CELLS})) AS c) u
+  ORDER BY ({qdists})[u.c + 1], u.c LIMIT {C.IVF_PROBE}),
+short AS (
+  SELECT c.vec_id FROM c, q WHERE c.cell IN (SELECT cell FROM probe)
+  ORDER BY round(sqrt({_ivfpq_adc_expr()}), 6) ASC, c.vec_id LIMIT {C.SQ_SHORTLIST}),
+scored AS (
+  SELECT e.vec_id, round({_l2('e.embedding', 'q.qv', C.EMB_DIM)}, 6) AS dist
+  FROM embeddings e, q WHERE e.vec_id IN (SELECT vec_id FROM short))
+SELECT vec_id, dist, CAST(row_number() OVER (ORDER BY dist ASC, vec_id) AS INT) AS rank
+FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
+"""
+
+
 def sql_pq_topk_rerank() -> str:
     """Mirrors ann.pq_topk_rerank: the ADC shortlist (the SAME shared
     expression as sql_pq_topk, LIMIT PQ_SHORTLIST) semi-joins the full
@@ -2350,6 +2474,9 @@ def registry() -> dict[str, str]:
         "gopher_rules": sql_gopher_rules(),
         "events_asof": sql_events_asof(),
         "hll_cardinality": sql_hll_cardinality(),
+        "ivfpq_codes": sql_ivfpq_codes(),
+        "ivfpq_topk": sql_ivfpq_topk(),
+        "ivfpq_topk_rerank": sql_ivfpq_topk_rerank(),
         "sq_codes": sql_sq_codes(),
         "sq_topk": sql_sq_topk(),
         "sq_topk_rerank": sql_sq_topk_rerank(),

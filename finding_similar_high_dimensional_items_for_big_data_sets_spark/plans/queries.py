@@ -1502,6 +1502,49 @@ def q_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_ivfpq_codes(spark, sf_dir):
+    """IVF-PQ index artifact (FAISS IndexIVFPQ layout): nearest coarse
+    cell + PQ codes of the RESIDUAL, row-local and shuffle-free; at
+    scale this persists partitioned by cell, 4 B + m bytes/vector."""
+    cents = ann.random_centroids(C.EMB_DIM, C.IVF_CELLS, C.IVF_SEED)
+    books = ann.random_codebooks(C.EMB_DIM, C.PQ_M, C.PQ_CODES, C.PQ_SEED)
+    return ann.ivfpq_encode(_emb(spark, sf_dir), cents, books)
+
+
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ADC search: probe the IVF_PROBE nearest cells, score
+    codes with that cell's residual lookup table — the billion-scale
+    serving architecture (cells prune the scan, codes shrink memory,
+    residual encoding keeps shared codebooks accurate)."""
+    emb = _emb(spark, sf_dir)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == C.QUERY_VEC).first()["embedding"]
+    ]
+    return ann.ivfpq_topk(
+        emb, qvec, k=C.K_VEC,
+        n_cells=C.IVF_CELLS, n_probe=C.IVF_PROBE,
+        m=C.PQ_M, n_codes=C.PQ_CODES,
+        cell_seed=C.IVF_SEED, code_seed=C.PQ_SEED,
+    )
+
+
+def q_ivfpq_topk_rerank(spark, sf_dir):
+    """IVF-PQ with exact rerank: ADC shortlist from the probed cells,
+    true L2 over the fetched shortlist vectors."""
+    emb = _emb(spark, sf_dir)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == C.QUERY_VEC).first()["embedding"]
+    ]
+    cents = ann.random_centroids(C.EMB_DIM, C.IVF_CELLS, C.IVF_SEED)
+    books = ann.random_codebooks(C.EMB_DIM, C.PQ_M, C.PQ_CODES, C.PQ_SEED)
+    return ann.ivfpq_topk_rerank(
+        emb, qvec, k=C.K_VEC, shortlist=C.SQ_SHORTLIST, n_probe=C.IVF_PROBE,
+        centroids=cents, codebooks=books,
+    )
+
+
 def q_ngram_decontaminate(spark, sf_dir):
     """GPT-3-style n-gram benchmark decontamination: train = the %17
     train split plus planted pages EMBEDDING every 3rd benchmark doc
@@ -1776,6 +1819,9 @@ REGISTRY = {
     "gopher_rules": q_gopher_rules,
     "events_asof": q_events_asof,
     "hll_cardinality": q_hll_cardinality,
+    "ivfpq_codes": q_ivfpq_codes,
+    "ivfpq_topk": q_ivfpq_topk,
+    "ivfpq_topk_rerank": q_ivfpq_topk_rerank,
     "sq_codes": q_sq_codes,
     "sq_topk": q_sq_topk,
     "sq_topk_rerank": q_sq_topk_rerank,

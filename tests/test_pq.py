@@ -187,6 +187,69 @@ def test_pq_store_append_parity_and_quantizer_guard(spark, tmp_path):
         append_pq_index(half_b, p, other)
 
 
+def test_ivfpq_encode_matches_numpy(spark):
+    """Cell = argmin L2 to coarse centroids; codes = per-subspace argmin
+    over the RESIDUAL (vector minus the assigned cell's center)."""
+    emb = _emb(spark).limit(50)
+    cents = ann.random_centroids(DIM, 8, seed=43)
+    books = ann.random_codebooks(DIM, M, CODES, seed=44)
+    got = {
+        r["vec_id"]: (r["cell"], r["codes"])
+        for r in ann.ivfpq_encode(emb, cents, books).collect()
+    }
+    dsub = DIM // M
+    carr = np.array(cents, dtype=np.float64)
+    for r in emb.collect():
+        v = np.array(r["embedding"], dtype=np.float64)
+        cell = int(np.argmin(((carr - v) ** 2).sum(axis=1)))
+        res = v - carr[cell]
+        assert got[r["vec_id"]][0] == cell
+        for s in range(M):
+            sub = res[s * dsub : (s + 1) * dsub]
+            d = ((np.array(books[s]) - sub) ** 2).sum(axis=1)
+            assert got[r["vec_id"]][1][s] == int(np.argmin(d)), (r["vec_id"], s)
+
+
+def test_ivfpq_topk_prebuilt_codes_identical(spark):
+    emb = _emb(spark)
+    cents = ann.random_centroids(DIM, 8, seed=43)
+    books = ann.random_codebooks(DIM, M, CODES, seed=44)
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    inline = ann.ivfpq_topk(
+        emb, q, k=10, n_probe=3, centroids=cents, codebooks=books
+    ).collect()
+    prebuilt = ann.ivfpq_topk(
+        None, q, k=10, n_probe=3, centroids=cents, codebooks=books,
+        codes=ann.ivfpq_encode(emb, cents, books),
+    ).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, prebuilt))
+
+
+def test_ivfpq_rerank_full_probe_full_shortlist_equals_exact(spark):
+    """Probing every cell with an unbounded shortlist must reduce to
+    exact brute-force L2 — the ADC layer only ORDERS the shortlist."""
+    emb = _emb(spark)
+    cents = ann.random_centroids(DIM, 8, seed=43)
+    books = ann.random_codebooks(DIM, M, CODES, seed=44)
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    got = ann.ivfpq_topk_rerank(
+        emb, q, k=10, shortlist=10_000, n_probe=8,
+        centroids=cents, codebooks=books,
+    ).collect()
+    qdf = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = bruteforce.l2_topk(emb, qdf, k=10).collect()
+    assert [(r["vec_id"], r["dist"], r["rank"]) for r in sorted(got, key=lambda r: r["rank"])] == [
+        (r["vec_id"], r["dist"], r["rank"]) for r in sorted(exact, key=lambda r: r["rank"])
+    ]
+
+
+def test_ivfpq_topk_requires_source(spark):
+    with pytest.raises(ValueError, match="codes table"):
+        ann.ivfpq_topk(None, [0.0] * DIM, k=5)
+
+
 def test_train_pq_fused_matches_sequential_per_subspace(spark, sf_dir):
     """The fused one-pass-per-iteration trainer must produce
     bit-identical codebooks to m sequential ivf_train runs over the
