@@ -1979,3 +1979,39 @@ def ivfpq_topk_rerank(
         .limit(k)
         .withColumn("rank", F.row_number().over(w))
     )
+
+def ivfpq_topk_store(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    embeddings: DataFrame | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search against a persisted :func:`..sources.tables.
+    write_ivfpq_index` store: cells, codebooks, and codes all come from
+    the store, so the residual LUTs always match the codes, and the
+    probe's ``cell IN (...)`` filter prunes cell DIRECTORIES at the
+    source (the scan reads ~n_probe/n_cells of the index). Plain ADC
+    top-k by default; pass ``shortlist`` + ``embeddings`` for the
+    shortlist-then-exact-rerank serving path."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        read_ivfpq_index,
+    )
+
+    codes, cents, books = read_ivfpq_index(spark, path)
+    if shortlist is None:
+        return ivfpq_topk(
+            None, query, k=k, n_probe=n_probe, id_col=id_col,
+            centroids=cents, codebooks=books, codes=codes,
+        )
+    if embeddings is None:
+        raise ValueError("shortlist rerank needs the embeddings DataFrame")
+    return ivfpq_topk_rerank(
+        embeddings, query, k=k, shortlist=shortlist, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+        centroids=cents, codebooks=books, codes=codes,
+    )

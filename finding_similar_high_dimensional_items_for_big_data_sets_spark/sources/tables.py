@@ -975,3 +975,72 @@ def append_pq_index(
     pq_encode(embeddings, codebooks, id_col, vec_col).write.mode("append").parquet(
         path
     )
+
+def _ivfpq_meta(
+    centroids: list[list[float]], codebooks: list[list[list[float]]]
+) -> dict:
+    return {
+        "kind": "ivfpq",
+        "centroids": [[float(x) for x in c] for c in centroids],
+        "codebooks": [
+            [[float(x) for x in code] for code in book] for book in codebooks
+        ],
+    }
+
+
+def write_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IVF-PQ store (FAISS ``IndexIVFPQ`` layout): residual PQ codes
+    written PARTITIONED on the coarse cell, both quantizers in the
+    sidecar. This is the billion-scale serving artifact — 4 B + m bytes
+    per vector, and a probe's ``cell IN (<probe set>)`` filter becomes
+    directory pruning so a query touches ~n_probe/n_cells of the store.
+    Encoding (assignment + residual argmin) runs once at build."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        ivfpq_encode,
+    )
+
+    ivfpq_encode(embeddings, centroids, codebooks, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+    _write_store_meta(path, _ivfpq_meta(centroids, codebooks))
+
+
+def read_ivfpq_index(spark, path: str):
+    """(codes DataFrame, centroids, codebooks) from a
+    :func:`write_ivfpq_index` store; raises on any other store kind
+    rather than scoring garbage."""
+    meta = read_store_meta(path)
+    if meta.get("kind") != "ivfpq":
+        raise ValueError(
+            f"{path} is not an IVF-PQ store (kind={meta.get('kind')!r})"
+        )
+    return spark.read.parquet(path), meta["centroids"], meta["codebooks"]
+
+
+def append_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF-PQ maintenance: encode ONLY the new vectors with
+    the store's quantizers and append under their cell directories.
+    Rejects mismatched quantizers (residual codes from different
+    centroids/books are incomparable under one LUT)."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        ivfpq_encode,
+    )
+
+    _check_store_meta(path, _ivfpq_meta(centroids, codebooks))
+    ivfpq_encode(embeddings, centroids, codebooks, id_col, vec_col).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(path)

@@ -272,3 +272,63 @@ def test_train_pq_fused_matches_sequential_per_subspace(spark, sf_dir):
             sl, n_cells=8, n_iters=3, seed=44 + s, dim=dsub
         )
         assert fused[s] == seq, f"subspace {s} diverged"
+
+def test_ivfpq_store_round_trip_pruning_and_guards(spark, tmp_path):
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        _write_store_meta,
+        write_ivfpq_index,
+    )
+
+    emb = _emb(spark)
+    cents = ann.random_centroids(DIM, 8, seed=43)
+    books = ann.random_codebooks(DIM, M, CODES, seed=44)
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    p = str(tmp_path / "ivfpq_store")
+    write_ivfpq_index(emb, p, cents, books)
+    got = ann.ivfpq_topk_store(spark, p, q, k=10, n_probe=3)
+    expect = ann.ivfpq_topk(
+        emb, q, k=10, n_probe=3, centroids=cents, codebooks=books
+    ).collect()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect))
+    # the probe filter must prune cell DIRECTORIES at the source
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200], plan[:2000]
+    # rerank path from the store == inline rerank
+    got_rr = ann.ivfpq_topk_store(
+        spark, p, q, k=10, n_probe=3, shortlist=100, embeddings=emb
+    ).collect()
+    expect_rr = ann.ivfpq_topk_rerank(
+        emb, q, k=10, shortlist=100, n_probe=3, centroids=cents, codebooks=books
+    ).collect()
+    assert sorted(map(tuple, got_rr)) == sorted(map(tuple, expect_rr))
+    # guards: wrong kind, missing embeddings
+    bad = str(tmp_path / "not_ivfpq")
+    emb.limit(1).write.parquet(bad)
+    _write_store_meta(bad, {"kind": "pq"})
+    with pytest.raises(ValueError, match="not an IVF-PQ store"):
+        ann.ivfpq_topk_store(spark, bad, q, k=10)
+    with pytest.raises(ValueError, match="embeddings"):
+        ann.ivfpq_topk_store(spark, p, q, k=10, shortlist=50)
+
+
+def test_ivfpq_store_append_parity_and_quantizer_guard(spark, tmp_path):
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        append_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = _emb(spark)
+    cents = ann.random_centroids(DIM, 8, seed=43)
+    books = ann.random_codebooks(DIM, M, CODES, seed=44)
+    p = str(tmp_path / "ivfpq_app")
+    write_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 0), p, cents, books)
+    append_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 1), p, cents, books)
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    got = ann.ivfpq_topk_store(spark, p, q, k=10, n_probe=3).collect()
+    full = str(tmp_path / "ivfpq_full")
+    write_ivfpq_index(emb, full, cents, books)
+    expect = ann.ivfpq_topk_store(spark, full, q, k=10, n_probe=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
+    other = ann.random_codebooks(DIM, M, CODES, seed=99)
+    with pytest.raises(ValueError):
+        append_ivfpq_index(emb.limit(1), p, cents, other)
