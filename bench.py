@@ -436,6 +436,72 @@ def main():
         scanned / (len(qlist) * n_emb_cl), 4
     )
     quality["ivf_budget_corpus"] = "clustered_synthetic_64x100_dim64"
+
+    # --- IVF-PQ on the same clustered corpus: codebooks trained on
+    # RESIDUALS (vector minus assigned cell center — the reason one
+    # shared codebook serves all cells), codes persisted partitioned
+    # by cell, probes prune cell directories. Recall averaged over the
+    # same 20 queries / exact-L2 truth as the alpha block; the scan
+    # fraction is the measured occupancy of the probed cells.
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        write_ivfpq_index,
+    )
+
+    cents_lit32 = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in cents32]
+    )
+    res_df = assigned32.select(
+        F.zip_with(
+            "embedding",
+            F.element_at(cents_lit32, F.col("cell") + 1),
+            lambda x, c: x.cast("double") - c,
+        ).alias("embedding")
+    )
+    t, books_res = timed(
+        lambda: ann.train_pq(res_df, 64, m=8, n_codes=16, n_iters=3, seed=44),
+        reps=1,
+    )
+    timings["ivfpq_train_residual"] = t
+    ivfpq_store = "/tmp/bench_ivfpq_store"
+    write_ivfpq_index(emb_cl, ivfpq_store, cents32, books_res)
+    qv0 = qlist[0][1]
+    ann.ivfpq_topk_store(spark, ivfpq_store, qv0, k=K, n_probe=8).collect()  # warm
+    t, _ = timed(
+        lambda: ann.ivfpq_topk_store(
+            spark, ivfpq_store, qv0, k=K, n_probe=8
+        ).collect()
+    )
+    timings["ivfpq_point_store"] = t
+    hits_adc = hits_rr = scanned_pq = 0
+    need = sum(len(s) for s in truth32.values())
+    for qid, qv in qlist:
+        adc = {
+            r["vec_id"]
+            for r in ann.ivfpq_topk_store(
+                spark, ivfpq_store, qv, k=K, n_probe=8
+            ).collect()
+        }
+        rr = {
+            r["vec_id"]
+            for r in ann.ivfpq_topk_store(
+                spark, ivfpq_store, qv, k=K, n_probe=8,
+                shortlist=max(K, n_emb_cl // 20), embeddings=emb_cl,
+            ).collect()
+        }
+        hits_adc += len(adc & truth32[qid])
+        hits_rr += len(rr & truth32[qid])
+        cd = [
+            (sum((qv[i] - c[i]) ** 2 for i in range(64)), ci)
+            for ci, c in enumerate(cents32)
+        ]
+        scanned_pq += sum(
+            occ32.get(ci, 0) for _, ci in sorted(cd)[:8]
+        )
+    quality["ivfpq_recall_at_k"] = round(hits_adc / need, 4)
+    quality["ivfpq_rerank_recall_at_k"] = round(hits_rr / need, 4)
+    quality["ivfpq_scan_fraction"] = round(
+        scanned_pq / (len(qlist) * n_emb_cl), 4
+    )
     qcl.unpersist()
     emb_cl.unpersist()
     # cell-partitioned IVF store: assignment runs once at build
@@ -808,6 +874,37 @@ def main():
             block["semantic_outliers"] = timed_min(
                 outliers_once, max(1, reps - 1)
             )
+
+            # IVF-PQ at the same corpus-scaled cells: one linear Arrow
+            # tree-descent encode pass builds the cell-partitioned
+            # store (expected growth ~1.0), then a FIXED 20-query probe
+            # batch — per-query work is the occupancy of n_probe leaves
+            # (~n_probe * 256 rows however big the corpus), so probe
+            # time must NOT grow with rows (expected growth ~0.1).
+            ivfpq_dir = f"/tmp/bench_scale_ivfpq_{label}"
+            shutil.rmtree(ivfpq_dir, ignore_errors=True)
+            books_s = ann.random_codebooks(64, 8, 16, seed=44)
+            t_enc, _ = timed(
+                lambda: write_ivfpq_index(emb_s, ivfpq_dir, hkm_q, books_s),
+                reps=1,
+            )
+            block["ivfpq_build"] = t_enc
+            qv_s = [
+                [float(v) for v in r["embedding"]]
+                for r in emb_s.filter(F.col("vec_id") < 20).collect()
+            ]
+
+            def ivfpq_probe_once():
+                for qv in qv_s:
+                    ann.ivfpq_topk_store(
+                        spark, ivfpq_dir, qv, k=K, n_probe=8
+                    ).collect()
+
+            ivfpq_probe_once()
+            block["ivfpq_probe_batch_20"] = timed_min(
+                ivfpq_probe_once, max(1, reps - 1)
+            )
+            shutil.rmtree(ivfpq_dir, ignore_errors=True)
             emb_s.unpersist()
 
             scaling[label] = {
@@ -832,6 +929,8 @@ def main():
                 "incremental_dedup",
                 "semantic_dedup_pairs",
                 "semantic_outliers",
+                "ivfpq_build",
+                "ivfpq_probe_batch_20",
             )
         }
 

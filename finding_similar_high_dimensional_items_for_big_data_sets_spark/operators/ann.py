@@ -1848,7 +1848,14 @@ def ivfpq_encode(
     codes of the residual — row-local expressions, shuffle-free; at
     scale the output persists partitioned by cell (the IVF store
     layout), 4 B + m bytes per vector.
+
+    Pass an :class:`HKMQuantizer` as ``centroids`` for corpus-scaled
+    cell counts: assignment then descends the tree (O(branch * log
+    n_cells) per row instead of a flat O(n_cells) argmin) and the
+    whole encode runs as one Arrow kernel (:func:`ivfpq_encode_hkm`).
     """
+    if isinstance(centroids, HKMQuantizer):
+        return ivfpq_encode_hkm(embeddings, centroids, codebooks, id_col, vec_col)
     cents_lit = F.array(
         *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
     )
@@ -1863,6 +1870,77 @@ def ivfpq_encode(
         id_col,
         cell.alias("cell"),
         pq_code_expr(res, codebooks).alias("codes"),
+    )
+
+
+def ivfpq_encode_hkm(
+    embeddings: DataFrame,
+    quantizer: "HKMQuantizer",
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Tree-quantizer IVF-PQ encode as ONE Arrow kernel per batch:
+    greedy HKM descent picks the cell, the residual against that
+    leaf's center is PQ-coded by a vectorized per-subspace argmin
+    (first-tie, matching :func:`pq_code_expr`). O(branch * log
+    n_cells * dim + m * n_codes * dsub) per row regardless of leaf
+    count — the encode that stays linear when n_cells grows with the
+    corpus. Output: (id, cell int, codes array<int>); the id column
+    keeps its input type (any Arrow-compatible id works here — the
+    kernel passes it through untouched)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    books = np.asarray(codebooks, dtype=np.float64)  # (m, n_codes, dsub)
+    m_sub, _, dsub = books.shape
+    pbc = embeddings.sparkSession.sparkContext.broadcast(
+        (quantizer.payload(), quantizer.leaf_centers(), books)
+    )
+    id_field = embeddings.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("cell", IntegerType()),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        payload, leaves, bks = pbc.value
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "cell": pd.Series([], dtype=np.int32),
+                        "codes": pd.Series([], dtype=object),
+                    }
+                )
+                continue
+            mat = np.vstack(pdf[vec_col].values).astype(np.float64)
+            cells = hkm_descend(mat, payload)
+            res = mat - leaves[cells]
+            codes = np.empty((len(mat), m_sub), dtype=np.int32)
+            for s in range(m_sub):
+                sub = res[:, s * dsub : (s + 1) * dsub]
+                d = ((sub[:, None, :] - bks[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "cell": cells.astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        encode, schema=out_schema
     )
 
 
@@ -1892,19 +1970,37 @@ def ivfpq_topk(
     compute is m adds per candidate, memory is codes not vectors.
 
     Output: (vec_id, dist, rank) — ADC L2 approximation, rounded 6.
+
+    An :class:`HKMQuantizer` as ``centroids`` switches to the
+    corpus-scaled-cell regime: probe cells are the n_probe nearest
+    LEAF centers (a driver-side numpy scan — O(n_leaves * dim) floats,
+    fine into the millions of cells), and inline encoding goes through
+    the Arrow tree kernel.
     """
     dim = len(query)
-    if centroids is None:
+    tree = None
+    if isinstance(centroids, HKMQuantizer):
+        tree = centroids
+        centroids = [[float(v) for v in c] for c in tree.leaf_centers()]
+        n_cells = len(centroids)
+        dq = (
+            (tree.leaf_centers() - np.asarray(query, dtype=np.float64)) ** 2
+        ).sum(axis=1)
+        cdist = [float(v) for v in dq]
+    elif centroids is None:
         centroids = random_centroids(dim, n_cells, cell_seed)
+        cdist = None
     else:
         n_cells = len(centroids)
+        cdist = None
     if codebooks is None:
         codebooks = random_codebooks(dim, m, n_codes, code_seed)
     dsub = len(codebooks[0][0])
-    cdist = [
-        sum(((c[i] - query[i]) ** 2 for i in range(dim)), 0.0)
-        for c in centroids
-    ]
+    if cdist is None:
+        cdist = [
+            sum(((c[i] - query[i]) ** 2 for i in range(dim)), 0.0)
+            for c in centroids
+        ]
     order = sorted(range(n_cells), key=lambda c: (cdist[c], c))
     probes = order[:n_probe]
     # per probed cell: residual LUT (same Python fold as pq_topk's)
@@ -1921,7 +2017,10 @@ def ivfpq_topk(
     if codes is None:
         if embeddings is None:
             raise ValueError("need embeddings to encode, or a prebuilt codes table")
-        codes = ivfpq_encode(embeddings, centroids, codebooks, id_col, vec_col)
+        codes = ivfpq_encode(
+            embeddings, tree if tree is not None else centroids,
+            codebooks, id_col, vec_col,
+        )
     cand = codes.filter(F.col("cell").isin(probes))
     expr = None
     for s in range(len(codebooks)):

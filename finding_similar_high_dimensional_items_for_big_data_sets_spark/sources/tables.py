@@ -977,14 +977,21 @@ def append_pq_index(
     )
 
 def _ivfpq_meta(
-    centroids: list[list[float]], codebooks: list[list[list[float]]]
+    centroids, codebooks: list[list[list[float]]]
 ) -> dict:
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        HKMQuantizer,
+    )
+
+    books = [
+        [[float(x) for x in code] for code in book] for book in codebooks
+    ]
+    if isinstance(centroids, HKMQuantizer):
+        return {"kind": "ivfpq_hkm", "tree": centroids.to_dict(), "codebooks": books}
     return {
         "kind": "ivfpq",
         "centroids": [[float(x) for x in c] for c in centroids],
-        "codebooks": [
-            [[float(x) for x in code] for code in book] for book in codebooks
-        ],
+        "codebooks": books,
     }
 
 
@@ -1001,7 +1008,10 @@ def write_ivfpq_index(
     sidecar. This is the billion-scale serving artifact — 4 B + m bytes
     per vector, and a probe's ``cell IN (<probe set>)`` filter becomes
     directory pruning so a query touches ~n_probe/n_cells of the store.
-    Encoding (assignment + residual argmin) runs once at build."""
+    Encoding (assignment + residual argmin) runs once at build. Pass an
+    :class:`operators.ann.HKMQuantizer` as ``centroids`` for
+    corpus-scaled cell counts (tree descent assignment; the tree lands
+    in the sidecar so probes and appends self-configure)."""
     from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
         ivfpq_encode,
     )
@@ -1017,6 +1027,16 @@ def read_ivfpq_index(spark, path: str):
     :func:`write_ivfpq_index` store; raises on any other store kind
     rather than scoring garbage."""
     meta = read_store_meta(path)
+    if meta.get("kind") == "ivfpq_hkm":
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+            HKMQuantizer,
+        )
+
+        return (
+            spark.read.parquet(path),
+            HKMQuantizer.from_dict(meta["tree"]),
+            meta["codebooks"],
+        )
     if meta.get("kind") != "ivfpq":
         raise ValueError(
             f"{path} is not an IVF-PQ store (kind={meta.get('kind')!r})"

@@ -150,6 +150,41 @@ def semantic_new_rows(
     )
 
 
+def write_ivfpq_stream_base(
+    embeddings: DataFrame,
+    codes_path: str,
+    centroids,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Base epoch of the SERVING codes store the ingest loop maintains:
+    IVF-PQ codes of the initial corpus under partition
+    ``ingest_batch=BASE_INGEST_BATCH / cell=<c>``, quantizers in the
+    sidecar (same layout :func:`..operators.ann.ivfpq_topk_store`
+    probes — the batch level adds exactly-once replay semantics, the
+    cell level keeps directory pruning)."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        ivfpq_encode,
+    )
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        _ivfpq_meta,
+        _write_store_meta,
+    )
+
+    (
+        ivfpq_encode(
+            embeddings.select(id_col, vec_col), centroids, codebooks,
+            id_col, vec_col,
+        )
+        .withColumn("ingest_batch", F.lit(BASE_INGEST_BATCH))
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch", "cell")
+        .parquet(codes_path)
+    )
+    _write_store_meta(codes_path, _ivfpq_meta(centroids, codebooks))
+
+
 def stream_semantic_ingest(
     stream_emb: DataFrame,
     cell_store_table: str,
@@ -160,6 +195,8 @@ def stream_semantic_ingest(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     trigger_kwargs: dict | None = None,
+    pq_codebooks: list[list[list[float]]] | None = None,
+    codes_path: str | None = None,
 ):
     """Start the semantic ingest-dedup stream. Survivors (id, vec,
     cell) land under ``out_path`` partitioned by ``ingest_batch``;
@@ -173,7 +210,21 @@ def stream_semantic_ingest(
     Requires a store built by :func:`write_cell_store_partitioned`
     (raises on a flat store rather than degrade to at-least-once),
     assigned with the SAME ``centroids``.
+
+    Pass ``pq_codebooks`` + ``codes_path`` (base laid down by
+    :func:`write_ivfpq_stream_base`) to ALSO land each epoch's
+    survivors in the IVF-PQ serving index — the embedding twin of the
+    MinHash loop's survivors-feed-the-LSH-index step. Codes are
+    derived deterministically from the survivor rows (same quantizer
+    ⇒ same cell; residual argmin is pure), and the epoch's
+    ``ingest_batch`` partition is dynamically overwritten, so the
+    codes store converges under replay exactly like the other two
+    writes.
     """
+    if (pq_codebooks is None) != (codes_path is None):
+        raise ValueError(
+            "pq_codebooks and codes_path must be passed together"
+        )
     spark = stream_emb.sparkSession
     table_cols = [c.name for c in spark.catalog.listColumns(cell_store_table)]
     if "ingest_batch" not in table_cols:
@@ -210,6 +261,21 @@ def stream_semantic_ingest(
                 .partitionBy("ingest_batch")
                 .parquet(out_path)
             )
+            if codes_path is not None:
+                from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+                    ivfpq_encode,
+                )
+
+                (
+                    ivfpq_encode(
+                        stamped.select(id_col, vec_col), centroids,
+                        pq_codebooks, id_col, vec_col,
+                    )
+                    .withColumn("ingest_batch", F.lit(int(batch_id)))
+                    .write.mode("overwrite")
+                    .partitionBy("ingest_batch", "cell")
+                    .parquet(codes_path)
+                )
         finally:
             s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 

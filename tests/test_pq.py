@@ -332,3 +332,52 @@ def test_ivfpq_store_append_parity_and_quantizer_guard(spark, tmp_path):
     other = ann.random_codebooks(DIM, M, CODES, seed=99)
     with pytest.raises(ValueError):
         append_ivfpq_index(emb.limit(1), p, cents, other)
+
+def test_ivfpq_hkm_encode_search_and_store(spark, tmp_path):
+    """Corpus-scaled-cell IVF-PQ: the Arrow tree-descent encode matches
+    a numpy reimplementation (descend -> residual -> first-tie argmin),
+    tree probes work inline and from a persisted store, and a
+    full-probe rerank still finds the query itself at distance 0."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        append_ivfpq_index,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = _emb(spark).cache()
+    n = emb.count()
+    tree = ann.hkm_train_df(
+        emb, n_leaves=16, branch=4, seed=43, sample_size=4096, n_rows=n
+    )
+    books = ann.random_codebooks(DIM, M, CODES, seed=44)
+    rows = {
+        r["vec_id"]: (r["cell"], list(r["codes"]))
+        for r in ann.ivfpq_encode(emb, tree, books).collect()
+    }
+    payload, leaves = tree.payload(), tree.leaf_centers()
+    for r in emb.limit(30).collect():
+        v = np.array(r["embedding"], dtype=np.float64)
+        cell = int(ann.hkm_descend(v[None, :], payload)[0])
+        res = v - leaves[cell]
+        assert rows[r["vec_id"]][0] == cell
+        for s in range(M):
+            sub = res[s * (DIM // M) : (s + 1) * (DIM // M)]
+            d = ((np.array(books[s]) - sub) ** 2).sum(axis=1)
+            assert rows[r["vec_id"]][1][s] == int(np.argmin(d))
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    p = str(tmp_path / "hkm_store")
+    write_ivfpq_index(emb.filter("vec_id < 400"), p, tree, books)
+    append_ivfpq_index(emb.filter("vec_id >= 400"), p, tree, books)
+    codes2, t2, _ = read_ivfpq_index(spark, p)
+    assert isinstance(t2, ann.HKMQuantizer) and codes2.count() == n
+    got = ann.ivfpq_topk_store(spark, p, q, k=5, n_probe=4).collect()
+    exp = ann.ivfpq_topk(
+        None, q, k=5, n_probe=4, centroids=tree, codebooks=books,
+        codes=ann.ivfpq_encode(emb, tree, books),
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+    rr = ann.ivfpq_topk_rerank(
+        emb, q, k=5, shortlist=200, n_probe=16, centroids=tree, codebooks=books
+    ).collect()
+    assert rr[0]["vec_id"] == 7 and rr[0]["dist"] == 0.0
+    emb.unpersist()

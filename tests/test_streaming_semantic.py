@@ -207,3 +207,76 @@ def test_stream_semantic_rejects_flat_store(spark, tmp_path):
             )
     finally:
         spark.sql("DROP TABLE IF EXISTS t_sem_flat")
+
+
+def test_stream_semantic_maintains_ivfpq_codes_store(spark, tmp_path):
+    """With pq_codebooks + codes_path the loop also lands each epoch's
+    survivors in the IVF-PQ serving index: exactly-once across a
+    checkpoint restart, codes bit-equal to a batch encode of the same
+    vectors, and the streamed store is directly probe-able."""
+    import pytest
+
+    base_dirs, cents = _setup(spark, "t_sem_hist5")
+    books = ann.random_codebooks(DIM, 2, 4, seed=11)
+    src = str(tmp_path / "src5")
+    out = str(tmp_path / "out5")
+    ckpt = str(tmp_path / "ckpt5")
+    codes_p = str(tmp_path / "codes5")
+    base_rows = [(i, [float(v) for v in base_dirs[i]]) for i in range(4)]
+    SS.write_ivfpq_stream_base(_corpus(spark, base_rows), codes_p, cents, books)
+    rs = np.random.RandomState(31)
+    alpha = _vec(rs, 4.0)
+    beta = _vec(rs, 4.0)
+    first = _corpus(
+        spark, [(100, alpha), (101, [float(v) for v in base_dirs[1]])]
+    )
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    try:
+        with pytest.raises(ValueError, match="together"):
+            SS.stream_semantic_ingest(
+                spark.readStream.schema(first.schema).parquet(src),
+                "t_sem_hist5", out, ckpt, cents, pq_codebooks=books,
+            )
+        SS.stream_semantic_ingest(
+            spark.readStream.schema(first.schema).parquet(src),
+            "t_sem_hist5", out, ckpt, cents, threshold=0.99,
+            pq_codebooks=books, codes_path=codes_p,
+        ).awaitTermination(120)
+        second = _corpus(
+            spark, [(200, [float(v * 2.0) for v in alpha]), (201, beta)]
+        )
+        second.coalesce(1).write.mode("append").parquet(src)
+        SS.stream_semantic_ingest(
+            spark.readStream.schema(first.schema).parquet(src),
+            "t_sem_hist5", out, ckpt, cents, threshold=0.99,
+            pq_codebooks=books, codes_path=codes_p,
+        ).awaitTermination(120)
+        codes = spark.read.parquet(codes_p)
+        # exactly-once: base 4 + survivors {100, 201}; 200 deduped
+        assert codes.count() == 6
+        assert {r["vec_id"] for r in codes.collect()} == {0, 1, 2, 3, 100, 201}
+        # batch parity: streamed codes == one-shot encode of same rows
+        all_rows = _corpus(
+            spark, base_rows + [(100, alpha), (201, beta)]
+        )
+        expect = {
+            r["vec_id"]: (r["cell"], list(r["codes"]))
+            for r in ann.ivfpq_encode(all_rows, cents, books).collect()
+        }
+        got = {
+            r["vec_id"]: (r["cell"], list(r["codes"]))
+            for r in codes.collect()
+        }
+        assert got == expect
+        # the streamed store serves probes directly: exact-rerank over
+        # the full probe set must surface the query's own vector (ADC-
+        # only rank order is NOT asserted — with tiny random codebooks
+        # every reconstruction is near zero and ADC ties are noise)
+        top = ann.ivfpq_topk_store(
+            spark, codes_p, alpha, k=3, n_probe=4,
+            shortlist=10, embeddings=all_rows,
+        )
+        first = top.first()
+        assert first["vec_id"] == 100 and first["dist"] == 0.0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sem_hist5")
