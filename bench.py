@@ -444,6 +444,7 @@ def main():
     # same 20 queries / exact-L2 truth as the alpha block; the scan
     # fraction is the measured occupancy of the probed cells.
     from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        read_ivfpq_index,
         write_ivfpq_index,
     )
 
@@ -472,33 +473,44 @@ def main():
         ).collect()
     )
     timings["ivfpq_point_store"] = t
-    hits_adc = hits_rr = scanned_pq = 0
-    need = sum(len(s) for s in truth32.values())
-    for qid, qv in qlist:
-        adc = {
-            r["vec_id"]
-            for r in ann.ivfpq_topk_store(
-                spark, ivfpq_store, qv, k=K, n_probe=8
-            ).collect()
-        }
-        rr = {
-            r["vec_id"]
-            for r in ann.ivfpq_topk_store(
-                spark, ivfpq_store, qv, k=K, n_probe=8,
-                shortlist=max(K, n_emb_cl // 20), embeddings=emb_cl,
-            ).collect()
-        }
-        hits_adc += len(adc & truth32[qid])
-        hits_rr += len(rr & truth32[qid])
+    # whole 20-query batch in ONE probe job (ADC) / two shuffles
+    # (rerank) against the persisted codes — the batch serving path
+    pq_codes_cl, _, _ = read_ivfpq_index(spark, ivfpq_store)
+    pq_codes_cl = pq_codes_cl.cache()
+    pq_codes_cl.count()
+    t, adc_rows = timed(
+        lambda: ann.ivfpq_topk_batch(
+            None, qcl, k=K, n_probe=8,
+            centroids=cents32, codebooks=books_res, codes=pq_codes_cl,
+        ).collect()
+    )
+    timings["ivfpq_batch_20"] = t
+    t, rr_rows = timed(
+        lambda: ann.ivfpq_topk_batch_rerank(
+            emb_cl, qcl, k=K, shortlist=max(K, n_emb_cl // 20), n_probe=8,
+            centroids=cents32, codebooks=books_res, codes=pq_codes_cl,
+        ).collect()
+    )
+    timings["ivfpq_rerank_batch_20"] = t
+    pq_codes_cl.unpersist()
+
+    def batch_recall(rows):
+        got: dict[int, set] = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(
+            len(got.get(q, set()) & s) / len(s) for q, s in truth32.items()
+        ) / len(truth32)
+
+    quality["ivfpq_recall_at_k"] = round(batch_recall(adc_rows), 4)
+    quality["ivfpq_rerank_recall_at_k"] = round(batch_recall(rr_rows), 4)
+    scanned_pq = 0
+    for _, qv in qlist:
         cd = [
             (sum((qv[i] - c[i]) ** 2 for i in range(64)), ci)
             for ci, c in enumerate(cents32)
         ]
-        scanned_pq += sum(
-            occ32.get(ci, 0) for _, ci in sorted(cd)[:8]
-        )
-    quality["ivfpq_recall_at_k"] = round(hits_adc / need, 4)
-    quality["ivfpq_rerank_recall_at_k"] = round(hits_rr / need, 4)
+        scanned_pq += sum(occ32.get(ci, 0) for _, ci in sorted(cd)[:8])
     quality["ivfpq_scan_fraction"] = round(
         scanned_pq / (len(qlist) * n_emb_cl), 4
     )
@@ -1100,7 +1112,10 @@ def main():
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 4) for k, v in timings.items()},
-        "quality": {k: round(v, 4) for k, v in quality.items()},
+        "quality": {
+            k: (round(v, 4) if isinstance(v, (int, float)) else v)
+            for k, v in quality.items()
+        },
         "scaling": scaling,
         "migration": mig,
         "reference_parity_20k": {k: round(v, 4) for k, v in ref_parity.items()},

@@ -555,7 +555,15 @@ def nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
             for c in centroids
         ]
     )
-    return F.array_position(dists, F.array_min(dists)).cast("int") - 1
+    # let-bind via a lambda variable: array_position + array_min would
+    # otherwise each inline a full copy of the n_cells fold array
+    return F.element_at(
+        F.transform(
+            F.array(dists),
+            lambda d: F.array_position(d, F.array_min(d)).cast("int") - 1,
+        ),
+        F.lit(1),
+    )
 
 
 def ivf_assign(
@@ -1428,8 +1436,17 @@ def pq_code_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:
                 for code in book
             ]
         )
+        # let-bind: array_position + array_min would each inline a
+        # copy of the n_codes fold array (x2 per subspace adds up)
         code_cols.append(
-            F.array_position(dists, F.array_min(dists)).cast("int") - 1
+            F.element_at(
+                F.transform(
+                    F.array(dists),
+                    lambda d: F.array_position(d, F.array_min(d)).cast("int")
+                    - 1,
+                ),
+                F.lit(1),
+            )
         )
     return F.array(*code_cols)
 
@@ -1866,10 +1883,23 @@ def ivfpq_encode(
         F.element_at(cents_lit, cell + F.lit(1)),
         lambda x, c: x.cast("double") - c,
     )
+    # LET-BIND the residual: pq_code_expr references its input m*n_codes
+    # times, and each reference would otherwise inline a full COPY of
+    # the residual tree (which itself embeds the n_cells argmin) —
+    # measured 26 MiB task binaries + ~80 s of codegen at 16 cells.
+    # Routing it through a higher-order-function lambda variable makes
+    # every reference a cheap variable node; the math (and the DuckDB
+    # oracle twin) is unchanged.
+    codes = F.element_at(
+        F.transform(
+            F.array(res), lambda r: pq_code_expr(r, codebooks)
+        ),
+        F.lit(1),
+    )
     return embeddings.select(
         id_col,
         cell.alias("cell"),
-        pq_code_expr(res, codebooks).alias("codes"),
+        codes.alias("codes"),
     )
 
 
@@ -1944,6 +1974,32 @@ def ivfpq_encode_hkm(
     )
 
 
+def _ivfpq_residual_luts(
+    query: list[float],
+    centroids,
+    codebooks: list[list[list[float]]],
+    probes: list[int],
+) -> dict[int, list[list[float]]]:
+    """Per probed cell: the residual ADC lookup table
+    ``lut[cell][s][code] = ||res_q[s] - codebook[s][code]||^2`` where
+    ``res_q = query - center(cell)`` — built with the same Python
+    sequential fold as pq_topk's LUT so Spark, DuckDB, and the Arrow
+    batch kernel all score bit-identically."""
+    dim = len(query)
+    dsub = len(codebooks[0][0])
+    luts: dict[int, list[list[float]]] = {}
+    for c in probes:
+        resq = [query[i] - centroids[c][i] for i in range(dim)]
+        luts[c] = [
+            [
+                sum(((b[i] - resq[s * dsub + i]) ** 2 for i in range(dsub)), 0.0)
+                for b in book
+            ]
+            for s, book in enumerate(codebooks)
+        ]
+    return luts
+
+
 def ivfpq_topk(
     embeddings: DataFrame | None,
     query: list[float],
@@ -1995,7 +2051,6 @@ def ivfpq_topk(
         cdist = None
     if codebooks is None:
         codebooks = random_codebooks(dim, m, n_codes, code_seed)
-    dsub = len(codebooks[0][0])
     if cdist is None:
         cdist = [
             sum(((c[i] - query[i]) ** 2 for i in range(dim)), 0.0)
@@ -2003,17 +2058,7 @@ def ivfpq_topk(
         ]
     order = sorted(range(n_cells), key=lambda c: (cdist[c], c))
     probes = order[:n_probe]
-    # per probed cell: residual LUT (same Python fold as pq_topk's)
-    luts = {}
-    for c in probes:
-        resq = [query[i] - centroids[c][i] for i in range(dim)]
-        luts[c] = [
-            [
-                sum(((b[i] - resq[s * dsub + i]) ** 2 for i in range(dsub)), 0.0)
-                for b in book
-            ]
-            for s, book in enumerate(codebooks)
-        ]
+    luts = _ivfpq_residual_luts(query, centroids, codebooks, probes)
     if codes is None:
         if embeddings is None:
             raise ValueError("need embeddings to encode, or a prebuilt codes table")
@@ -2113,4 +2158,178 @@ def ivfpq_topk_store(
         embeddings, query, k=k, shortlist=shortlist, n_probe=n_probe,
         id_col=id_col, vec_col=vec_col,
         centroids=cents, codebooks=books, codes=codes,
+    )
+
+def ivfpq_topk_batch(
+    embeddings: DataFrame | None,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    n_cells: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    cell_seed: int = 43,
+    code_seed: int = 44,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroids=None,
+    codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Batch IVF-PQ ADC: one job for a whole query set — the IVF-PQ
+    twin of :func:`ivf_topk_batch`. Per-query probe cells and residual
+    LUTs are built driver-side (same fold + tie rules as
+    :func:`ivfpq_topk`, n_queries * n_probe * m * n_codes floats), the
+    (query_id, cell) probe table broadcasts into the codes join, and
+    an Arrow kernel scores each candidate with its (query, cell) LUT —
+    m adds per candidate, subspaces accumulated in the same order as
+    the point path's expression chain so results are bit-identical per
+    query. sqrt + round stay JVM-side (one rounding convention
+    everywhere). Accepts flat centroids or an :class:`HKMQuantizer`.
+
+    Output: (query_id, vec_id, dist, rank<=k) per query.
+    """
+    import pandas as pd
+
+    spark = queries.sparkSession
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, dist double, rank int"
+        )
+    dim = len(qrows[0][query_vec_col])
+    tree = None
+    if isinstance(centroids, HKMQuantizer):
+        tree = centroids
+        leaves = tree.leaf_centers()
+        centroids = [[float(v) for v in c] for c in leaves]
+    elif centroids is None:
+        centroids = random_centroids(dim, n_cells, cell_seed)
+    if codebooks is None:
+        codebooks = random_codebooks(dim, m, n_codes, code_seed)
+    probe_rows = []
+    luts: dict[tuple[int, int], np.ndarray] = {}
+    for r in qrows:
+        qid = int(r[query_id_col])
+        qv = [float(v) for v in r[query_vec_col]]
+        if tree is not None:
+            dq = ((leaves - np.asarray(qv, dtype=np.float64)) ** 2).sum(axis=1)
+            cdist = [float(v) for v in dq]
+        else:
+            cdist = [
+                sum(((c[i] - qv[i]) ** 2 for i in range(dim)), 0.0)
+                for c in centroids
+            ]
+        probes = sorted(range(len(centroids)), key=lambda c: (cdist[c], c))[
+            :n_probe
+        ]
+        plut = _ivfpq_residual_luts(qv, centroids, codebooks, probes)
+        for c in probes:
+            probe_rows.append((qid, int(c)))
+            luts[(qid, int(c))] = np.asarray(plut[c], dtype=np.float64)
+    if codes is None:
+        if embeddings is None:
+            raise ValueError("need embeddings to encode, or a prebuilt codes table")
+        codes = ivfpq_encode(
+            embeddings, tree if tree is not None else centroids,
+            codebooks, id_col, vec_col,
+        )
+    probe_df = spark.createDataFrame(
+        probe_rows, f"{query_id_col} long, cell int"
+    )
+    cand = codes.join(F.broadcast(probe_df), "cell")
+    bl = spark.sparkContext.broadcast(luts)
+    m_sub = len(codebooks)
+
+    def score(batches):
+        lut_map = bl.value
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {
+                        query_id_col: pd.Series([], dtype=np.int64),
+                        id_col: pdf[id_col],
+                        "adc2": pd.Series([], dtype=np.float64),
+                    }
+                )
+                continue
+            codes_m = np.vstack(pdf["codes"].values).astype(np.int64)
+            out = np.zeros(len(pdf), dtype=np.float64)
+            grp = pdf.groupby([query_id_col, "cell"], sort=False).indices
+            for (qid, cell), idx in grp.items():
+                lut = lut_map[(int(qid), int(cell))]
+                acc = np.zeros(len(idx), dtype=np.float64)
+                sub_codes = codes_m[idx]
+                for s in range(m_sub):
+                    acc += lut[s, sub_codes[:, s]]
+                out[idx] = acc
+            yield pd.DataFrame(
+                {
+                    query_id_col: pdf[query_id_col].values,
+                    id_col: pdf[id_col].values,
+                    "adc2": out,
+                }
+            )
+
+    scored = cand.select(query_id_col, id_col, "cell", "codes").mapInPandas(
+        score, schema=f"{query_id_col} long, {id_col} long, adc2 double"
+    ).select(
+        query_id_col,
+        id_col,
+        F.round(F.sqrt(F.col("adc2")), 6).alias("dist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "dist", "rank")
+    )
+
+def ivfpq_topk_batch_rerank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroids=None,
+    codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Batch IVF-PQ serving: per-query ADC shortlists from ONE batch
+    probe job, then one exact-L2 rerank of the fetched shortlist
+    vectors — the whole query set in two shuffles regardless of batch
+    size. Output: (query_id, vec_id, dist, rank<=k), exact L2."""
+    short = ivfpq_topk_batch(
+        embeddings, queries, k=shortlist, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        centroids=centroids, codebooks=codebooks, codes=codes,
+    ).select(query_id_col, id_col)
+    qv = queries.select(query_id_col, query_vec_col)
+    scored = (
+        short.join(embeddings.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                l2_distance(F.col(vec_col), F.col(query_vec_col)), 6
+            ).alias("dist"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "dist", "rank")
     )

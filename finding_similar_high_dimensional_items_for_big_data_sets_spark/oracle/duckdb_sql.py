@@ -2049,6 +2049,65 @@ FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
 """
 
 
+def sql_ivfpq_topk_batch() -> str:
+    """Mirrors ann.ivfpq_topk_batch: per-query probe cells (same fold
+    distances + cell-index tie rule), per-(query, cell) residual ADC
+    via the same all-cells CASE expression — q now carries BATCH_DOCS
+    rows, so every scored row pairs a candidate with ITS query's
+    residual LUT."""
+    cents, _ = _ivfpq_quantizers()
+    qdists = "[" + ", ".join(_sq_l2_lit("q.qv", c) for c in cents) + "]"
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {C.BATCH_DOCS}),
+{_ivfpq_res_codes_ctes().lstrip()},
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, CAST(u.c AS INT) AS cell,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY ({qdists})[u.c + 1], u.c) AS rn
+    FROM q, (SELECT unnest(range({C.IVF_CELLS})) AS c) u)
+  WHERE rn <= {C.IVF_PROBE}),
+scored AS (
+  SELECT q.query_id, c.vec_id, round(sqrt({_ivfpq_adc_expr()}), 6) AS dist
+  FROM c JOIN probe p ON p.cell = c.cell JOIN q ON q.query_id = p.query_id)
+SELECT query_id, vec_id, dist, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id) AS INT) AS rank
+  FROM scored)
+WHERE rank <= {C.K_BATCH}
+"""
+
+
+def sql_ivfpq_topk_batch_rerank() -> str:
+    """Mirrors ann.ivfpq_topk_batch_rerank: per-query ADC shortlists
+    (same probe + LUT expressions, rn <= SQ_SHORTLIST with the batch
+    path's (dist, vec_id) tie rule), exact-L2 rerank per query."""
+    cents, _ = _ivfpq_quantizers()
+    qdists = "[" + ", ".join(_sq_l2_lit("q.qv", c) for c in cents) + "]"
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {C.BATCH_DOCS}),
+{_ivfpq_res_codes_ctes().lstrip()},
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, CAST(u.c AS INT) AS cell,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY ({qdists})[u.c + 1], u.c) AS rn
+    FROM q, (SELECT unnest(range({C.IVF_CELLS})) AS c) u)
+  WHERE rn <= {C.IVF_PROBE}),
+adc AS (
+  SELECT q.query_id, c.vec_id, round(sqrt({_ivfpq_adc_expr()}), 6) AS adist
+  FROM c JOIN probe p ON p.cell = c.cell JOIN q ON q.query_id = p.query_id),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id) AS rn FROM adc)
+  WHERE rn <= {C.SQ_SHORTLIST}),
+scored AS (
+  SELECT s.query_id, e.vec_id, round({_l2('e.embedding', 'q.qv', C.EMB_DIM)}, 6) AS dist
+  FROM short s JOIN embeddings e ON e.vec_id = s.vec_id JOIN q ON q.query_id = s.query_id)
+SELECT query_id, vec_id, dist, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id) AS INT) AS rank
+  FROM scored)
+WHERE rank <= {C.K_BATCH}
+"""
+
+
 def sql_pq_topk_rerank() -> str:
     """Mirrors ann.pq_topk_rerank: the ADC shortlist (the SAME shared
     expression as sql_pq_topk, LIMIT PQ_SHORTLIST) semi-joins the full
@@ -2477,6 +2536,8 @@ def registry() -> dict[str, str]:
         "ivfpq_codes": sql_ivfpq_codes(),
         "ivfpq_topk": sql_ivfpq_topk(),
         "ivfpq_topk_rerank": sql_ivfpq_topk_rerank(),
+        "ivfpq_topk_batch": sql_ivfpq_topk_batch(),
+        "ivfpq_topk_batch_rerank": sql_ivfpq_topk_batch_rerank(),
         "sq_codes": sql_sq_codes(),
         "sq_topk": sql_sq_topk(),
         "sq_topk_rerank": sql_sq_topk_rerank(),

@@ -1545,6 +1545,39 @@ def q_ivfpq_topk_rerank(spark, sf_dir):
     )
 
 
+def q_ivfpq_topk_batch(spark, sf_dir):
+    """Batch IVF-PQ ADC: one job for the first BATCH_DOCS query
+    vectors — per-query probe cells + residual LUTs built driver-side,
+    broadcast into the codes join, Arrow kernel scores each candidate
+    with its (query, cell) LUT. Answer-identical per query to
+    ivfpq_topk."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < C.BATCH_DOCS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann.ivfpq_topk_batch(
+        emb, qs, k=C.K_BATCH, n_probe=C.IVF_PROBE,
+        n_cells=C.IVF_CELLS, m=C.PQ_M, n_codes=C.PQ_CODES,
+        cell_seed=C.IVF_SEED, code_seed=C.PQ_SEED,
+    )
+
+
+def q_ivfpq_topk_batch_rerank(spark, sf_dir):
+    """Batch IVF-PQ serving tier: per-query ADC shortlists from one
+    probe job, one exact-L2 rerank join — the whole query set in two
+    shuffles."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < C.BATCH_DOCS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = ann.random_centroids(C.EMB_DIM, C.IVF_CELLS, C.IVF_SEED)
+    books = ann.random_codebooks(C.EMB_DIM, C.PQ_M, C.PQ_CODES, C.PQ_SEED)
+    return ann.ivfpq_topk_batch_rerank(
+        emb, qs, k=C.K_BATCH, shortlist=C.SQ_SHORTLIST, n_probe=C.IVF_PROBE,
+        centroids=cents, codebooks=books,
+    )
+
+
 def q_ngram_decontaminate(spark, sf_dir):
     """GPT-3-style n-gram benchmark decontamination: train = the %17
     train split plus planted pages EMBEDDING every 3rd benchmark doc
@@ -1822,6 +1855,8 @@ REGISTRY = {
     "ivfpq_codes": q_ivfpq_codes,
     "ivfpq_topk": q_ivfpq_topk,
     "ivfpq_topk_rerank": q_ivfpq_topk_rerank,
+    "ivfpq_topk_batch": q_ivfpq_topk_batch,
+    "ivfpq_topk_batch_rerank": q_ivfpq_topk_batch_rerank,
     "sq_codes": q_sq_codes,
     "sq_topk": q_sq_topk,
     "sq_topk_rerank": q_sq_topk_rerank,

@@ -381,3 +381,78 @@ def test_ivfpq_hkm_encode_search_and_store(spark, tmp_path):
     ).collect()
     assert rr[0]["vec_id"] == 7 and rr[0]["dist"] == 0.0
     emb.unpersist()
+
+def test_ivfpq_topk_batch_matches_point_path(spark):
+    """Batch ADC must be answer-identical per query to ivfpq_topk —
+    flat centroids AND the HKM tree (same probe rule, same LUT fold,
+    same subspace accumulation order)."""
+    emb = _emb(spark).cache()
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    books = ann.random_codebooks(DIM, M, CODES, seed=44)
+    for quant in (
+        ann.random_centroids(DIM, 16, seed=43),
+        ann.hkm_train_df(
+            emb, n_leaves=16, branch=4, seed=43, sample_size=4096,
+            n_rows=emb.count(),
+        ),
+    ):
+        batch = ann.ivfpq_topk_batch(
+            emb, qs, k=10, n_probe=4, centroids=quant, codebooks=books
+        ).collect()
+        got: dict[int, list] = {}
+        for r in batch:
+            got.setdefault(r["query_id"], []).append(
+                (r["vec_id"], r["dist"], r["rank"])
+            )
+        for qid in range(3):
+            qv = [
+                float(v)
+                for v in emb.filter(F.col("vec_id") == qid).first()["embedding"]
+            ]
+            pt = [
+                (r["vec_id"], r["dist"], r["rank"])
+                for r in ann.ivfpq_topk(
+                    emb, qv, k=10, n_probe=4, centroids=quant, codebooks=books
+                ).collect()
+            ]
+            assert sorted(got[qid]) == sorted(pt), qid
+    emb.unpersist()
+
+
+def test_ivfpq_topk_batch_empty_and_guard(spark):
+    emb = _emb(spark)
+    empty = emb.filter("vec_id < 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assert ann.ivfpq_topk_batch(emb, empty, k=5).count() == 0
+    qs = emb.filter("vec_id < 1").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with pytest.raises(ValueError, match="codes table"):
+        ann.ivfpq_topk_batch(None, qs, k=5)
+
+def test_ivfpq_batch_rerank_full_probe_equals_exact(spark):
+    """Batch rerank with every cell probed and an unbounded shortlist
+    must reduce to exact per-query brute-force L2."""
+    emb = _emb(spark).cache()
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = ann.random_centroids(DIM, 8, seed=43)
+    books = ann.random_codebooks(DIM, M, CODES, seed=44)
+    got = ann.ivfpq_topk_batch_rerank(
+        emb, qs, k=5, shortlist=10_000, n_probe=8,
+        centroids=cents, codebooks=books,
+    ).collect()
+    exact = bruteforce.l2_topk(emb, qs, k=5).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(
+        [(r["query_id"], r["vec_id"], r["dist"], r["rank"]) for r in got],
+        key=lambda t: (t[0], t[3]),
+    ) == sorted(
+        [(r["query_id"], r["vec_id"], r["dist"], r["rank"]) for r in exact],
+        key=lambda t: (t[0], t[3]),
+    )
+    emb.unpersist()
