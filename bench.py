@@ -887,12 +887,16 @@ def main():
                 outliers_once, max(1, reps - 1)
             )
 
-            # IVF-PQ at the same corpus-scaled cells: one linear Arrow
+            # IVF-PQ at the same corpus-scaled cells: one Arrow
             # tree-descent encode pass builds the cell-partitioned
-            # store (expected growth ~1.0), then a FIXED 20-query probe
-            # batch — per-query work is the occupancy of n_probe leaves
-            # (~n_probe * 256 rows however big the corpus), so probe
-            # time must NOT grow with rows (expected growth ~0.1).
+            # store — O(N log n_cells), so with n_cells ∝ N the
+            # 10x growth carries a depth ratio (82 leaves = 2 tree
+            # levels, 820 = 3): expected growth ~1.0-1.5, NOT the
+            # quadratic the flat argmin would give (~4.3 measured in
+            # round 4). The probe is the claim that must hold: a FIXED
+            # 20-query batch whose per-query work is the occupancy of
+            # n_probe leaves (~n_probe * 256 rows however big the
+            # corpus) — probe time must NOT grow with rows (~0.1-0.2).
             ivfpq_dir = f"/tmp/bench_scale_ivfpq_{label}"
             shutil.rmtree(ivfpq_dir, ignore_errors=True)
             books_s = ann.random_codebooks(64, 8, 16, seed=44)
