@@ -1939,11 +1939,11 @@ def _ivfpq_quantizers():
     return cents, books
 
 
-def _ivfpq_res_codes_ctes() -> str:
-    """CTEs assigning every vector to its coarse cell and PQ-encoding
-    the residual — mirrors ann.ivfpq_encode (same assignment argmin,
-    residual = elementwise subtract of the cell's center, same
-    per-subspace first-tie argmin over the residual)."""
+def _ivfpq_res_codes_ctes(source: str = "embeddings") -> str:
+    """CTEs assigning every vector of ``source`` to its coarse cell and
+    PQ-encoding the residual — mirrors ann.ivfpq_encode (same
+    assignment argmin, residual = elementwise subtract of the cell's
+    center, same per-subspace first-tie argmin over the residual)."""
     cents, books = _ivfpq_quantizers()
     dists = "[" + ", ".join(_sq_l2_lit("embedding", c) for c in cents) + "]"
     cents_lit = (
@@ -1963,7 +1963,7 @@ assigned AS (
   SELECT vec_id,
          CAST(list_position(d.ds, list_min(d.ds)) - 1 AS INT) AS cell,
          embedding
-  FROM (SELECT vec_id, embedding, {dists} AS ds FROM embeddings) d),
+  FROM (SELECT vec_id, embedding, {dists} AS ds FROM {source}) d),
 resid AS (
   SELECT vec_id, cell,
          list_transform(range({C.EMB_DIM}),
@@ -2105,6 +2105,20 @@ SELECT query_id, vec_id, dist, rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id) AS INT) AS rank
   FROM scored)
 WHERE rank <= {C.K_BATCH}
+"""
+
+
+def sql_curated_ivfpq_index() -> str:
+    """Twin of q_curated_ivfpq_index: the full semantic-curation
+    statement as a CTE picks the survivor ids, and the shared IVF-PQ
+    codes CTEs run over exactly those embeddings."""
+    return f"""
+WITH cur AS ({sql_semantic_curation()}),
+src AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  WHERE e.vec_id IN (SELECT vec_id FROM cur)),
+{_ivfpq_res_codes_ctes("src").lstrip()}
+SELECT vec_id, cell, codes FROM c
 """
 
 
@@ -2538,6 +2552,7 @@ def registry() -> dict[str, str]:
         "ivfpq_topk_rerank": sql_ivfpq_topk_rerank(),
         "ivfpq_topk_batch": sql_ivfpq_topk_batch(),
         "ivfpq_topk_batch_rerank": sql_ivfpq_topk_batch_rerank(),
+        "curated_ivfpq_index": sql_curated_ivfpq_index(),
         "sq_codes": sql_sq_codes(),
         "sq_topk": sql_sq_topk(),
         "sq_topk_rerank": sql_sq_topk_rerank(),

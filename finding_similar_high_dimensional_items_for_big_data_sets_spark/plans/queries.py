@@ -1578,6 +1578,24 @@ def q_ivfpq_topk_batch_rerank(spark, sf_dir):
     )
 
 
+def q_curated_ivfpq_index(spark, sf_dir):
+    """Curate-then-index flagship: D4 semantic curation (SemDeDup →
+    prototypicality, shared quantizer) feeds the IVF-PQ serving encode
+    — 'clean the corpus, build the billion-scale index' as ONE
+    oracle-checked plan. The curation stage and the index share the
+    seeded coarse cells, so cluster-once carries all the way into the
+    persisted artifact."""
+    emb = _emb(spark, sf_dir)
+    cents = ann.random_centroids(C.EMB_DIM, C.IVF_CELLS, C.IVF_SEED)
+    books = ann.random_codebooks(C.EMB_DIM, C.PQ_M, C.PQ_CODES, C.PQ_SEED)
+    kept = dedup.semantic_curation(
+        emb, centroids=cents,
+        threshold=C.SEM_THRESHOLD, drop_frac=C.PROTO_DROP_FRAC,
+    ).select("vec_id")
+    curated = emb.join(kept, "vec_id", "left_semi")
+    return ann.ivfpq_encode(curated, cents, books)
+
+
 def q_ngram_decontaminate(spark, sf_dir):
     """GPT-3-style n-gram benchmark decontamination: train = the %17
     train split plus planted pages EMBEDDING every 3rd benchmark doc
@@ -1857,6 +1875,7 @@ REGISTRY = {
     "ivfpq_topk_rerank": q_ivfpq_topk_rerank,
     "ivfpq_topk_batch": q_ivfpq_topk_batch,
     "ivfpq_topk_batch_rerank": q_ivfpq_topk_batch_rerank,
+    "curated_ivfpq_index": q_curated_ivfpq_index,
     "sq_codes": q_sq_codes,
     "sq_topk": q_sq_topk,
     "sq_topk_rerank": q_sq_topk_rerank,
