@@ -2314,8 +2314,11 @@ def ivfpq_topk_batch_rerank(
         centroids=centroids, codebooks=codebooks, codes=codes,
     ).select(query_id_col, id_col)
     qv = queries.select(query_id_col, query_vec_col)
+    # broadcast the (small) shortlist into the embeddings scan: the
+    # corpus side fetches shortlist vectors without ever shuffling
     scored = (
-        short.join(embeddings.select(id_col, vec_col), id_col)
+        embeddings.select(id_col, vec_col)
+        .join(F.broadcast(short), id_col)
         .join(F.broadcast(qv), query_id_col)
         .select(
             query_id_col,

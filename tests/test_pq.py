@@ -456,3 +456,20 @@ def test_ivfpq_batch_rerank_full_probe_equals_exact(spark):
         key=lambda t: (t[0], t[3]),
     )
     emb.unpersist()
+
+def test_ivfpq_batch_rerank_plan_broadcasts_shortlist(spark):
+    """The rerank fetch must broadcast the shortlist into the corpus
+    scan (no embeddings-side exchange) — the shape that holds at
+    100 TB."""
+    emb = _emb(spark)
+    qs = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = ann.random_centroids(DIM, 8, seed=43)
+    books = ann.random_codebooks(DIM, M, CODES, seed=44)
+    df = ann.ivfpq_topk_batch_rerank(
+        emb, qs, k=5, shortlist=50, n_probe=3,
+        centroids=cents, codebooks=books,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
