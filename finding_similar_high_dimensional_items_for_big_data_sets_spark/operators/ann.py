@@ -2015,6 +2015,8 @@ def ivfpq_topk(
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
     codes: DataFrame | None = None,
+    alpha: float | None = None,
+    max_probe: int | None = None,
 ) -> DataFrame:
     """IVF-PQ ADC search: pick the n_probe cells nearest the query
     (driver-side, same sequential fold + cell-index tie rule as
@@ -2032,6 +2034,12 @@ def ivfpq_topk(
     LEAF centers (a driver-side numpy scan — O(n_leaves * dim) floats,
     fine into the millions of cells), and inline encoding goes through
     the Arrow tree kernel.
+
+    ``alpha``: replace the fixed ``n_probe`` with the calibrated
+    per-query distance-ratio rule (:func:`ivf_probe_cells_alpha`,
+    optionally budget-capped by ``max_probe``) — the same declarative
+    recall knob the uncompressed IVF path carries, now on the
+    compressed index.
     """
     dim = len(query)
     tree = None
@@ -2057,7 +2065,17 @@ def ivfpq_topk(
             for c in centroids
         ]
     order = sorted(range(n_cells), key=lambda c: (cdist[c], c))
-    probes = order[:n_probe]
+    if alpha is not None:
+        if tree is not None:
+            d = np.sqrt(np.asarray(cdist, dtype=np.float64))
+            bound = (1.0 + float(alpha)) * float(d.min())
+            probes = [c for c in order if d[c] <= bound]
+        else:
+            probes = ivf_probe_cells_alpha(query, centroids, alpha)
+        if max_probe is not None:
+            probes = probes[:max_probe]
+    else:
+        probes = order[:n_probe]
     luts = _ivfpq_residual_luts(query, centroids, codebooks, probes)
     if codes is None:
         if embeddings is None:
@@ -2177,6 +2195,8 @@ def ivfpq_topk_batch(
     centroids=None,
     codebooks: list[list[list[float]]] | None = None,
     codes: DataFrame | None = None,
+    alpha: float | None = None,
+    max_probe: int | None = None,
 ) -> DataFrame:
     """Batch IVF-PQ ADC: one job for a whole query set — the IVF-PQ
     twin of :func:`ivf_topk_batch`. Per-query probe cells and residual
@@ -2222,9 +2242,18 @@ def ivfpq_topk_batch(
                 sum(((c[i] - qv[i]) ** 2 for i in range(dim)), 0.0)
                 for c in centroids
             ]
-        probes = sorted(range(len(centroids)), key=lambda c: (cdist[c], c))[
-            :n_probe
-        ]
+        order = sorted(range(len(centroids)), key=lambda c: (cdist[c], c))
+        if alpha is not None:
+            if tree is not None:
+                d = np.sqrt(np.asarray(cdist, dtype=np.float64))
+                bound = (1.0 + float(alpha)) * float(d.min())
+                probes = [c for c in order if d[c] <= bound]
+            else:
+                probes = ivf_probe_cells_alpha(qv, centroids, alpha)
+            if max_probe is not None:
+                probes = probes[:max_probe]
+        else:
+            probes = order[:n_probe]
         plut = _ivfpq_residual_luts(qv, centroids, codebooks, probes)
         for c in probes:
             probe_rows.append((qid, int(c)))

@@ -2108,6 +2108,29 @@ WHERE rank <= {C.K_BATCH}
 """
 
 
+def sql_ivfpq_topk_alpha() -> str:
+    """Mirrors ann.ivfpq_topk with alpha: the distance-ratio probe rule
+    re-derived in SQL (sqrt of the same sequential fold, min over the
+    cell table), ADC via the shared all-cells CASE."""
+    cents, _ = _ivfpq_quantizers()
+    qdists = "[" + ", ".join(_sq_l2_lit("q.qv", c) for c in cents) + "]"
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {C.QUERY_VEC}),
+{_ivfpq_res_codes_ctes().lstrip()},
+qcell AS (
+  SELECT CAST(u.c AS INT) AS cell, sqrt(({qdists})[u.c + 1]) AS d
+  FROM q, (SELECT unnest(range({C.IVF_CELLS})) AS c) u),
+probe AS (
+  SELECT cell FROM qcell
+  WHERE d <= (1.0 + {C.IVF_PROBE_ALPHA!r}) * (SELECT min(d) FROM qcell)),
+scored AS (
+  SELECT c.vec_id, round(sqrt({_ivfpq_adc_expr()}), 6) AS dist
+  FROM c, q WHERE c.cell IN (SELECT cell FROM probe))
+SELECT vec_id, dist, CAST(row_number() OVER (ORDER BY dist ASC, vec_id) AS INT) AS rank
+FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
+"""
+
+
 def sql_curated_ivfpq_index() -> str:
     """Twin of q_curated_ivfpq_index: the full semantic-curation
     statement as a CTE picks the survivor ids, and the shared IVF-PQ
@@ -2553,6 +2576,7 @@ def registry() -> dict[str, str]:
         "ivfpq_topk_batch": sql_ivfpq_topk_batch(),
         "ivfpq_topk_batch_rerank": sql_ivfpq_topk_batch_rerank(),
         "curated_ivfpq_index": sql_curated_ivfpq_index(),
+        "ivfpq_topk_alpha": sql_ivfpq_topk_alpha(),
         "sq_codes": sql_sq_codes(),
         "sq_topk": sql_sq_topk(),
         "sq_topk_rerank": sql_sq_topk_rerank(),

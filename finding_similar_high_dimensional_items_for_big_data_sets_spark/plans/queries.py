@@ -1578,6 +1578,23 @@ def q_ivfpq_topk_batch_rerank(spark, sf_dir):
     )
 
 
+def q_ivfpq_topk_alpha(spark, sf_dir):
+    """Probe-BUDGETED IVF-PQ: probe every cell whose center distance is
+    within (1 + IVF_PROBE_ALPHA) of the nearest center's — the
+    calibrated declarative recall knob, on the compressed index."""
+    emb = _emb(spark, sf_dir)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == C.QUERY_VEC).first()["embedding"]
+    ]
+    return ann.ivfpq_topk(
+        emb, qvec, k=C.K_VEC,
+        n_cells=C.IVF_CELLS, m=C.PQ_M, n_codes=C.PQ_CODES,
+        cell_seed=C.IVF_SEED, code_seed=C.PQ_SEED,
+        alpha=C.IVF_PROBE_ALPHA,
+    )
+
+
 def q_curated_ivfpq_index(spark, sf_dir):
     """Curate-then-index flagship: D4 semantic curation (SemDeDup →
     prototypicality, shared quantizer) feeds the IVF-PQ serving encode
@@ -1876,6 +1893,7 @@ REGISTRY = {
     "ivfpq_topk_batch": q_ivfpq_topk_batch,
     "ivfpq_topk_batch_rerank": q_ivfpq_topk_batch_rerank,
     "curated_ivfpq_index": q_curated_ivfpq_index,
+    "ivfpq_topk_alpha": q_ivfpq_topk_alpha,
     "sq_codes": q_sq_codes,
     "sq_topk": q_sq_topk,
     "sq_topk_rerank": q_sq_topk_rerank,

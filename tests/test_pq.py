@@ -473,3 +473,56 @@ def test_ivfpq_batch_rerank_plan_broadcasts_shortlist(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+def test_ivfpq_alpha_probe_rule(spark):
+    """alpha=0 probes only the nearest cell; a huge alpha probes every
+    cell (== n_probe=all results); batch alpha matches the point path."""
+    emb = _emb(spark).cache()
+    cents = ann.random_centroids(DIM, 8, seed=43)
+    books = ann.random_codebooks(DIM, M, CODES, seed=44)
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    codes = ann.ivfpq_encode(emb, cents, books)
+    # alpha -> infinity == probe all cells
+    wide = ann.ivfpq_topk(
+        None, q, k=10, centroids=cents, codebooks=books, codes=codes,
+        alpha=1e9,
+    ).collect()
+    allp = ann.ivfpq_topk(
+        None, q, k=10, n_probe=8, centroids=cents, codebooks=books, codes=codes,
+    ).collect()
+    assert sorted(map(tuple, wide)) == sorted(map(tuple, allp))
+    # alpha=0 scans exactly the nearest cell's members
+    tight = ann.ivfpq_topk(
+        None, q, k=10_000, centroids=cents, codebooks=books, codes=codes,
+        alpha=0.0,
+    ).collect()
+    own = ann.ivf_probe_cells_alpha(q, cents, 0.0)
+    n_cell0 = codes.filter(F.col("cell").isin(own)).count()
+    assert len(tight) == n_cell0
+    # batch twin agrees with the point path at the same alpha
+    qs = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = ann.ivfpq_topk_batch(
+        None, qs, k=10, centroids=cents, codebooks=books, codes=codes,
+        alpha=0.3, max_probe=6,
+    ).collect()
+    got: dict[int, list] = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["dist"], r["rank"])
+        )
+    for qid in range(2):
+        qv = [
+            float(v)
+            for v in emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        pt = [
+            (r["vec_id"], r["dist"], r["rank"])
+            for r in ann.ivfpq_topk(
+                None, qv, k=10, centroids=cents, codebooks=books, codes=codes,
+                alpha=0.3, max_probe=6,
+            ).collect()
+        ]
+        assert sorted(got.get(qid, [])) == sorted(pt), qid
+    emb.unpersist()
