@@ -280,3 +280,58 @@ def test_stream_semantic_maintains_ivfpq_codes_store(spark, tmp_path):
         assert first["vec_id"] == 100 and first["dist"] == 0.0
     finally:
         spark.sql("DROP TABLE IF EXISTS t_sem_hist5")
+
+
+def test_stream_semantic_ivfpq_codes_with_hkm_tree(spark, tmp_path):
+    """The codes-store maintenance also composes with an HKMQuantizer:
+    base + survivors encoded through the tree kernel, store readable
+    and probe-able, sidecar round-trips the tree."""
+    rs = np.random.RandomState(41)
+    X = np.vstack([rs.normal(size=DIM) * 6 for _ in range(8)])
+    tree = ann.hkm_train(X, n_leaves=4, branch=2, seed=7)
+    books = ann.random_codebooks(DIM, 2, 4, seed=11)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(8)]
+    _fresh_table(spark, "t_sem_hist6")
+    SS.write_cell_store_partitioned(
+        _corpus(spark, rows), "t_sem_hist6", tree, num_buckets=2
+    )
+    codes_p = str(tmp_path / "codes6")
+    SS.write_ivfpq_stream_base(_corpus(spark, rows), codes_p, tree, books)
+    fresh = _vec(rs, 4.0)
+    batch = _corpus(
+        spark, [(100, [float(v) for v in X[5]]), (101, fresh)]  # clone + fresh
+    )
+    src = str(tmp_path / "src6")
+    batch.coalesce(1).write.mode("overwrite").parquet(src)
+    try:
+        SS.stream_semantic_ingest(
+            spark.readStream.schema(batch.schema).parquet(src),
+            "t_sem_hist6", str(tmp_path / "out6"), str(tmp_path / "ckpt6"),
+            tree, threshold=0.99, pq_codebooks=books, codes_path=codes_p,
+        ).awaitTermination(120)
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+            read_ivfpq_index,
+        )
+
+        codes, t2, _ = read_ivfpq_index(spark, codes_p)
+        assert isinstance(t2, ann.HKMQuantizer)
+        assert {r["vec_id"] for r in codes.collect()} == set(range(8)) | {101}
+        # streamed codes == batch encode of the same vectors via the tree
+        all_rows = _corpus(spark, rows + [(101, fresh)])
+        expect = {
+            r["vec_id"]: (r["cell"], list(r["codes"]))
+            for r in ann.ivfpq_encode(all_rows, tree, books).collect()
+        }
+        got = {
+            r["vec_id"]: (r["cell"], list(r["codes"]))
+            for r in codes.collect()
+        }
+        assert got == expect
+        top = ann.ivfpq_topk_store(
+            spark, codes_p, fresh, k=3, n_probe=4,
+            shortlist=10, embeddings=all_rows,
+        )
+        first = top.first()
+        assert first["vec_id"] == 101 and first["dist"] == 0.0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sem_hist6")
