@@ -2152,6 +2152,8 @@ def ivfpq_topk_store(
     id_col: str = "vec_id",
     embeddings: DataFrame | None = None,
     vec_col: str = "embedding",
+    alpha: float | None = None,
+    max_probe: int | None = None,
 ) -> DataFrame:
     """IVF-PQ search against a persisted :func:`..sources.tables.
     write_ivfpq_index` store: cells, codebooks, and codes all come from
@@ -2169,9 +2171,14 @@ def ivfpq_topk_store(
         return ivfpq_topk(
             None, query, k=k, n_probe=n_probe, id_col=id_col,
             centroids=cents, codebooks=books, codes=codes,
+            alpha=alpha, max_probe=max_probe,
         )
     if embeddings is None:
         raise ValueError("shortlist rerank needs the embeddings DataFrame")
+    if alpha is not None:
+        raise ValueError(
+            "alpha probing applies to the ADC path; rerank fixes n_probe"
+        )
     return ivfpq_topk_rerank(
         embeddings, query, k=k, shortlist=shortlist, n_probe=n_probe,
         id_col=id_col, vec_col=vec_col,

@@ -526,3 +526,25 @@ def test_ivfpq_alpha_probe_rule(spark):
         ]
         assert sorted(got.get(qid, [])) == sorted(pt), qid
     emb.unpersist()
+
+def test_ivfpq_store_alpha_probing(spark, tmp_path):
+    """The store path carries the alpha knob: huge alpha == all-probe
+    results; alpha on the rerank path is refused (probe budget is the
+    ADC layer's knob)."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        write_ivfpq_index,
+    )
+
+    emb = _emb(spark)
+    cents = ann.random_centroids(DIM, 8, seed=43)
+    books = ann.random_codebooks(DIM, M, CODES, seed=44)
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    p = str(tmp_path / "alpha_store")
+    write_ivfpq_index(emb, p, cents, books)
+    wide = ann.ivfpq_topk_store(spark, p, q, k=10, alpha=1e9).collect()
+    allp = ann.ivfpq_topk_store(spark, p, q, k=10, n_probe=8).collect()
+    assert sorted(map(tuple, wide)) == sorted(map(tuple, allp))
+    with pytest.raises(ValueError, match="rerank"):
+        ann.ivfpq_topk_store(
+            spark, p, q, k=10, alpha=0.5, shortlist=50, embeddings=emb
+        )
