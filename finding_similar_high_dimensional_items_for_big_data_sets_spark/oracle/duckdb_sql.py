@@ -2327,7 +2327,10 @@ pairs AS (
            struct_pack(l := c[i], r := c[i+1]))) AS p
   FROM chars),
 agg AS (
-  SELECT p.l AS "left", p.r AS "right", sum(cnt) AS cnt
+  -- CAST: DuckDB sum(BIGINT) yields HUGEINT, which surfaces over Arrow as
+  -- decimal128(38,0) and hash-mismatches Spark's BIGINT even when every
+  -- value is equal. BIGINT keeps both engines' dtypes aligned.
+  SELECT p.l AS "left", p.r AS "right", CAST(sum(cnt) AS BIGINT) AS cnt
   FROM pairs GROUP BY 1, 2)
 SELECT "left", "right", cnt,
        CAST(row_number() OVER (ORDER BY cnt DESC, "left" ASC, "right" ASC) AS INT) AS rank

@@ -35,6 +35,63 @@ def canon(v):
     return str(v)
 
 
+BANNED_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT")
+
+
+def _type_class(t: str) -> str:
+    """Collapse a dtype string (either engine) to a comparison class so
+    Spark/DuckDB output columns can be checked for hash-compatibility.
+    The driver's hasher canonicalizes values type-sensitively, so e.g.
+    DuckDB HUGEINT (decimal128 over Arrow) vs Spark BIGINT hash-mismatches
+    even when every value is equal (the round-5 ``bpe_pair_counts`` red row)."""
+    t = t.strip().upper()
+    if t.startswith(("DECIMAL", "HUGEINT", "UHUGEINT")):
+        return "decimal"
+    if t.startswith(("ARRAY", "STRUCT", "MAP")) or "[]" in t or t.startswith("LIST"):
+        return "nested"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "INT", "BIGINT", "LONG", "SHORT", "BYTE") or t.startswith(
+        ("UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT")
+    ):
+        return "int"
+    if t in ("FLOAT", "REAL", "DOUBLE", "DOUBLE PRECISION"):
+        return "float"
+    if t in ("VARCHAR", "STRING", "TEXT"):
+        return "str"
+    if t in ("BOOLEAN", "BOOL"):
+        return "bool"
+    if t in ("BLOB", "BINARY", "BYTEA"):
+        return "binary"
+    if t.startswith(("TIMESTAMP", "DATE")):
+        return "temporal"
+    return t.lower()
+
+
+def oracle_type_problems(con, sql, spark_dtypes):
+    """DESCRIBE the oracle (plan-only, no execution) and return problems:
+    banned output types (HUGEINT/DECIMAL/unsigned) and per-column dtype
+    class mismatches against the Spark result schema."""
+    problems = []
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception as e:  # pragma: no cover - surfaced as a failure upstream
+        return [f"describe error: {str(e)[:120]}"]
+    duck_types = {r[0]: r[1] for r in desc}
+    for col, dt in duck_types.items():
+        if dt.strip().upper().startswith(BANNED_DUCK_TYPES):
+            problems.append(
+                f"oracle column `{col}` has banned DuckDB type {dt} "
+                f"(surfaces as decimal128 over Arrow; CAST it in the oracle SQL)"
+            )
+    sd = dict(spark_dtypes)
+    for col, dt in duck_types.items():
+        if col in sd and _type_class(dt) != _type_class(sd[col]):
+            problems.append(
+                f"dtype class mismatch on `{col}`: spark {sd[col]} "
+                f"({_type_class(sd[col])}) vs duckdb {dt} ({_type_class(dt)})"
+            )
+    return problems
+
+
 def result_hash(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
@@ -76,6 +133,11 @@ def main():
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(srows)} rows)")
+            continue
+        type_problems = oracle_type_problems(con, oracles[name], sdf.dtypes)
+        if type_problems:
+            print(f"FAIL {name}: " + "; ".join(type_problems[:3]))
+            failures.append(name)
             continue
         try:
             cur = con.execute(oracles[name])
