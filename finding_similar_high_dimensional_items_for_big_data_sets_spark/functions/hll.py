@@ -37,8 +37,17 @@ from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.ha
 )
 
 # Rank-bit width: portable_hash64 yields < 2^60; after dropping p
-# register bits (p <= 6 here) the rest fits in 54 bits.
+# register bits (p >= 6 enforced) the rest fits in 54 bits.
 HLL_W = 54
+
+
+def _check_p(p: int) -> None:
+    """HLL_W = 54 rank bits assumes p >= 6 (portable_hash64 < 2^60, so
+    rest = h >> p < 2^(60-p) <= 2^54); p < 6 would saturate most ranks
+    at 1 and badly bias the estimate. p <= 9 keeps the exact int64
+    harmonic sum in range. Reject anything outside [6, 9]."""
+    if not 6 <= p <= 9:
+        raise ValueError(f"p must be in [6, 9] (got {p}): W=54 rank bits need p >= 6; exact int64 harmonic sum needs p <= 9")
 
 
 def hll_alpha(m: int) -> float:
@@ -70,6 +79,7 @@ def hll_registers(
     group after the one bounded-key-space shuffle (map-side combine
     collapses each partition to <= 2^p rows per group first).
     Duplicates cannot change a max, so the input needs no distinct."""
+    _check_p(p)
     m = 1 << p
     h = portable_hash64(F.col(key_col))
     rest = F.shiftright(h, p)
@@ -104,9 +114,8 @@ def hll_estimate(
     is the single division NUM/S with NUM = alpha_m * m^2 * 2^W as a
     Python double literal, rounded to 6.
     """
+    _check_p(p)
     m = 1 << p
-    if HLL_W + p > 63:
-        raise ValueError("p too large for exact int64 harmonic sum")
     g = list(group_cols or [])
     agg = registers.groupBy(*g).agg(
         F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_W} - m_j)")).alias("sp"),

@@ -654,7 +654,13 @@ def ivf_probe_cells_alpha(
     :func:`ivf_alpha_for_recall`. Distances use the same sequential
     fold + tie-by-cell-index contract as :func:`probe_cells`, so the
     DuckDB twin reproduces the set exactly. ``max_probe`` caps the
-    scan budget (nearest cells win)."""
+    scan budget (nearest cells win).
+
+    Degenerate-query convention (d1 == 0, query exactly on a center):
+    bound = 0, so the probe set is exactly the distance-0 cells — the
+    nearest cell is always included. :func:`ivf_alpha_for_recall`
+    models the SAME rule (ratio 1 for distance-0 cells, unreachable
+    otherwise), so calibrated alpha describes what such queries scan."""
     import math
 
     if alpha < 0.0:
@@ -697,16 +703,27 @@ def ivf_alpha_for_recall(
 
     if not 0.0 < target_recall <= 1.0:
         raise ValueError(f"target_recall must be in (0,1], got {target_recall}")
-    # per true neighbor: the distance ratio its cell needs
+    # per true neighbor: the distance ratio its cell needs. Degenerate
+    # queries (d1 == 0) use the probe rule's own convention — bound is
+    # 0 at every alpha, so a neighbor is reachable (ratio 1.0) iff its
+    # cell distance is also 0, else unreachable (inf) — matching
+    # ivf_probe_cells_alpha exactly instead of the old d1 := 1.0
+    # substitution that turned ratios into absolute distances.
     per_query_ratios: list[list[float]] = []
     for qid, qv in queries:
         cdist = [
             math.sqrt(sum(((c[i] - qv[i]) ** 2 for i in range(len(qv))), 0.0))
             for c in centroids
         ]
-        d1 = min(cdist) or 1.0
+        d1 = min(cdist)
         ratios = sorted(
-            cdist[cell_of[v]] / d1 for v in truth.get(qid, ()) if v in cell_of
+            (
+                cdist[cell_of[v]] / d1
+                if d1 > 0.0
+                else (1.0 if cdist[cell_of[v]] == 0.0 else math.inf)
+            )
+            for v in truth.get(qid, ())
+            if v in cell_of
         )
         if ratios:
             per_query_ratios.append(ratios)
@@ -721,7 +738,12 @@ def ivf_alpha_for_recall(
         return sum(vals) / len(vals)
 
     candidates = sorted(
-        {max(0.0, r - 1.0) for rs in per_query_ratios for r in rs}
+        {
+            max(0.0, r - 1.0)
+            for rs in per_query_ratios
+            for r in rs
+            if math.isfinite(r)
+        }
     )
     for a in candidates:
         rec = recall_at(a)
@@ -1136,8 +1158,10 @@ def _kmeans_node(
     X: np.ndarray, k: int, rs: np.random.RandomState, n_iters: int
 ) -> tuple[np.ndarray, np.ndarray]:
     """Plain seeded Lloyd on one node's points: k centers + per-point
-    assignment. Init picks k distinct rows; an emptied cluster reseeds
-    to the point farthest from its current center (keeps k alive)."""
+    assignment. Init picks k distinct rows; emptied clusters reseed to
+    the points farthest from their assigned center, each empty cluster
+    taking a DISTINCT row (farthest-first) so simultaneous empties
+    can't collapse onto one duplicate center and waste leaf budget."""
     n = len(X)
     k = min(k, n)
     init_idx = rs.choice(n, size=k, replace=False)
@@ -1146,12 +1170,15 @@ def _kmeans_node(
     for _ in range(n_iters):
         d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ cents.T) + (cents * cents).sum(1)[None, :]
         assign = d2.argmin(axis=1)
+        empties = [ci for ci in range(k) if not (assign == ci).any()]
         for ci in range(k):
             sel = assign == ci
             if sel.any():
                 cents[ci] = X[sel].mean(axis=0)
-            else:
-                cents[ci] = X[d2[np.arange(n), assign].argmax()]
+        if empties:
+            far_order = np.argsort(-d2[np.arange(n), assign])
+            for slot, ci in enumerate(empties):
+                cents[ci] = X[far_order[slot]]
     return cents, assign
 
 

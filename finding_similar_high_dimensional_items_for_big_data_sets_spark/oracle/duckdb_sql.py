@@ -1684,10 +1684,16 @@ def sql_events_asof() -> str:
     independent implementation of the as-of semantics (not a twin of
     the Spark window plan), then the same tolerance null-out and
     no-match defaults. Values are copied doubles (no arithmetic), the
-    lag is exact integer microseconds."""
+    lag is exact integer microseconds. The right side is pre-deduped to
+    the max event_id per (user_id, ts) BEFORE the ASOF join: DuckDB's
+    choice among right rows sharing the maximal ts is unspecified,
+    while the Spark side documents the largest-event_id tie rule —
+    dedup makes both engines share that rule independent of whether
+    the fixture ever produces duplicate (user_id, ts) view rows."""
     return f"""
 WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
-r AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'view'),
+r AS (SELECT user_id, ts, max(event_id) AS event_id, arg_max(value, event_id) AS value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
 j AS (
   SELECT l.event_id, l.user_id, l.value AS click_value,
          r.event_id AS v_id, r.value AS v_val,

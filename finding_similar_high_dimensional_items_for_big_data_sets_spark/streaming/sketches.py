@@ -15,13 +15,16 @@ This is the scale shape for "running frequency / cardinality picture
 of a 100 TB crawl": per-epoch state is bounded by the sketch size, the
 store grows by one tiny partition per epoch, and
 :func:`compact_sketch_store` folds history back to one partition
-(crash-safe: the fold is re-runnable because merging is idempotent
-w.r.t. already-compacted partitions only through the rewrite — the
-compaction writes the merged result as a NEW base partition and drops
-the absorbed ones in one dynamic overwrite).
+(crash-safe via a sibling-directory write + rename swap, healed by
+:func:`recover_sketch_compact`; an absorbed-epoch watermark makes
+checkpoint replays of folded epochs no-ops instead of double counts).
 """
 
 from __future__ import annotations
+
+import json
+import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,8 +34,30 @@ from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions im
 # Epoch id for base/compacted partitions; real stream epochs are >= 0.
 BASE_SKETCH_BATCH = -1
 
+# Underscore prefix: parquet scans ignore `_*` files, so the watermark
+# rides inside the store directory without affecting merged reads.
+_WATERMARK_FILE = "_absorbed_watermark.json"
+
+
+def _read_watermark(path: str) -> int | None:
+    """Max epoch id ever folded into this store's base partition, or
+    None if the store was never compacted."""
+    f = os.path.join(path, _WATERMARK_FILE)
+    if not os.path.exists(f):
+        return None
+    with open(f) as fh:
+        return int(json.load(fh)["max_absorbed_epoch"])
+
 
 def _write_epoch(df: DataFrame, path: str, batch_id: int) -> None:
+    # Replay guard: an epoch at or below the absorbed watermark was
+    # already folded into the base partition by compact_sketch_store —
+    # re-landing it as its own partition would double-count CMS sums
+    # (HLL max would survive, but the store contract is shared). A
+    # replayed epoch keeps its batch_id, so the drop is exactly-once.
+    wm = _read_watermark(path)
+    if wm is not None and int(batch_id) <= wm:
+        return
     s = df.sparkSession
     prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -97,33 +122,97 @@ def read_hll_sketch(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _store_epochs(path: str) -> list[int]:
+    """Real (>= 0) epoch partition ids currently in the store."""
+    out = []
+    for name in os.listdir(path):
+        if name.startswith("ingest_batch="):
+            b = int(name.split("=", 1)[1])
+            if b >= 0:
+                out.append(b)
+    return sorted(out)
+
+
 def compact_sketch_store(spark: SparkSession, path: str, kind: str) -> None:
-    """Fold every epoch partition into the single BASE partition:
-    read-merge, write the merged sketch as the base partition, then
-    drop the absorbed epoch partitions in the same static overwrite.
-    The store stays readable by the same merged-read afterwards; a
-    crash before the overwrite leaves the old store intact (the write
-    is atomic at the _SUCCESS/rename level for a static overwrite of
-    the whole path via a temp-dir swap handled by the committer)."""
+    """Fold every epoch partition into the single BASE partition,
+    crash-safely: the merged sketch is written to a SIBLING tmp
+    directory first, then swapped in via rename-aside / rename-in /
+    delete-old — a complete store exists under some directory at every
+    instant (a same-path static overwrite would delete the store
+    before the job writes, losing everything on a mid-write crash).
+    A process death mid-swap is healed by :func:`recover_sketch_compact`.
+
+    Replay safety: the swap carries an ``_absorbed_watermark.json``
+    recording the max epoch folded into the base; ``_write_epoch``
+    drops any replayed epoch at or below it, so a stream checkpoint
+    that replays an absorbed epoch cannot re-land it as a fresh
+    partition and double-count CMS sums. (Compaction itself should
+    still run while the maintenance stream is stopped — the watermark
+    protects the restart, not a concurrent writer.)"""
     if kind == "cms":
         merged = read_cms_sketch(spark, path)
     elif kind == "hll":
         merged = read_hll_sketch(spark, path)
     else:
         raise ValueError(f"unknown sketch kind: {kind}")
-    # materialize before overwriting the directory the plan reads
+    prev_wm = _read_watermark(path)
+    epochs = _store_epochs(path)
+    new_wm = max([e for e in epochs] + ([prev_wm] if prev_wm is not None else []), default=None)
+    # materialize before touching the directory the plan reads
     rows = merged.localCheckpoint(eager=True)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    # force STATIC: the whole-path overwrite is what drops the
-    # absorbed epoch partitions (dynamic would leave them alongside
-    # the new base and double-count on the next merged read)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    (
+        rows.withColumn("ingest_batch", F.lit(BASE_SKETCH_BATCH))
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(tmp)
+    )
+    if new_wm is not None:
+        with open(os.path.join(tmp, _WATERMARK_FILE), "w") as fh:
+            json.dump({"max_absorbed_epoch": int(new_wm)}, fh)
+    # rename-aside / rename-in / delete-old: plain directory renames
+    # (atomic on one filesystem); recover_sketch_compact heals a death
+    # at any point between them.
+    os.rename(path, old)
     try:
-        (
-            rows.withColumn("ingest_batch", F.lit(BASE_SKETCH_BATCH))
-            .write.mode("overwrite")
-            .partitionBy("ingest_batch")
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        os.rename(tmp, path)
+    except Exception:
+        os.rename(old, path)
+        raise
+    shutil.rmtree(old)
+
+
+def recover_sketch_compact(path: str) -> bool:
+    """Startup recovery after a process death inside
+    :func:`compact_sketch_store`'s swap: re-install whichever complete
+    copy survives under ``path`` (the compacted tmp if its write
+    finished — ``_SUCCESS`` present — else the set-aside original) and
+    clear leftovers. Returns True if any action was taken."""
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
+    acted = False
+    if os.path.exists(path):
+        # store is live; stale leftovers from an interrupted (or
+        # pre-swap-crashed) compaction just need clearing
+        for left in (tmp, old):
+            if os.path.exists(left):
+                shutil.rmtree(left)
+                acted = True
+        return acted
+    if os.path.exists(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        os.rename(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        return True
+    if os.path.exists(old):
+        os.rename(old, path)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        return True
+    raise ValueError(
+        f"no surviving copy of sketch store {path} (neither the store, a "
+        "complete __compact_tmp, nor __compact_old exists)"
+    )
