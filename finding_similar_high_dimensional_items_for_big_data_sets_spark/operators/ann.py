@@ -665,6 +665,11 @@ def ivf_probe_cells_alpha(
 
     if alpha < 0.0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
+    # scalar pow fold ON PURPOSE: calibrated alpha is a realized ratio,
+    # so the bound compare can sit at exact equality — the SQL twin
+    # computes pow()-based distances, and glibc pow(x,2) != x*x in the
+    # last ulp, so a vectorized (multiply-based) fold could flip the
+    # boundary cell in or out and break oracle parity.
     cdist2 = [
         sum(((c[i] - query[i]) ** 2 for i in range(len(query))), 0.0)
         for c in centroids
@@ -2263,6 +2268,7 @@ def ivfpq_topk_batch(
         centroids = random_centroids(dim, n_cells, cell_seed)
     if codebooks is None:
         codebooks = random_codebooks(dim, m, n_codes, code_seed)
+    cent_mat = np.asarray(centroids, dtype=np.float64)
     probe_rows = []
     luts: dict[tuple[int, int], np.ndarray] = {}
     for r in qrows:
@@ -2272,10 +2278,11 @@ def ivfpq_topk_batch(
             dq = ((leaves - np.asarray(qv, dtype=np.float64)) ** 2).sum(axis=1)
             cdist = [float(v) for v in dq]
         else:
-            cdist = [
-                sum(((c[i] - qv[i]) ** 2 for i in range(dim)), 0.0)
-                for c in centroids
-            ]
+            # same vectorized path as the HKM branch above; cdist only
+            # ranks cells for the top-n_probe pick here (the alpha
+            # branch recomputes its boundary-exact fold itself)
+            dq = ((cent_mat - np.asarray(qv, dtype=np.float64)) ** 2).sum(axis=1)
+            cdist = [float(v) for v in dq]
         order = sorted(range(len(centroids)), key=lambda c: (cdist[c], c))
         if alpha is not None:
             if tree is not None:
