@@ -1064,3 +1064,188 @@ def append_ivfpq_index(
     ivfpq_encode(embeddings, centroids, codebooks, id_col, vec_col).write.mode(
         "append"
     ).partitionBy("cell").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ store lifecycle: delete + compaction, crash-safe (the cell-store
+# twin of compact_index / delete_from_index / recover_sigs_swap)
+# ---------------------------------------------------------------------------
+
+ABSORBED_WATERMARK_FILE = "_absorbed_watermark.json"
+
+
+def read_absorbed_watermark(path: str) -> int | None:
+    """Max stream epoch ever folded into a store's base partition by a
+    compaction, or None if never compacted. Underscore-prefixed file:
+    parquet scans ignore it, so it rides inside the store directory."""
+    import json
+
+    f = os.path.join(path, ABSORBED_WATERMARK_FILE)
+    if not os.path.exists(f):
+        return None
+    with open(f) as fh:
+        return int(json.load(fh)["max_absorbed_epoch"])
+
+
+def write_absorbed_watermark(path: str, epoch: int) -> None:
+    import json
+
+    with open(os.path.join(path, ABSORBED_WATERMARK_FILE), "w") as fh:
+        json.dump({"max_absorbed_epoch": int(epoch)}, fh)
+
+
+def _store_epoch_partitions(path: str) -> list[int]:
+    """Real (>= 0) ``ingest_batch=`` partition ids under ``path``."""
+    out = []
+    for name in os.listdir(path):
+        if name.startswith("ingest_batch="):
+            b = int(name.split("=", 1)[1])
+            if b >= 0:
+                out.append(b)
+    return sorted(out)
+
+
+def _replace_dir(path: str, tmp: str) -> None:
+    """Rename-aside / rename-in / delete-old directory swap: a complete
+    copy exists under some name at every instant; an in-process failure
+    restores the original; a process death inside the window is healed
+    by the matching recover function."""
+    import shutil
+
+    old = path.rstrip("/") + "__compact_old"
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except Exception:
+        os.rename(old, path)
+        raise
+    shutil.rmtree(old)
+
+
+def _rewrite_ivfpq_swapped(spark: SparkSession, path: str, transform) -> None:
+    """Crash-safe full rewrite of an IVF-PQ codes store:
+    ``transform(current_df, part_cols)`` produces the replacement rows,
+    written to a sibling tmp directory under the SAME partition layout
+    with the quantizer sidecar (and any absorbed-epoch watermark)
+    carried over, then swapped in by directory rename. Shared by
+    :func:`compact_ivfpq_index` and :func:`delete_from_ivfpq_index`."""
+    import shutil
+
+    meta = read_store_meta(path)
+    if meta.get("kind") not in ("ivfpq", "ivfpq_hkm"):
+        raise ValueError(
+            f"{path} is not an IVF-PQ store (kind={meta.get('kind')!r})"
+        )
+    codes = spark.read.parquet(path)
+    part_cols = [c for c in ("ingest_batch", "cell") if c in codes.columns]
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    replacement = transform(codes, part_cols)
+    writer = replacement.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(tmp)
+    # sidecars AFTER the data write: their presence next to _SUCCESS is
+    # what recover_ivfpq_swap treats as "tmp is complete"
+    shutil.copy2(
+        os.path.join(path, "_index_meta.json"),
+        os.path.join(tmp, "_index_meta.json"),
+    )
+    wm = read_absorbed_watermark(path)
+    new_wm = getattr(transform, "new_watermark", None)
+    if new_wm is not None:
+        wm = new_wm if wm is None else max(wm, new_wm)
+    if wm is not None:
+        write_absorbed_watermark(tmp, wm)
+    _replace_dir(path, tmp)
+
+
+def compact_ivfpq_index(spark: SparkSession, path: str) -> None:
+    """Compact an IVF-PQ codes store: many appends (or one stream epoch
+    partition per micro-batch from ``stream_semantic_ingest``) leave
+    small files / unbounded ``ingest_batch=`` directories; rewrite the
+    store once, folding every epoch into ``BASE_INGEST_BATCH`` while
+    KEEPING the cell partitioning (probe pruning must survive
+    compaction). Crash-safe via the sibling-dir + rename swap
+    (:func:`recover_ivfpq_swap` heals a mid-swap death). For
+    batch-partitioned stores the swap carries an absorbed-epoch
+    watermark so a stream replay of a folded epoch is dropped by the
+    maintenance loop instead of double-landing (mirrors
+    ``streaming.sketches``); still run compaction while the stream is
+    stopped — the watermark protects the restart, not a concurrent
+    writer."""
+
+    def fold(codes: DataFrame, part_cols: list[str]) -> DataFrame:
+        if "ingest_batch" in part_cols:
+            codes = codes.withColumn(
+                "ingest_batch", F.lit(BASE_INGEST_BATCH)
+            )
+        return codes
+
+    epochs = _store_epoch_partitions(path)
+    fold.new_watermark = max(epochs) if epochs else None
+    _rewrite_ivfpq_swapped(spark, path, fold)
+
+
+def delete_from_ivfpq_index(
+    spark: SparkSession,
+    delete_ids,
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Targeted deletion from a persisted IVF-PQ codes store — the
+    retention / right-to-be-forgotten operator, completing the
+    create/append/probe/compact lifecycle at parity with the LSH
+    index's :func:`delete_from_index`. ``delete_ids``: a one-column
+    DataFrame or a Python list of ids (broadcast anti-join — delete
+    sets are small; a corpus-scale delete is a rebuild). The rewrite
+    preserves the cell (and any ingest_batch) partition layout and the
+    quantizer sidecar, and swaps in crash-safely; re-running a delete
+    converges. Parquet files are immutable, so deletion is O(store
+    rewrite) — batch deletes into maintenance windows."""
+    if not isinstance(delete_ids, DataFrame):
+        delete_ids = spark.createDataFrame(
+            [(int(i),) for i in delete_ids], f"{id_col} bigint"
+        )
+    ids = F.broadcast(delete_ids.select(id_col).distinct())
+    _rewrite_ivfpq_swapped(
+        spark, path, lambda cur, _parts: cur.join(ids, id_col, "left_anti")
+    )
+
+
+def recover_ivfpq_swap(path: str) -> bool:
+    """Startup recovery after a process death inside an IVF-PQ store
+    rewrite's swap: re-install whichever complete copy survives under
+    ``path`` (the rewritten tmp if its data AND sidecar landed, else
+    the set-aside original) and clear leftovers. Returns True if any
+    action was taken; raises only if no copy survives."""
+    import shutil
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
+    acted = False
+    if os.path.exists(path):
+        for left in (tmp, old):
+            if os.path.exists(left):
+                shutil.rmtree(left)
+                acted = True
+        return acted
+    tmp_complete = os.path.exists(os.path.join(tmp, "_SUCCESS")) and os.path.exists(
+        os.path.join(tmp, "_index_meta.json")
+    )
+    if tmp_complete:
+        os.rename(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        return True
+    if os.path.exists(old):
+        os.rename(old, path)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        return True
+    raise ValueError(
+        f"no surviving copy of IVF-PQ store {path} (neither the store, a "
+        "complete __compact_tmp, nor __compact_old exists)"
+    )

@@ -150,6 +150,20 @@ def semantic_new_rows(
     )
 
 
+def _epoch_absorbed(codes_path: str, batch_id: int) -> bool:
+    """True iff this epoch was already folded into the codes store's
+    base partition by :func:`..sources.tables.compact_ivfpq_index` —
+    a checkpoint-loss replay of an absorbed epoch must NOT re-land it
+    as a fresh ``ingest_batch`` partition (its rows would then exist
+    twice: in the base and in the replayed partition)."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        read_absorbed_watermark,
+    )
+
+    wm = read_absorbed_watermark(codes_path)
+    return wm is not None and int(batch_id) <= wm
+
+
 def write_ivfpq_stream_base(
     embeddings: DataFrame,
     codes_path: str,
@@ -261,7 +275,9 @@ def stream_semantic_ingest(
                 .partitionBy("ingest_batch")
                 .parquet(out_path)
             )
-            if codes_path is not None:
+            if codes_path is not None and not _epoch_absorbed(
+                codes_path, batch_id
+            ):
                 from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
                     ivfpq_encode,
                 )

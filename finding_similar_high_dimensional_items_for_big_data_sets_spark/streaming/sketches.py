@@ -22,7 +22,6 @@ checkpoint replays of folded epochs no-ops instead of double counts).
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 
@@ -34,19 +33,15 @@ from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions im
 # Epoch id for base/compacted partitions; real stream epochs are >= 0.
 BASE_SKETCH_BATCH = -1
 
-# Underscore prefix: parquet scans ignore `_*` files, so the watermark
-# rides inside the store directory without affecting merged reads.
-_WATERMARK_FILE = "_absorbed_watermark.json"
-
-
 def _read_watermark(path: str) -> int | None:
     """Max epoch id ever folded into this store's base partition, or
-    None if the store was never compacted."""
-    f = os.path.join(path, _WATERMARK_FILE)
-    if not os.path.exists(f):
-        return None
-    with open(f) as fh:
-        return int(json.load(fh)["max_absorbed_epoch"])
+    None if the store was never compacted (shared convention with the
+    IVF-PQ codes store — see ``sources.tables.read_absorbed_watermark``)."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        read_absorbed_watermark,
+    )
+
+    return read_absorbed_watermark(path)
 
 
 def _write_epoch(df: DataFrame, path: str, batch_id: int) -> None:
@@ -171,8 +166,11 @@ def compact_sketch_store(spark: SparkSession, path: str, kind: str) -> None:
         .parquet(tmp)
     )
     if new_wm is not None:
-        with open(os.path.join(tmp, _WATERMARK_FILE), "w") as fh:
-            json.dump({"max_absorbed_epoch": int(new_wm)}, fh)
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+            write_absorbed_watermark,
+        )
+
+        write_absorbed_watermark(tmp, new_wm)
     # rename-aside / rename-in / delete-old: plain directory renames
     # (atomic on one filesystem); recover_sketch_compact heals a death
     # at any point between them.

@@ -335,3 +335,83 @@ def test_stream_semantic_ivfpq_codes_with_hkm_tree(spark, tmp_path):
         assert first["vec_id"] == 101 and first["dist"] == 0.0
     finally:
         spark.sql("DROP TABLE IF EXISTS t_sem_hist6")
+
+
+def test_stream_semantic_codes_store_compaction_and_replay(spark, tmp_path):
+    """Compose the codes-store maintenance with compact_ivfpq_index:
+    folding the epochs keeps the merged codes identical and probe-able,
+    and a checkpoint-LOSS replay of absorbed epochs is dropped by the
+    watermark instead of re-landing next to the folded base."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        BASE_INGEST_BATCH,
+        compact_ivfpq_index,
+        read_absorbed_watermark,
+    )
+
+    base_dirs, cents = _setup(spark, "t_sem_hist7")
+    books = ann.random_codebooks(DIM, 2, 4, seed=11)
+    src = str(tmp_path / "src7")
+    out = str(tmp_path / "out7")
+    ckpt = str(tmp_path / "ckpt7")
+    codes_p = str(tmp_path / "codes7")
+    base_rows = [(i, [float(v) for v in base_dirs[i]]) for i in range(4)]
+    SS.write_ivfpq_stream_base(_corpus(spark, base_rows), codes_p, cents, books)
+    rs = np.random.RandomState(53)
+    alpha, beta = _vec(rs, 4.0), _vec(rs, 4.0)
+    a = _corpus(spark, [(100, alpha)])
+    b = _corpus(spark, [(200, beta)])
+    a.coalesce(1).write.mode("overwrite").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+    try:
+        SS.stream_semantic_ingest(
+            spark.readStream.schema(a.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            "t_sem_hist7", out, ckpt, cents, threshold=0.99,
+            pq_codebooks=books, codes_path=codes_p,
+        ).awaitTermination(180)
+        want = sorted(
+            (r["vec_id"], r["cell"], tuple(r["codes"]))
+            for r in spark.read.parquet(codes_p).collect()
+        )
+        compact_ivfpq_index(spark, codes_p)
+        got = sorted(
+            (r["vec_id"], r["cell"], tuple(r["codes"]))
+            for r in spark.read.parquet(codes_p).collect()
+        )
+        assert got == want
+        assert read_absorbed_watermark(codes_p) == 1
+        # checkpoint loss: the restarted stream replays epochs 0..1 —
+        # the watermark must keep them out of the codes store
+        shutil.rmtree(ckpt)
+        SS.stream_semantic_ingest(
+            spark.readStream.schema(a.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            "t_sem_hist7", out, ckpt, cents, threshold=0.99,
+            pq_codebooks=books, codes_path=codes_p,
+        ).awaitTermination(180)
+        batches = {
+            r["ingest_batch"]
+            for r in spark.read.parquet(codes_p)
+            .select("ingest_batch").distinct().collect()
+        }
+        assert batches == {BASE_INGEST_BATCH}
+        assert sorted(
+            (r["vec_id"], r["cell"], tuple(r["codes"]))
+            for r in spark.read.parquet(codes_p).collect()
+        ) == want
+        # a genuinely NEW epoch (id 2, above the watermark) still lands
+        gamma = _vec(rs, 4.0)
+        _corpus(spark, [(300, gamma)]).coalesce(1).write.mode("append").parquet(src)
+        SS.stream_semantic_ingest(
+            spark.readStream.schema(a.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            "t_sem_hist7", out, ckpt, cents, threshold=0.99,
+            pq_codebooks=books, codes_path=codes_p,
+        ).awaitTermination(180)
+        ids = {r["vec_id"] for r in spark.read.parquet(codes_p).collect()}
+        assert 300 in ids and len(ids) == 7
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sem_hist7")
