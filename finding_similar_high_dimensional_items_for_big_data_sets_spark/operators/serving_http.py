@@ -130,3 +130,98 @@ def start_server(
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server, thread
+
+
+class VectorQueryService:
+    """Embedding-index twin of :class:`QueryService`: dict in,
+    (status, dict) out, backed by an in-process
+    :class:`~.serving_vector.ServingVectorIndex` (IVF-PQ ADC point
+    queries, optional exact rerank). Envelope:
+    ``{"vector": List[float], "k": int = 10, "n_probe": int = 4,
+    "shortlist": int | null}``."""
+
+    def __init__(self, index):
+        self.index = index
+
+    def handle_query(self, payload) -> tuple[int, dict]:
+        if not isinstance(payload, dict):
+            return 400, {"error": "body must be a JSON object"}
+        vector = payload.get("vector")
+        if not isinstance(vector, list) or any(
+            not isinstance(v, (int, float)) or isinstance(v, bool) for v in vector
+        ):
+            return 400, {"error": "vector must be a list of numbers"}
+        if len(vector) != self.index.dim:
+            return 400, {
+                "error": f"vector width {len(vector)} != dim {self.index.dim}"
+            }
+        k = payload.get("k", DEFAULT_K)
+        if not isinstance(k, int) or isinstance(k, bool):
+            return 400, {"error": "k must be an integer"}
+        n_probe = payload.get("n_probe", 4)
+        if not isinstance(n_probe, int) or isinstance(n_probe, bool) or n_probe < 1:
+            return 400, {"error": "n_probe must be a positive integer"}
+        shortlist = payload.get("shortlist")
+        if shortlist is not None and (
+            not isinstance(shortlist, int) or isinstance(shortlist, bool)
+        ):
+            return 400, {"error": "shortlist must be an integer or null"}
+        try:
+            hits = self.index.query(
+                vector, k=max(1, k), n_probe=n_probe, shortlist=shortlist
+            )
+        except ValueError as e:
+            return 400, {"error": str(e)}
+        return 200, {
+            "candidates": [
+                {"id": vec_id, "dist": dist, "rank": rank}
+                for (vec_id, dist, rank) in hits
+            ]
+        }
+
+
+def start_vector_server(
+    index, host: str = "127.0.0.1", port: int = 0
+) -> tuple[ThreadingHTTPServer, threading.Thread]:
+    """Bind the EMBEDDING query service to a socket: ``POST /query``
+    with the vector envelope, ``GET /health`` reporting the indexed
+    count — the IVF-PQ twin of :func:`start_server`."""
+    service = VectorQueryService(index)
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802 (http.server API)
+            if self.path.rstrip("/") != "/query":
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"null")
+            except (ValueError, json.JSONDecodeError):
+                self._reply(400, {"error": "invalid JSON body"})
+                return
+            status, body = service.handle_query(payload)
+            self._reply(status, body)
+
+        def do_GET(self):  # noqa: N802
+            if self.path.rstrip("/") == "/health":
+                self._reply(
+                    200, {"status": "ok", "n_vecs": int(index.vec_ids.size)}
+                )
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def _reply(self, status: int, body: dict) -> None:
+            data = json.dumps(body).encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, fmt, *args):  # silence per-request stderr
+            pass
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, thread
