@@ -203,3 +203,14 @@ BP_FOOTER_EVERY = 4
 BP_RARE_EVERY = 25
 BP_RARE_MOD = 5
 BP_MIN_DF = 30
+
+# Per-source quota sampling fixture: each synthetic source holds 25
+# docs at every SF, so a quota of 10 binds in every group.
+SOURCE_QUOTA = 10
+
+# kNN label-vote classification fixture: first BATCH_DOCS embeddings
+# as queries, K_BATCH neighbors vote (self excluded).
+KNN_VOTE_K = 5
+
+# Cross-source near-dup overlap uses the lsh_pairs threshold
+# (PAIR_THRESHOLD) — no extra knob.

@@ -260,3 +260,57 @@ def true_jaccard_topk(
     return _per_query_topk(
         scored, k, [F.col("jaccard").desc(), F.col("doc_id").asc()], "query_id"
     ).select("query_id", "doc_id", "jaccard", "rank")
+
+
+def knn_label_vote(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """kNN majority-vote classification — similarity search applied as
+    a classifier, the standard end-to-end eval of an embedding index.
+
+    Per query: the ``k`` exact-L2 nearest corpus rows EXCLUDING the
+    query's own id vote with their labels; the prediction is the most
+    common label, ties to the smaller label (fully deterministic:
+    neighbor set ties break (dist asc, id asc) like :func:`l2_topk`,
+    vote ties (n_votes desc, label asc)). One broadcast of the query
+    set, one shuffle for the per-query window — the same plan shape as
+    :func:`l2_topk`, so it scales the same way.
+
+    Output: (query_id, pred_label, n_votes).
+    """
+    joined = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        label_col,
+        F.round(l2_distance(F.col(vec_col), F.col(query_vec_col)), 6).alias(
+            "dist"
+        ),
+    )
+    nn = _per_query_topk(
+        scored, k, [F.col("dist").asc(), F.col(id_col).asc()], query_id_col
+    )
+    votes = nn.groupBy(query_id_col, label_col).agg(
+        F.count("*").alias("n_votes")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("n_votes").desc(), F.col(label_col).asc()
+    )
+    return (
+        votes.withColumn("__vr", F.row_number().over(w))
+        .filter(F.col("__vr") == 1)
+        .select(
+            query_id_col,
+            F.col(label_col).alias("pred_label"),
+            "n_votes",
+        )
+    )

@@ -12,7 +12,7 @@ pure DataFrame operators designed for 100 TB inputs.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.hashing import (
@@ -871,4 +871,34 @@ def gopher_rules(
             & (F.col("alpha_words") * alpha_den >= alpha_num * n)
             & (F.col("stop_hits") >= min_stopwords)
         ).alias("keep"),
+    )
+
+
+def per_group_quota(
+    df: DataFrame,
+    group_col: str,
+    quota: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain/source quota sampling — the crawl-pipeline cap that
+    stops one huge domain from dominating the training mix (the
+    per-domain limits of CCNet/RefinedWeb-style pipelines). Keeps the
+    ``quota`` rows with the smallest salted portable hash of the STABLE
+    id within each group (ties by id): deterministic, content-free (a
+    re-crawled doc keeps its fate), engine-portable (the md5 family is
+    DuckDB-expressible), and one shuffle on the group key — the same
+    shape as any per-group window at 100 TB (salting applies if one
+    group dominates the key space, but the quota output itself is
+    bounded by quota * n_groups).
+
+    Output: (group_col, id_col, pick_rank INT), pick_rank in [1, quota].
+    """
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    h = portable_hash64(F.concat(F.col(id_col).cast("string"), F.lit(":quota")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.select(group_col, id_col)
+        .withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= quota)
     )

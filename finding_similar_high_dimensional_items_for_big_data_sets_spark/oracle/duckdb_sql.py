@@ -2511,9 +2511,94 @@ GROUP BY k.doc_id, t.n
 """
 
 
+# --- round-6: corpus governance + classification eval -----------------------
+
+
+def sql_source_quota() -> str:
+    """Mirrors prep.per_group_quota on (documents, source): per-source
+    row_number over the salted portable stable-id hash, quota cap."""
+    h = H("CAST(doc_id AS VARCHAR) || ':quota'")
+    return f"""
+SELECT source, doc_id, pick_rank FROM (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY {h} ASC, doc_id ASC) AS INT) AS pick_rank
+  FROM documents)
+WHERE pick_rank <= {C.SOURCE_QUOTA}
+"""
+
+
+def sql_knn_label_vote() -> str:
+    """Mirrors q_knn_label_vote: exact-L2 kNN excluding self (rounded
+    fold, ties (dist, id)), majority label vote with ties to the
+    smaller label, compared against the query's own label."""
+    l2 = _l2("e.embedding", "q.qv", C.EMB_DIM)
+    return f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+  FROM embeddings WHERE vec_id < {C.BATCH_DOCS}),
+nn AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round({l2}, 6) ASC, e.vec_id ASC) AS rn
+  FROM embeddings e, qs q WHERE e.vec_id <> q.query_id),
+votes AS (
+  SELECT query_id, label, CAST(count(*) AS BIGINT) AS n_votes
+  FROM nn WHERE rn <= {C.KNN_VOTE_K} GROUP BY 1, 2),
+pred AS (
+  SELECT query_id, label AS pred_label,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY n_votes DESC, label ASC) AS vr
+  FROM votes)
+SELECT p.query_id, p.pred_label, q.true_label,
+       (p.pred_label = q.true_label) AS correct
+FROM pred p JOIN qs q USING (query_id) WHERE p.vr = 1
+"""
+
+
+def sql_dedup_group_sizes() -> str:
+    """Mirrors q_dedup_group_sizes: cluster-size histogram over the
+    connected-components result (the dedup_groups statement as a CTE)."""
+    return f"""
+WITH g AS MATERIALIZED ({sql_dedup_groups()}),
+sizes AS (SELECT group_id, CAST(count(*) AS BIGINT) AS group_size FROM g GROUP BY 1)
+SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups FROM sizes GROUP BY 1
+"""
+
+
+def sql_source_overlap() -> str:
+    """Mirrors q_source_overlap: the lsh_pairs statement as a CTE,
+    joined to each side's source, counted per source pair."""
+    return f"""
+WITH p AS MATERIALIZED ({sql_lsh_pairs()})
+SELECT da.source AS source_a, db.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM p JOIN documents da ON p.doc_a = da.doc_id
+       JOIN documents db ON p.doc_b = db.doc_id
+GROUP BY 1, 2
+"""
+
+
+def sql_lang_confusion() -> str:
+    """Mirrors q_lang_confusion: the lang_id statement as a CTE joined
+    to the labeled lang column, confusion counts."""
+    return f"""
+WITH li AS MATERIALIZED ({sql_lang_id()})
+SELECT d.lang, li.lang_guess, CAST(count(*) AS BIGINT) AS n_docs
+FROM li JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 def registry() -> dict[str, str]:
     """name -> DuckDB SQL, for every oracle-checkable query."""
     return {
+        "source_quota": sql_source_quota(),
+        "knn_label_vote": sql_knn_label_vote(),
+        "dedup_group_sizes": sql_dedup_group_sizes(),
+        "source_overlap": sql_source_overlap(),
+        "lang_confusion": sql_lang_confusion(),
         "ann_lsh_topk": sql_ann_lsh_topk(),
         "ann_multiprobe_topk": sql_ann_multiprobe_topk(),
         "ann_target_recall_topk": sql_ann_target_recall_topk(),

@@ -1823,6 +1823,79 @@ def q_boilerplate_removal(spark, sf_dir):
     return prep.remove_boilerplate_lines(planted, min_doc_freq=C.BP_MIN_DF)
 
 
+# --- round-6: corpus governance + classification eval -----------------------
+
+
+def q_source_quota(spark, sf_dir):
+    """Per-source quota sampling (crawl-pipeline domain caps): the
+    SOURCE_QUOTA docs with the smallest salted stable-id hash per
+    source, deterministic and content-free."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import prep
+
+    return prep.per_group_quota(
+        _docs(spark, sf_dir), "source", C.SOURCE_QUOTA
+    )
+
+
+def q_knn_label_vote(spark, sf_dir):
+    """kNN majority-vote classification over the labeled embeddings:
+    per query the prediction, the true label, and whether they agree —
+    the end-to-end eval a similarity index exists to serve."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < C.BATCH_DOCS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("true_label"),
+    )
+    pred = bruteforce.knn_label_vote(
+        emb, qs.select("query_id", "query_vec"), k=C.KNN_VOTE_K
+    )
+    return pred.join(qs.select("query_id", "true_label"), "query_id").select(
+        "query_id",
+        "pred_label",
+        "true_label",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
+
+
+def q_dedup_group_sizes(spark, sf_dir):
+    """Near-dup cluster-size histogram over the connected components:
+    (group_size, n_groups) — the shape report a dedup run is judged
+    by (how much mass sits in big clone families)."""
+    groups = q_dedup_groups(spark, sf_dir)
+    sizes = groups.groupBy("group_id").agg(F.count("*").alias("group_size"))
+    return sizes.groupBy("group_size").agg(F.count("*").alias("n_groups"))
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source near-duplicate overlap: LSH pairs joined to each
+    side's source, counted per (source_a, source_b) — the contamination
+    matrix between ingest feeds."""
+    docs = _docs(spark, sf_dir)
+    pairs = q_lsh_pairs(spark, sf_dir)
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion counts: labeled ``lang`` vs the n-gram
+    heuristic's guess, per (lang, lang_guess) — the eval view of the
+    lang_id operator."""
+    docs = _docs(spark, sf_dir)
+    guessed = docs.select(
+        "doc_id", "lang", textstats.lang_id(F.col("text")).alias("lang_guess")
+    )
+    return guessed.groupBy("lang", "lang_guess").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
 REGISTRY = {
     "shingle_stats": q_shingle_stats,
     "content_hashes": q_content_hashes,
@@ -1928,4 +2001,9 @@ REGISTRY = {
     "media_features": q_media_features,
     "media_embedding_topk": q_media_embedding_topk,
     "media_frames": q_media_frames,
+    "source_quota": q_source_quota,
+    "knn_label_vote": q_knn_label_vote,
+    "dedup_group_sizes": q_dedup_group_sizes,
+    "source_overlap": q_source_overlap,
+    "lang_confusion": q_lang_confusion,
 }
