@@ -104,15 +104,32 @@ class ServingVectorIndex:
         embeddings: DataFrame | None = None,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        cells: list[int] | None = None,
     ) -> "ServingVectorIndex":
         """One-time export (offline half, excluded from query latency):
         codes through Arrow into numpy, grouped by cell for sliced ADC.
-        Pass ``embeddings`` to retain raw vectors for exact rerank."""
+        Pass ``embeddings`` to retain raw vectors for exact rerank.
+
+        ``cells``: replica sharding — load ONLY these cells' codes (the
+        store is partitioned by cell, so the export scan prunes to this
+        replica's directories). Every replica still knows the GLOBAL
+        quantizer from the sidecar, so all replicas derive the same
+        probe set for a query and each answers from the probed cells it
+        owns; :func:`merge_topk_dist` over N replicas covering all
+        cells answers identically to one full index (same scatter-
+        gather as ``serving.ServingIndex.from_sharded`` / `merge_topk`,
+        with the shard routing in the cell layout)."""
         from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
             read_ivfpq_index,
         )
 
         codes_df, cents, books = read_ivfpq_index(spark, path)
+        if cells is not None:
+            from pyspark.sql import functions as F
+
+            codes_df = codes_df.filter(
+                F.col("cell").isin([int(c) for c in cells])
+            )
         tree = cents if isinstance(cents, HKMQuantizer) else None
         if tree is not None:
             centroids = [[float(v) for v in c] for c in tree.leaf_centers()]
@@ -291,3 +308,16 @@ def _exact_l2(v: np.ndarray, qv: list) -> float:
     return math.sqrt(
         sum(((float(v[i]) - qv[i]) ** 2 for i in range(len(qv))), 0.0)
     )
+
+
+def merge_topk_dist(
+    replica_results: list[list[tuple[int, float, int]]], k: int
+) -> list[tuple[int, float, int]]:
+    """Global top-k merge of per-replica vector answers: concatenate,
+    re-sort by (dist asc, vec_id asc), truncate, re-rank — the
+    distance-ordered twin of ``serving.merge_topk`` (which merges
+    score-descending LSH answers). N replicas whose cell subsets cover
+    the store answer identically to one full index."""
+    flat = [(v, d) for res in replica_results for (v, d, _r) in res]
+    flat.sort(key=lambda t: (t[1], t[0]))
+    return [(v, d, i + 1) for i, (v, d) in enumerate(flat[:k])]

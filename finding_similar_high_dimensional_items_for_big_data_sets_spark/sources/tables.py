@@ -1249,3 +1249,59 @@ def recover_ivfpq_swap(path: str) -> bool:
         f"no surviving copy of IVF-PQ store {path} (neither the store, a "
         "complete __compact_tmp, nor __compact_old exists)"
     )
+
+
+def validate_ivfpq_store(spark: SparkSession, path: str) -> None:
+    """Consistency check for a persisted IVF-PQ codes store against its
+    own sidecar: every row's cell must be a valid quantizer cell, every
+    codes array must have exactly m entries all within [0, n_codes),
+    and vec_ids must be unique (the invariant appends rely on; a
+    duplicate means some append violated the new-ids contract). Raises
+    with the first few offending ids; cost is one scan of the codes
+    columns — run it after a suspected partial append, like
+    :func:`validate_index`."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        HKMQuantizer,
+    )
+
+    codes, cents, books = read_ivfpq_index(spark, path)
+    n_cells = (
+        cents.n_leaves if isinstance(cents, HKMQuantizer) else len(cents)
+    )
+    m, n_codes = len(books), len(books[0])
+    bad_cell = (
+        codes.filter((F.col("cell") < 0) | (F.col("cell") >= n_cells))
+        .select("vec_id").limit(5).collect()
+    )
+    if bad_cell:
+        ids = [r["vec_id"] for r in bad_cell]
+        raise ValueError(
+            f"vec_ids {ids} in {path} sit in cells outside the sidecar "
+            f"quantizer's [0, {n_cells}) — store and quantizer disagree"
+        )
+    bad_codes = (
+        codes.filter(
+            (F.size("codes") != m)
+            | F.exists(
+                "codes", lambda c: (c < F.lit(0)) | (c >= F.lit(n_codes))
+            )
+        )
+        .select("vec_id").limit(5).collect()
+    )
+    if bad_codes:
+        ids = [r["vec_id"] for r in bad_codes]
+        raise ValueError(
+            f"vec_ids {ids} in {path} carry codes incompatible with the "
+            f"sidecar codebooks (m={m}, n_codes={n_codes})"
+        )
+    dup = (
+        codes.groupBy("vec_id").count().filter(F.col("count") > 1)
+        .limit(5).collect()
+    )
+    if dup:
+        ids = [r["vec_id"] for r in dup]
+        raise ValueError(
+            f"duplicate vec_ids {ids} in {path}: an append violated the "
+            "new-ids contract — dedup (delete_from_ivfpq_index the "
+            "stale copies) before serving"
+        )

@@ -192,3 +192,33 @@ def test_recover_ivfpq_swap_windows(spark, tmp_path):
     shutil.rmtree(p)
     with pytest.raises(ValueError, match="no surviving copy"):
         recover_ivfpq_swap(p)
+
+
+def test_validate_ivfpq_store(spark, tmp_path):
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        validate_ivfpq_store,
+    )
+
+    emb, cents, books, p = _store(spark, tmp_path, "val")
+    validate_ivfpq_store(spark, p)  # healthy store passes
+    # duplicate vec_ids (the broken-append invariant)
+    codes, _, _ = read_ivfpq_index(spark, p)
+    codes.limit(3).write.mode("append").partitionBy("cell").parquet(p)
+    with pytest.raises(ValueError, match="duplicate vec_ids"):
+        validate_ivfpq_store(spark, p)
+    # out-of-range cell
+    p2 = str(tmp_path / "ivfpq_badcell")
+    write_ivfpq_index(emb, p2, cents, books)
+    spark.createDataFrame(
+        [(999999, 97, [0] * len(books))], "vec_id long, cell int, codes array<int>"
+    ).write.mode("append").partitionBy("cell").parquet(p2)
+    with pytest.raises(ValueError, match="outside the sidecar"):
+        validate_ivfpq_store(spark, p2)
+    # incompatible codes (wrong m)
+    p3 = str(tmp_path / "ivfpq_badcodes")
+    write_ivfpq_index(emb, p3, cents, books)
+    spark.createDataFrame(
+        [(999998, 0, [0, 1])], "vec_id long, cell int, codes array<int>"
+    ).write.mode("append").partitionBy("cell").parquet(p3)
+    with pytest.raises(ValueError, match="incompatible with the sidecar"):
+        validate_ivfpq_store(spark, p3)

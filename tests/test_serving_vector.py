@@ -186,3 +186,31 @@ def test_vector_http_endpoint(spark, store):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_serving_vector_sharded_replicas_merge_identical(spark, store):
+    """Two replicas over disjoint cell subsets (same global quantizer
+    from the sidecar) + merge_topk_dist == one full index — the vector
+    scatter-gather twin of ServingIndex.from_sharded/merge_topk."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.serving_vector import (
+        merge_topk_dist,
+    )
+
+    emb, cents, books, p = store
+    full = ServingVectorIndex.from_store(spark, p)
+    n_cells = len(cents)
+    ra = ServingVectorIndex.from_store(
+        spark, p, cells=list(range(n_cells // 2))
+    )
+    rb = ServingVectorIndex.from_store(
+        spark, p, cells=list(range(n_cells // 2, n_cells))
+    )
+    assert ra.vec_ids.size + rb.vec_ids.size == full.vec_ids.size
+    for qv in _queries(emb, [0, 7, 41]):
+        want = full.query(qv, k=10, n_probe=n_cells)
+        got = merge_topk_dist(
+            [ra.query(qv, k=10, n_probe=n_cells),
+             rb.query(qv, k=10, n_probe=n_cells)],
+            k=10,
+        )
+        assert got == want
