@@ -130,6 +130,14 @@ def test_serving_vector_hkm_identity(spark, tmp_path):
         for r in ann.ivfpq_topk_store(spark, p, qv, k=10, n_probe=3).collect()
     ]
     assert idx.query(qv, k=10, n_probe=3) == want
+    # tree + calibrated-alpha branch matches the store path too
+    want_a = [
+        (r["vec_id"], r["dist"], r["rank"])
+        for r in ann.ivfpq_topk_store(
+            spark, p, qv, k=10, alpha=0.2, max_probe=4
+        ).collect()
+    ]
+    assert idx.query(qv, k=10, alpha=0.2, max_probe=4) == want_a
 
 
 def test_serving_vector_guards(spark, store):
