@@ -89,6 +89,14 @@ SPAN_NGRAM = 8
 SPAN_MAX_DOC_FREQ = 16
 SPAN_MIN_SHARED = 1
 
+# Exact-substring REMOVAL (the cut half of Lee et al.): a token is cut
+# when covered by an n-gram appearing in >= this many distinct docs.
+SPAN_REMOVE_MIN_DF = 2
+
+# Naive Bayes classifier eval: docs with id % NB_TEST_MOD == 0 are the
+# held-out test split, the rest train the model.
+NB_TEST_MOD = 5
+
 # Balanced mixture sampling: hash-bucket scale and salt.
 MIX_SCALE = 1_000_000
 MIX_SEED = 7

@@ -1260,6 +1260,103 @@ def shared_ngram_spans(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_doc_freq: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring dedup, the CUT half of Lee et al. ("Deduplicating
+    Training Data Makes Language Models Better"): remove from every
+    document each token covered by a word ``n``-gram that appears in at
+    least ``min_doc_freq`` distinct documents, and reassemble the
+    remaining tokens in original order. :func:`shared_ngram_spans` only
+    FLAGS the contaminated pairs; this pass produces the cleaned corpus
+    a substring-dedup run actually ships. We cut ALL occurrences (the
+    paper's keep-one variant needs a global occurrence order; cutting
+    every copy is the deterministic, order-free choice and is the safer
+    one for eval decontamination — documented semantics, not a bug).
+
+    Plan (two corpus scans, shuffles bounded by the gram key):
+      1. explode per-doc n-gram occurrences as (doc_id, start,
+         gram_hash) — the 60-bit portable gram hash is the 8-byte
+         shuffle key, and the DuckDB oracle joins on the SAME hash so
+         a collision cannot diverge;
+      2. document frequency over DISTINCT (doc, gram) rows, keep grams
+         with df >= min_doc_freq — one map-side-combined aggregation,
+         one count row per gram regardless of how hot it is;
+      3. join occurrences to the duplicated-gram set and collect the
+         (doc-bounded) sorted start offsets per doc;
+      4. row-locally keep tokens not covered by any [start, start+n)
+         window and rebuild the text — the corpus text itself never
+         shuffles (only 8-byte keys and offsets do).
+
+    Output: (doc_id, clean_text, n_tokens INT, n_removed INT).
+    """
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.textstats import (
+        word_ngram_multiset,
+    )
+
+    if min_doc_freq < 2:
+        raise ValueError("min_doc_freq must be >= 2")
+    toks = tokenize(F.col(text_col))
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_ngram_multiset(toks, n)).alias("start", "gram"),
+    ).select(
+        "doc_id", "start", portable_hash64(F.col("gram")).alias("gram_hash")
+    )
+    dup_grams = (
+        occ.select("doc_id", "gram_hash")
+        .distinct()
+        .groupBy("gram_hash")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= F.lit(min_doc_freq))
+        .select("gram_hash")
+    )
+    starts = (
+        occ.join(dup_grams, "gram_hash")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("start")).alias("starts"))
+    )
+    # F.sequence(0, -1) DESCENDS instead of returning empty, so the
+    # index walk is gated on n_tokens > 0 (empty docs keep empty text)
+    kept_toks = F.when(
+        F.col("n_tokens") > 0,
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(0), F.col("n_tokens") - F.lit(1)),
+                lambda i: ~F.exists(
+                    F.col("starts"),
+                    lambda st: (st <= i) & (i < st + F.lit(n)),
+                ),
+            ),
+            lambda i: F.element_at(F.col("toks"), i + F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.join(starts.withColumnRenamed("doc_id", "__span_doc_id"),
+                  F.col(id_col) == F.col("__span_doc_id"), "left")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).alias("n_tokens"),
+            F.coalesce(F.col("starts"), F.array().cast("array<int>")).alias(
+                "starts"
+            ),
+            toks.alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(kept_toks, " ").alias("clean_text"),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            (F.col("n_tokens") - F.size(kept_toks)).cast("int").alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
 def incremental_exact_dedup(
     new_docs: DataFrame,
     history_hashes: DataFrame,

@@ -902,3 +902,150 @@ def per_group_quota(
         .withColumn("pick_rank", F.row_number().over(w))
         .filter(F.col("pick_rank") <= quota)
     )
+
+
+def naive_bayes_classify(
+    docs: DataFrame,
+    label_col: str = "lang",
+    test_mod: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multinomial Naive Bayes over unigram counts — the fastText-style
+    trainable filter of real pretraining pipelines (CCNet's lang-ID and
+    the GPT-3/PaLM quality classifiers are this shape: linear over
+    token counts), trained and evaluated inside the engine. Train on
+    docs with ``id % test_mod != 0``, predict the held-out rest.
+
+    Model (add-one smoothing, natural logs):
+      score(d, l) = ln(D_l / D) + sum_t c_t * ln((cnt_{l,t} + 1) /
+                    (T_l + V))
+    with per-doc token counts c_t, per-class token counts cnt, class
+    token totals T_l, train vocab size V, class doc counts D_l / D.
+    Rearranged so every distributed term is engine-portable:
+    ``prior_l - n_tokens * ln(T_l + V) + fold(c_t * ln(cnt + 1))`` —
+    the per-(doc, class) fold runs over the struct list sorted by
+    token (unique per doc), every ln() argument is an exact integer,
+    and the argmax compares scores rounded to 10 (ties by label asc),
+    the same float-parity discipline as :func:`unigram_lm_scores`.
+
+    Scale shape: training is ONE map-side-combined (label, token)
+    aggregation; class priors/totals are a <=n_classes-row collect;
+    scoring joins test-token occurrences to the class-conditional
+    table on the token key (vocab-sized, shuffle join — NOT broadcast;
+    vocabularies outgrow broadcast at corpus scale) and folds per
+    (doc, class). Per-doc cost is n_tokens * n_classes.
+
+    Output: (doc_id, true_label, pred_label, score DOUBLE rounded-6,
+    correct BOOLEAN).
+    """
+    import math
+
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.text import tokenize
+
+    if test_mod < 2:
+        raise ValueError(f"test_mod must be >= 2, got {test_mod}")
+    toks = tokenize(F.col(text_col))
+    is_test = F.pmod(F.col(id_col), F.lit(test_mod)) == 0
+    train = docs.filter(~is_test)
+    test = docs.filter(is_test)
+
+    tok_tr = train.select(
+        F.col(label_col).alias("label"), F.explode(toks).alias("token")
+    )
+    class_tok = tok_tr.groupBy("label", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # bounded driver-side scalars: class doc counts, class token
+    # totals (n_classes rows), train vocab size (one count job)
+    d_rows = {
+        r["label"]: r["n"]
+        for r in train.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    t_rows = {
+        r["label"]: r["n"]
+        for r in tok_tr.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    v = class_tok.select("token").distinct().count()
+    d_total = sum(d_rows.values())
+    if not d_rows:
+        raise ValueError("empty training split")
+    classes = docs.sparkSession.createDataFrame(
+        [
+            (
+                lbl,
+                math.log(d_rows[lbl]) - math.log(d_total),
+                math.log(t_rows.get(lbl, 0) + v),
+            )
+            for lbl in sorted(d_rows)
+        ],
+        "label string, prior double, ln_denom double",
+    )
+
+    per_doc = test.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).alias("true_label"),
+        F.size(toks).alias("n_tokens"),
+        F.explode_outer(
+            F.transform(
+                F.array_sort(F.array_distinct(toks)),
+                lambda g: F.struct(
+                    g.alias("token"),
+                    F.size(F.filter(toks, lambda x: x == g)).alias("c"),
+                ),
+            )
+        ).alias("tc"),
+    ).select(
+        "doc_id",
+        "true_label",
+        "n_tokens",
+        F.col("tc.token").alias("token"),
+        F.col("tc.c").alias("c"),
+    )
+    scored = (
+        per_doc.join(F.broadcast(classes), how="cross")
+        .join(class_tok, ["label", "token"], "left")
+        .groupBy("doc_id", "true_label", "n_tokens", "label", "prior", "ln_denom")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("token").isNotNull(),
+                            F.struct("token", "c", "cnt"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda a, s: a
+                + s["c"].cast("double")
+                * F.log(F.coalesce(s["cnt"], F.lit(0)).cast("double") + F.lit(1.0)),
+            ).alias("fold")
+        )
+        .select(
+            "doc_id",
+            "true_label",
+            "label",
+            (
+                F.col("prior")
+                - F.col("n_tokens").cast("double") * F.col("ln_denom")
+                + F.col("fold")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("score"), 10).desc(), F.col("label").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "doc_id",
+            "true_label",
+            F.col("label").alias("pred_label"),
+            F.round(F.col("score"), 6).alias("score"),
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+    )

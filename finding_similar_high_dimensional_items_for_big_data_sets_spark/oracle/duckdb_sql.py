@@ -2591,9 +2591,103 @@ GROUP BY 1, 2
 """
 
 
+def sql_remove_duplicate_spans() -> str:
+    """Mirrors dedup.remove_duplicate_spans: n-gram occurrences with
+    start offsets keyed by the SAME portable 60-bit hash the engine
+    joins on, document frequency over distinct (doc, gram), tokens
+    covered by any duplicated-gram window dropped, text reassembled in
+    position order (coalesced to '' for fully-removed/empty docs)."""
+    n, mdf = C.SPAN_NGRAM, C.SPAN_REMOVE_MIN_DF
+    gram = f"array_to_string(t[i:i+{n}-1], ' ')"
+    return f"""
+WITH toks AS ({TOKS}),
+occ0 AS (
+  SELECT doc_id, t,
+         unnest(range(1, CASE WHEN len(t) >= {n} THEN len(t)-{n}+2 ELSE 1 END)) AS i
+  FROM toks),
+occ AS (SELECT doc_id, CAST(i - 1 AS INT) AS start, {H(gram)} AS gram_hash FROM occ0),
+df AS (
+  SELECT gram_hash FROM (SELECT DISTINCT doc_id, gram_hash FROM occ)
+  GROUP BY 1 HAVING count(*) >= {mdf}),
+st AS (SELECT doc_id, start FROM occ JOIN df USING (gram_hash)),
+pos AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS p, t[i] AS tok
+  FROM (SELECT doc_id, t, unnest(range(1, len(t)+1)) AS i FROM toks)),
+kept AS (
+  SELECT pos.doc_id, p, tok FROM pos
+  WHERE NOT EXISTS (
+    SELECT 1 FROM st
+    WHERE st.doc_id = pos.doc_id AND st.start <= pos.p AND pos.p < st.start + {n}))
+SELECT t.doc_id,
+  coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text,
+  CAST(len(t.t) AS INT) AS n_tokens,
+  CAST(len(t.t) - count(k.tok) AS INT) AS n_removed
+FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+GROUP BY t.doc_id, len(t.t)
+"""
+
+
+def sql_nb_classify() -> str:
+    """Mirrors prep.naive_bayes_classify: multinomial NB with add-one
+    smoothing, id-mod train/test split, per-(doc, class) fold ordered
+    by token (unique per doc), argmax on round(score, 10) with ties to
+    the smaller label. Every ln() argument is an exact integer; the
+    engine computes priors/denominators driver-side with Python
+    math.log and this twin uses DuckDB ln() — both libm doubles, and
+    the n_tokens-scaled ulp gap stays far inside the round(6)."""
+    m = C.NB_TEST_MOD
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+train AS (SELECT * FROM d WHERE doc_id % {m} != 0),
+test AS (SELECT * FROM d WHERE doc_id % {m} = 0),
+tok_tr AS (SELECT lang AS label, unnest(t) AS token FROM train),
+ct AS MATERIALIZED (SELECT label, token, count(*) AS cnt FROM tok_tr GROUP BY 1, 2),
+tl AS (SELECT label, count(*) AS tn FROM tok_tr GROUP BY 1),
+vc AS (SELECT count(DISTINCT token) AS v FROM tok_tr),
+dl AS (SELECT lang AS label, count(*) AS dn FROM train GROUP BY 1),
+cls AS MATERIALIZED (
+  SELECT dl.label,
+         ln(CAST(dn AS DOUBLE)) - ln(CAST((SELECT count(*) FROM train) AS DOUBLE)) AS prior,
+         ln(CAST(tn + (SELECT v FROM vc) AS DOUBLE)) AS ln_denom
+  FROM dl JOIN tl USING (label)),
+meta AS (SELECT doc_id, lang AS true_label, len(t) AS n_tokens FROM test),
+per AS (
+  SELECT doc_id, g AS token, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS g FROM test) GROUP BY 1, 2),
+folds AS (
+  SELECT per.doc_id, c2.label,
+    list_reduce(
+      list_prepend(0.0,
+        list(CAST(c AS DOUBLE) * ln(CAST(coalesce(ct.cnt, 0) + 1 AS DOUBLE))
+             ORDER BY per.token)),
+      (a, x) -> a + x) AS fold
+  FROM per CROSS JOIN (SELECT label FROM cls) c2
+  LEFT JOIN ct ON ct.label = c2.label AND ct.token = per.token
+  GROUP BY 1, 2),
+sc AS (
+  SELECT m.doc_id, m.true_label, c.label,
+         c.prior - CAST(m.n_tokens AS DOUBLE) * c.ln_denom
+           + coalesce(f.fold, 0.0) AS score
+  FROM meta m CROSS JOIN cls c
+  LEFT JOIN folds f ON f.doc_id = m.doc_id AND f.label = c.label),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY round(score, 10) DESC, label ASC) AS rn
+  FROM sc)
+SELECT doc_id, true_label, label AS pred_label,
+       round(score, 6) AS score, label = true_label AS correct
+FROM rk WHERE rn = 1
+"""
+
+
 def registry() -> dict[str, str]:
     """name -> DuckDB SQL, for every oracle-checkable query."""
     return {
+        "remove_duplicate_spans": sql_remove_duplicate_spans(),
+        "nb_classify": sql_nb_classify(),
         "source_quota": sql_source_quota(),
         "knn_label_vote": sql_knn_label_vote(),
         "dedup_group_sizes": sql_dedup_group_sizes(),

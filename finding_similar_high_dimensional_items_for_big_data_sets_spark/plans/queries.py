@@ -1896,7 +1896,33 @@ def q_lang_confusion(spark, sf_dir):
     )
 
 
+def q_remove_duplicate_spans(spark, sf_dir):
+    """Exact-substring dedup (the CUT half of Lee et al.): tokens
+    covered by any word 8-gram shared across >= 2 documents are
+    removed and the text reassembled — the cleaned corpus a
+    substring-dedup pass ships, where shared_ngram_spans only flags."""
+    return dedup.remove_duplicate_spans(
+        _docs(spark, sf_dir),
+        n=C.SPAN_NGRAM,
+        min_doc_freq=C.SPAN_REMOVE_MIN_DF,
+    )
+
+
+def q_nb_classify(spark, sf_dir):
+    """Multinomial Naive Bayes lang classifier trained on the id-mod
+    train split, evaluated on the held-out docs — the fastText-style
+    trainable filter (CCNet lang-ID / GPT-3 quality classifier shape)
+    as one engine query."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import prep
+
+    return prep.naive_bayes_classify(
+        _docs(spark, sf_dir), label_col="lang", test_mod=C.NB_TEST_MOD
+    )
+
+
 REGISTRY = {
+    "remove_duplicate_spans": q_remove_duplicate_spans,
+    "nb_classify": q_nb_classify,
     "shingle_stats": q_shingle_stats,
     "content_hashes": q_content_hashes,
     "minhash_signatures": q_minhash_signatures,

@@ -58,3 +58,95 @@ def test_knn_label_vote_majority_tie_and_self_exclusion(spark):
     )
     got_self = bruteforce.knn_label_vote(corpus, qs_self, k=1).collect()
     assert got_self[0]["pred_label"] == 3  # vec 2 (dist 0.1), not itself
+
+
+def test_remove_duplicate_spans_cuts_shared_grams(spark):
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import dedup
+
+    shared = "a b c d e f g h"  # one exact 8-gram shared by docs 1 and 2
+    docs = spark.createDataFrame(
+        [
+            (1, f"u1 {shared} v1"),
+            (2, f"u2 u2b {shared}"),
+            (3, "solo text with no duplicated spans at all"),
+            (4, ""),  # empty doc survives with empty text
+            (5, "short doc"),  # < n tokens: no grams, untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.remove_duplicate_spans(docs, n=8, min_doc_freq=2).collect()
+    }
+    assert out[1]["clean_text"] == "u1 v1" and out[1]["n_removed"] == 8
+    assert out[2]["clean_text"] == "u2 u2b" and out[2]["n_removed"] == 8
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"] == "solo text with no duplicated spans at all"
+    assert out[4]["clean_text"] == "" and out[4]["n_tokens"] == 0
+    assert out[5]["clean_text"] == "short doc" and out[5]["n_removed"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_doc_freq"):
+        dedup.remove_duplicate_spans(docs, n=8, min_doc_freq=1)
+
+
+def test_remove_duplicate_spans_overlapping_windows(spark):
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import dedup
+
+    # 3-grams: "a b c" (docs 1+2) and "c d e" (docs 1+3) overlap in doc
+    # 1 at token c -> coverage is the UNION [0,5), all five tokens cut
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e tail1 tail2"),
+            (2, "x a b c y"),
+            (3, "z c d e w"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.remove_duplicate_spans(docs, n=3, min_doc_freq=2).collect()
+    }
+    assert out[1]["clean_text"] == "tail1 tail2" and out[1]["n_removed"] == 5
+    assert out[2]["clean_text"] == "x y"
+    assert out[3]["clean_text"] == "z w"
+
+
+def test_naive_bayes_classify_separable_corpus(spark):
+    # Two vocabularies that never mix: the held-out docs (id % 3 == 0)
+    # must be classified by their own class's tokens.
+    rows = []
+    for i in range(30):
+        lbl = "aa" if i % 2 == 0 else "bb"
+        words = ("apple banana cherry" if lbl == "aa" else "dog emu ferret")
+        rows.append((i, f"{words} {words}", lbl))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = prep.naive_bayes_classify(docs, test_mod=3).collect()
+    assert len(out) == 10
+    assert all(r["correct"] for r in out)
+    assert all(r["pred_label"] == r["true_label"] for r in out)
+
+
+def test_naive_bayes_tie_breaks_to_smaller_label(spark):
+    # a test doc with only unseen tokens scores every class by prior
+    # alone; equal priors -> round-10 tie -> smaller label wins
+    docs = spark.createDataFrame(
+        [
+            (0, "zz qq ww", "bb"),  # test doc, tokens unseen in training
+            (1, "foo bar", "bb"),
+            (2, "foo baz", "aa"),
+            (3, "bar baz", "aa"),
+            (4, "foo bar baz", "bb"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = prep.naive_bayes_classify(docs, test_mod=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    # equal doc priors (2 aa / 2 bb) but UNSEEN tokens still pay each
+    # class's ln(T_l + V): equal here too (3 tokens each) -> tie -> aa
+    assert r["pred_label"] == "aa"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="test_mod"):
+        prep.naive_bayes_classify(docs, test_mod=1)
