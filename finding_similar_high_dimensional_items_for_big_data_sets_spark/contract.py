@@ -97,6 +97,15 @@ SPAN_REMOVE_MIN_DF = 2
 # held-out test split, the rest train the model.
 NB_TEST_MOD = 5
 
+# Winnowing fingerprints (MOSS): char k-gram length, window size (any
+# shared substring >= WINNOW_K + WINNOW_W - 1 chars is guaranteed a
+# common fingerprint), plus the shared_ngram_spans-style df cap and
+# the minimum shared-fingerprint count for a reported pair.
+WINNOW_K = 16
+WINNOW_W = 8
+WINNOW_MAX_DOC_FREQ = 16
+WINNOW_MIN_SHARED = 2
+
 # Balanced mixture sampling: hash-bucket scale and salt.
 MIX_SCALE = 1_000_000
 MIX_SEED = 7

@@ -1463,3 +1463,143 @@ def cross_corpus_ngram_hits(
         .agg(F.count("*").cast("int").alias("n_contaminated_ngrams"))
         .filter(F.col("n_contaminated_ngrams") >= F.lit(min_hits))
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 16,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS algorithm): hash every char ``k``-gram, slide a
+    window of ``w`` consecutive hashes, and in each window select the
+    MINIMUM hash, rightmost position on ties. The selected set has the
+    guarantee neither MinHash nor the rolling :func:`doc_fingerprint`
+    gives: any shared substring of length >= k + w - 1 contributes at
+    least one IDENTICAL (fingerprint, aligned) selection to both
+    documents, at ~2/(w+1) the density of the full k-gram set.
+
+    Entirely row-local (one transform over window starts, an integer
+    min-reduce per window, distinct) — the corpus text never shuffles;
+    only the sparse fingerprint rows do, and downstream pair-finding
+    (:func:`winnow_pairs`-style bucket joins) rides an 8-byte key.
+    Documents shorter than ``k`` chars yield no k-grams and therefore
+    no fingerprints (documented; winnowing is a substring detector,
+    not an identity hash).
+
+    Output: (doc_id, pos INT — 0-based char offset of the selected
+    k-gram, fp BIGINT in the Mersenne-31 field), distinct per doc.
+    """
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.hashing import (
+        shingle_hash,
+    )
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if w < 1:
+        raise ValueError("w must be >= 1")
+    text = F.col(text_col)
+    hs = F.when(
+        F.length(text) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - F.lit(k - 1)),
+            lambda i: shingle_hash(F.substring(text, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # Encode (hash, 1-based gram index i) as ONE comparable BIGINT,
+    #   c = (hash << 31) + (2^31 - i),
+    # so a window's rightmost minimum-hash selection is a plain
+    # array_min: smaller hash wins the high bits, and on a hash tie
+    # the LARGER i (rightmost) has the smaller low part. hash is in
+    # the Mersenne-31 field (< 2^31) and i is bounded by 2^31 chars
+    # per document, so c < 2^62 never overflows. The same encoding
+    # runs in the DuckDB twin (structs defeat its list_distinct).
+    M = 1 << 31
+    base = docs.select(F.col(id_col).alias("doc_id"), hs.alias("hs"))
+    cs = F.zip_with(
+        F.col("hs"),
+        F.sequence(F.lit(1), F.size("hs")),
+        lambda h, i: F.shiftleft(h, 31) + (F.lit(M) - i.cast("bigint")),
+    )
+    # short gram lists get ONE window over everything they have
+    wlen = F.least(F.lit(w), F.size("cs"))
+    nw = F.size("cs") - wlen + F.lit(1)
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), nw),
+            lambda i: F.array_min(F.slice(F.col("cs"), i, wlen)),
+        )
+    )
+    return (
+        base.filter(F.size("hs") > 0)
+        .select("doc_id", cs.alias("cs"))
+        .select("doc_id", F.explode(sel).alias("c"))
+        .select(
+            "doc_id",
+            (F.lit(M) - F.col("c").bitwiseAND(F.lit(M - 1)) - F.lit(1))
+            .cast("int")
+            .alias("pos"),
+            F.shiftright(F.col("c"), 31).alias("fp"),
+        )
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 16,
+    w: int = 8,
+    max_doc_freq: int = 16,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs sharing at least ``min_shared`` distinct winnowed
+    fingerprints — plagiarism-detector pairing over the MOSS selection,
+    with the same boilerplate cap + bounded-bucket pair expansion as
+    :func:`shared_ngram_spans` (a fingerprint in more than
+    ``max_doc_freq`` docs is template noise, and no bucket ever holds
+    more than ``max_doc_freq`` ids regardless of corpus size).
+
+    Output: (doc_a, doc_b, shared_fps INT), doc_a < doc_b.
+    """
+    if max_doc_freq < 2:
+        raise ValueError("max_doc_freq must be >= 2")
+    fps = (
+        winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    capped_fp = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= F.lit(max_doc_freq)))
+        .select("fp")
+    )
+    per_fp = fps.join(capped_fp, "fp").groupBy("fp").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    pairs = per_fp.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ds") - F.lit(1)),
+                    lambda i: F.transform(
+                        F.sequence(i + F.lit(1), F.size("ds")),
+                        lambda j: F.struct(
+                            F.element_at(F.col("ds"), i).alias("a"),
+                            F.element_at(F.col("ds"), j).alias("b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+    return (
+        pairs.filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("int").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= F.lit(min_shared))
+    )

@@ -2683,9 +2683,75 @@ FROM rk WHERE rn = 1
 """
 
 
+def _winnow_fps_cte() -> str:
+    """Shared winnowing CTE body: per-doc selected (pos, fp) rows.
+    Mirrors dedup.winnow_fingerprints exactly — same char k-gram
+    Mersenne-31 hashes, same rightmost-window-minimum rule (list_reduce
+    inits with the FIRST window element, matching the engine's
+    aggregate init = element i), same short-doc/short-list handling."""
+    k, w = C.WINNOW_K, C.WINNOW_W
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.hashing import (
+        shingle_hash_sql,
+    )
+
+    sh = shingle_hash_sql(f"substr(text, CAST(i AS INT), {k})")
+    m = 1 << 31
+    return f"""
+hs0 AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= {k}
+         THEN list_transform(range(1, length(text)-{k}+2), i -> {sh})
+         ELSE CAST([] AS BIGINT[]) END AS hs
+  FROM documents),
+cs0 AS (
+  SELECT doc_id,
+    list_transform(range(1, len(hs)+1),
+                   i -> (hs[CAST(i AS INT)] << 31) + ({m} - i)) AS cs,
+    least({w}, len(hs)) AS wlen
+  FROM hs0 WHERE len(hs) > 0),
+sel AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(cs) - wlen + 2), i ->
+      list_min(cs[CAST(i AS INT):CAST(i + wlen - 1 AS INT)]))) AS sels
+  FROM cs0),
+wfp AS (
+  SELECT doc_id,
+         CAST({m} - (c & {m - 1}) - 1 AS INT) AS pos,
+         c >> 31 AS fp
+  FROM (SELECT doc_id, unnest(sels) AS c FROM sel))"""
+
+
+def sql_winnow_fingerprints() -> str:
+    """Mirrors dedup.winnow_fingerprints (see _winnow_fps_cte)."""
+    return f"""
+WITH {_winnow_fps_cte()}
+SELECT doc_id, pos, fp FROM wfp
+"""
+
+
+def sql_winnow_pairs() -> str:
+    """Mirrors dedup.winnow_pairs: distinct per-doc fingerprints,
+    df-capped, bucket pairs counted — the shared_ngram_spans shape
+    over the winnowed selection."""
+    cap, ms = C.WINNOW_MAX_DOC_FREQ, C.WINNOW_MIN_SHARED
+    return f"""
+WITH {_winnow_fps_cte()},
+fps AS (SELECT DISTINCT doc_id, fp FROM wfp),
+df AS (SELECT fp FROM fps GROUP BY 1 HAVING count(*) BETWEEN 2 AND {cap}),
+kk AS (SELECT doc_id, fps.fp FROM fps JOIN df USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS INT) AS shared_fps
+FROM kk a JOIN kk b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {ms}
+"""
+
+
 def registry() -> dict[str, str]:
     """name -> DuckDB SQL, for every oracle-checkable query."""
     return {
+        "winnow_fingerprints": sql_winnow_fingerprints(),
+        "winnow_pairs": sql_winnow_pairs(),
         "remove_duplicate_spans": sql_remove_duplicate_spans(),
         "nb_classify": sql_nb_classify(),
         "source_quota": sql_source_quota(),

@@ -1920,9 +1920,33 @@ def q_nb_classify(spark, sf_dir):
     )
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """MOSS winnowing fingerprints per document: char 16-gram hashes,
+    window-8 rightmost minima — the local fingerprint set with the
+    guaranteed-substring-detection property MinHash lacks."""
+    return dedup.winnow_fingerprints(
+        _docs(spark, sf_dir), k=C.WINNOW_K, w=C.WINNOW_W
+    )
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Plagiarism-detector pairing over the winnowed fingerprints:
+    pairs sharing >= 2 distinct fingerprints, df-capped like
+    shared_ngram_spans."""
+    return dedup.winnow_pairs(
+        _docs(spark, sf_dir),
+        k=C.WINNOW_K,
+        w=C.WINNOW_W,
+        max_doc_freq=C.WINNOW_MAX_DOC_FREQ,
+        min_shared=C.WINNOW_MIN_SHARED,
+    )
+
+
 REGISTRY = {
     "remove_duplicate_spans": q_remove_duplicate_spans,
     "nb_classify": q_nb_classify,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_pairs": q_winnow_pairs,
     "shingle_stats": q_shingle_stats,
     "content_hashes": q_content_hashes,
     "minhash_signatures": q_minhash_signatures,

@@ -150,3 +150,66 @@ def test_naive_bayes_tie_breaks_to_smaller_label(spark):
 
     with _pytest.raises(ValueError, match="test_mod"):
         prep.naive_bayes_classify(docs, test_mod=1)
+
+
+def test_winnow_fingerprints_rightmost_min_and_guarantee(spark):
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import dedup
+
+    # identical docs -> identical fingerprint sets at identical offsets
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different material here xyz")],
+        "doc_id long, text string",
+    )
+    out = dedup.winnow_fingerprints(docs, k=5, w=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    assert by_doc[1] == by_doc[2]
+    assert by_doc[1] != by_doc[3]
+    # density: winnowing selects ~2/(w+1) of the grams, never zero
+    n_grams = len(base) - 5 + 1
+    assert 0 < len(by_doc[1]) < n_grams
+    # guarantee: a shared substring of >= k+w-1 chars yields at least
+    # one shared fingerprint VALUE between otherwise-different docs
+    shared = "abcdefghijklmnopqrstuvwxyz0123456789"  # 36 >= 5+4-1
+    docs2 = spark.createDataFrame(
+        [(10, f"prefix one {shared} tail A"), (20, f"other start {shared} Z")],
+        "doc_id long, text string",
+    )
+    fps = dedup.winnow_fingerprints(docs2, k=5, w=4).collect()
+    s10 = {r["fp"] for r in fps if r["doc_id"] == 10}
+    s20 = {r["fp"] for r in fps if r["doc_id"] == 20}
+    assert s10 & s20
+    # docs shorter than k yield no fingerprints
+    short = spark.createDataFrame([(9, "ab")], "doc_id long, text string")
+    assert dedup.winnow_fingerprints(short, k=5, w=4).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k"):
+        dedup.winnow_fingerprints(docs, k=0, w=4)
+    with _pytest.raises(ValueError, match="w"):
+        dedup.winnow_fingerprints(docs, k=5, w=0)
+
+
+def test_winnow_fingerprints_short_gram_list_single_window(spark):
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import dedup
+
+    # text with k <= len < k+w-1: fewer grams than the window -> ONE
+    # window over all grams, exactly one fingerprint selected
+    docs = spark.createDataFrame([(1, "abcdef")], "doc_id long, text string")
+    out = dedup.winnow_fingerprints(docs, k=5, w=8).collect()
+    assert len(out) == 1
+
+
+def test_winnow_pairs_clones_pair_up(spark):
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import dedup
+
+    t1 = "a long enough piece of shared text that winnowing will select from"
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t1 + " plus suffix"), (3, "unrelated content entirely so")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.winnow_pairs(docs, k=5, w=4, min_shared=2).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["shared_fps"] >= 2
