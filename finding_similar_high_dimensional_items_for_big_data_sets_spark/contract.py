@@ -106,6 +106,13 @@ WINNOW_W = 8
 WINNOW_MAX_DOC_FREQ = 16
 WINNOW_MIN_SHARED = 2
 
+# BM25 lexical retrieval fixture: the keyword query (tokens present at
+# every SF), result size, and the standard Robertson parameters.
+BM25_QUERY = "column window scan merge"
+BM25_K = 10
+BM25_K1 = 1.2
+BM25_B = 0.75
+
 # Balanced mixture sampling: hash-bucket scale and salt.
 MIX_SCALE = 1_000_000
 MIX_SEED = 7

@@ -2747,9 +2747,54 @@ HAVING count(*) >= {ms}
 """
 
 
+def sql_bm25_topk() -> str:
+    """Mirrors retrieval.bm25_topk: same Lucene-variant idf over exact
+    integer df/N (+0.5 halves are exact in binary), same operation
+    order in every float expression (the k1/b literals are emitted
+    from the SAME Python floats the engine uses), per-doc fold ordered
+    by token, ranking on round(score, 10) desc / doc_id asc. avgdl is
+    sum_dl / n — DuckDB float division of exact ints matches Python's
+    correctly-rounded int true-division below 2^53."""
+    terms = sorted({t for t in C.BM25_QUERY.split(" ") if t})
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    k1, b, k = C.BM25_K1, C.BM25_B, C.BM25_K
+    return f"""
+WITH toks AS ({TOKS}),
+st AS (SELECT count(*) AS n, sum(len(t)) AS sum_dl FROM toks),
+terms AS (SELECT unnest([{term_list}]) AS token),
+matched AS (
+  SELECT doc_id, dl, token, count(*) AS tf
+  FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM toks) x
+  JOIN terms ON x.tok = terms.token
+  GROUP BY 1, 2, 3),
+dfq AS (SELECT token, count(*) AS df FROM matched GROUP BY 1),
+ts AS (
+  SELECT m.doc_id, m.token,
+    ln(1.0 + (CAST((SELECT n FROM st) AS DOUBLE) - df + 0.5) / (df + 0.5))
+      * (CAST(tf AS DOUBLE) * {k1 + 1.0!r})
+      / (CAST(tf AS DOUBLE)
+         + {k1!r} * ({1.0 - b!r}
+                     + {b!r} * CAST(dl AS DOUBLE)
+                       / ((SELECT sum_dl FROM st) / (SELECT n FROM st))))
+      AS term_score
+  FROM matched m JOIN dfq USING (token)),
+agg AS (
+  SELECT doc_id,
+    list_reduce(list_prepend(0.0, list(term_score ORDER BY token)),
+                (a, x) -> a + x) AS score
+  FROM ts GROUP BY doc_id),
+rk AS (
+  SELECT doc_id, score,
+    CAST(row_number() OVER (ORDER BY round(score, 10) DESC, doc_id ASC) AS INT) AS rank
+  FROM agg)
+SELECT doc_id, round(score, 6) AS score, rank FROM rk WHERE rank <= {k}
+"""
+
+
 def registry() -> dict[str, str]:
     """name -> DuckDB SQL, for every oracle-checkable query."""
     return {
+        "bm25_topk": sql_bm25_topk(),
         "winnow_fingerprints": sql_winnow_fingerprints(),
         "winnow_pairs": sql_winnow_pairs(),
         "remove_duplicate_spans": sql_remove_duplicate_spans(),

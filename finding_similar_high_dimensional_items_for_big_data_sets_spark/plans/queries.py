@@ -1942,11 +1942,27 @@ def q_winnow_pairs(spark, sf_dir):
     )
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 keyword top-k over the documents table — the lexical rung
+    of a hybrid search stack next to the MinHash/LSH and vector tiers,
+    with the Lucene-variant idf and fully deterministic ranking."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import retrieval
+
+    return retrieval.bm25_topk(
+        _docs(spark, sf_dir),
+        query=C.BM25_QUERY,
+        k=C.BM25_K,
+        k1=C.BM25_K1,
+        b=C.BM25_B,
+    )
+
+
 REGISTRY = {
     "remove_duplicate_spans": q_remove_duplicate_spans,
     "nb_classify": q_nb_classify,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_pairs": q_winnow_pairs,
+    "bm25_topk": q_bm25_topk,
     "shingle_stats": q_shingle_stats,
     "content_hashes": q_content_hashes,
     "minhash_signatures": q_minhash_signatures,

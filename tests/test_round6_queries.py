@@ -213,3 +213,41 @@ def test_winnow_pairs_clones_pair_up(spark):
     pairs = dedup.winnow_pairs(docs, k=5, w=4, min_shared=2).collect()
     assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
     assert pairs[0]["shared_fps"] >= 2
+
+
+def test_bm25_topk_ranking_and_guards(spark):
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),     # 2 query terms, tf(apple)=2
+            (2, "apple kiwi melon grape"),        # 1 query term
+            (3, "banana banana banana banana"),   # 1 term, high tf, same dl
+            (4, "nothing relevant here at all"),  # no terms -> absent
+            (5, "apple banana"),                  # both terms, shortest doc
+        ],
+        "doc_id long, text string",
+    )
+    out = retrieval.bm25_topk(docs, "apple banana", k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 4 not in ids and len(ids) == 4
+    assert [r["rank"] for r in out] == [1, 2, 3, 4]
+    # the short doc containing BOTH terms outranks everything (length
+    # normalization + both idfs); the two-term doc beats single-term
+    assert ids[0] == 5
+    assert ids[1] == 1
+    # k caps the result
+    assert retrieval.bm25_topk(docs, "apple banana", k=2).count() == 2
+    # duplicate query terms are deduped: identical scores
+    a = {r["doc_id"]: r["score"] for r in out}
+    bdup = {
+        r["doc_id"]: r["score"]
+        for r in retrieval.bm25_topk(docs, "banana apple apple", k=10).collect()
+    }
+    assert a == bdup
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must"):
+        retrieval.bm25_topk(docs, "apple", k=0)
+    with _pytest.raises(ValueError, match="no terms"):
+        retrieval.bm25_topk(docs, "  ")
