@@ -113,6 +113,9 @@ BM25_K = 10
 BM25_K1 = 1.2
 BM25_B = 0.75
 
+# Reciprocal Rank Fusion constant (Cormack et al.'s canonical 60).
+RRF_C = 60
+
 # Balanced mixture sampling: hash-bucket scale and salt.
 MIX_SCALE = 1_000_000
 MIX_SEED = 7

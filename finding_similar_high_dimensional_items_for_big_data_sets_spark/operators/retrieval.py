@@ -131,3 +131,70 @@ def bm25_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    rank_a_col: str = "rank",
+    rank_b_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher, SIGIR 2009) —
+    the standard hybrid-search combiner: given two ranked lists,
+    rrf(d) = sum over lists containing d of 1 / (c + rank_d). Ids
+    missing from a list contribute nothing from it (the full-outer
+    semantics every RRF implementation uses). Rank-only fusion needs
+    no score calibration between the lists — which is exactly why it
+    is the default way to fuse a lexical (BM25) list with a vector
+    (cosine) list.
+
+    Both inputs are top-k lists (bounded), so the fusion is a
+    broadcast-sized full outer join however large the corpus the lists
+    were drawn from. 1/(c + rank) divides exact small integers —
+    engine-portable bit-for-bit.
+
+    Output: (doc_id, rank_lex INT nullable, rank_vec INT nullable,
+    rrf_score DOUBLE rounded-6, rank INT) — ties broken by doc_id.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if c < 1:
+        raise ValueError(f"c must be >= 1, got {c}")
+    a = ranked_a.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(rank_a_col).cast("int").alias("rank_lex"),
+    )
+    bt = ranked_b.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(rank_b_col).cast("int").alias("rank_vec"),
+    )
+    fused = a.join(bt, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_lex",
+        "rank_vec",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(c) + F.col("rank_lex")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(c) + F.col("rank_vec")), F.lit(0.0)
+            )
+        ).alias("rrf_score"),
+    )
+    w = Window.orderBy(
+        F.round(F.col("rrf_score"), 10).desc(), F.col("doc_id").asc()
+    ).partitionBy(F.pmod(F.col("doc_id"), F.lit(1)))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "rank_lex",
+            "rank_vec",
+            F.round(F.col("rrf_score"), 6).alias("rrf_score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -2791,10 +2791,37 @@ SELECT doc_id, round(score, 6) AS score, rank FROM rk WHERE rank <= {k}
 """
 
 
+def sql_hybrid_rrf_topk() -> str:
+    """Mirrors q_hybrid_rrf_topk: the bm25 and cosine top-k statements
+    as MATERIALIZED CTEs, full-outer rank fusion 1/(c+rank) summed in
+    the engine's coalesce order (lex term first), ranking on
+    round(rrf, 10) desc / doc_id asc."""
+    c, k = C.RRF_C, C.BM25_K
+    return f"""
+WITH lex AS MATERIALIZED ({sql_bm25_topk()}),
+vec AS MATERIALIZED ({sql_cosine_topk()}),
+fused AS (
+  SELECT coalesce(l.doc_id, v.vec_id) AS doc_id,
+         CAST(l.rank AS INT) AS rank_lex,
+         CAST(v.rank AS INT) AS rank_vec,
+         coalesce(1.0 / ({c} + l.rank), 0.0)
+           + coalesce(1.0 / ({c} + v.rank), 0.0) AS rrf_score
+  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.vec_id),
+rk AS (
+  SELECT doc_id, rank_lex, rank_vec, rrf_score,
+    CAST(row_number() OVER (
+      ORDER BY round(rrf_score, 10) DESC, doc_id ASC) AS INT) AS rank
+  FROM fused)
+SELECT doc_id, rank_lex, rank_vec, round(rrf_score, 6) AS rrf_score, rank
+FROM rk WHERE rank <= {k}
+"""
+
+
 def registry() -> dict[str, str]:
     """name -> DuckDB SQL, for every oracle-checkable query."""
     return {
         "bm25_topk": sql_bm25_topk(),
+        "hybrid_rrf_topk": sql_hybrid_rrf_topk(),
         "winnow_fingerprints": sql_winnow_fingerprints(),
         "winnow_pairs": sql_winnow_pairs(),
         "remove_duplicate_spans": sql_remove_duplicate_spans(),

@@ -1957,12 +1957,27 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def q_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid search: the BM25 lexical top-k fused with the exact
+    cosine vector top-k by Reciprocal Rank Fusion — the standard
+    two-tier retrieval composition, over the aligned
+    documents/embeddings id space."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import retrieval
+
+    lex = q_bm25_topk(spark, sf_dir)
+    vec = q_cosine_topk(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return retrieval.rrf_fuse(lex, vec, k=C.BM25_K, c=C.RRF_C)
+
+
 REGISTRY = {
     "remove_duplicate_spans": q_remove_duplicate_spans,
     "nb_classify": q_nb_classify,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_pairs": q_winnow_pairs,
     "bm25_topk": q_bm25_topk,
+    "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "shingle_stats": q_shingle_stats,
     "content_hashes": q_content_hashes,
     "minhash_signatures": q_minhash_signatures,

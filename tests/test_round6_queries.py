@@ -251,3 +251,33 @@ def test_bm25_topk_ranking_and_guards(spark):
         retrieval.bm25_topk(docs, "apple", k=0)
     with _pytest.raises(ValueError, match="no terms"):
         retrieval.bm25_topk(docs, "  ")
+
+
+def test_rrf_fuse_full_outer_and_ties(spark):
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import retrieval
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(2, 1), (4, 2)], "doc_id long, rank int"
+    )
+    out = retrieval.rrf_fuse(a, b, k=10, c=60).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # doc 2 is in both lists and must win
+    assert out[0]["doc_id"] == 2 and out[0]["rank"] == 1
+    assert by_id[2]["rrf_score"] == round(1 / 61 + 1 / 62, 6)
+    # one-sided docs carry a null rank on the missing side
+    assert by_id[1]["rank_vec"] is None and by_id[4]["rank_lex"] is None
+    # doc 1 (lex rank 1) ties doc 4's... 1/61 vs 1/62: doc 1 > doc 4
+    assert by_id[1]["rrf_score"] > by_id[4]["rrf_score"]
+    # equal scores tie-break by doc_id: doc 3 (1/63) unique here, but
+    # two docs at the same single-list rank never happens within one
+    # list; verify k cap instead
+    assert retrieval.rrf_fuse(a, b, k=2).count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must"):
+        retrieval.rrf_fuse(a, b, k=0)
+    with _pytest.raises(ValueError, match="c must"):
+        retrieval.rrf_fuse(a, b, c=0)
