@@ -1161,6 +1161,32 @@ def main():
         reps=9,
     )
     ref_parity["serving_vector_rerank_ms"] = t * 10.0
+
+    # lexical + hybrid serving: in-process BM25 point queries over the
+    # same 20k parity corpus (answer-identical to bm25_topk by
+    # construction, identity-tested in tests/test_serving_lexical.py)
+    # and the RRF hybrid point fusing the lexical and vector lists
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.retrieval import (
+        ServingLexicalIndex,
+        hybrid_rrf_point,
+    )
+
+    lidx = ServingLexicalIndex.from_dataframe(sdocs)
+    # five terms of the synthetic w0..w19 vocab: dense postings
+    # (~17k docs/term at 20k docs) — a worst-case point query
+    lex_q = "w1 w5 w9 w13 w17"
+    lidx.query(lex_q, k=K)  # warm
+    t, _ = timed(lambda: [lidx.query(lex_q, k=K) for _ in range(100)], reps=9)
+    ref_parity["serving_lexical_point_ms"] = t * 10.0
+    hybrid_rrf_point(lidx, vidx, lex_q, vq, k=K, n_probe=8)  # warm
+    t, _ = timed(
+        lambda: [
+            hybrid_rrf_point(lidx, vidx, lex_q, vq, k=K, n_probe=8)
+            for _ in range(100)
+        ],
+        reps=9,
+    )
+    ref_parity["serving_hybrid_point_ms"] = t * 10.0
     semb.unpersist()
     shutil.rmtree(sv_store, ignore_errors=True)
     def ref_lsh_batch():

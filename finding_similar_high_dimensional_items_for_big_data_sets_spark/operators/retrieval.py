@@ -198,3 +198,185 @@ def rrf_fuse(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+class ServingLexicalIndex:
+    """In-process inverted index for ms-scale BM25 point queries — the
+    lexical twin of ``serving_vector.ServingVectorIndex`` (and of the
+    reference's startup in-memory index, ``app/main.py``): export once
+    with one Spark aggregation, answer keyword queries without a Spark
+    job on the hot path.
+
+    Answer identity: the per-doc score accumulates term scores in
+    sorted-term order — the same addition sequence as
+    :func:`bm25_topk`'s token-sorted fold — every ln() argument is the
+    same exact-integer ratio, and output/ordering use the same
+    round(6)/round(10) discipline, so a point query returns the
+    engine's rows exactly (identity-tested).
+
+    Scale shape: one replica holds the postings for ITS document
+    shard while corpus statistics (N, sum_dl, per-term df) stay
+    GLOBAL — export shards with ``from_dataframe(docs,
+    global_stats=...)`` over doc subsets and merge per-shard answers
+    with :func:`merge_topk_scores` (scores are doc-local once the
+    global stats are fixed, so scatter-gather is exact — the same
+    replica law as the MinHash and vector serving tiers).
+    """
+
+    def __init__(self, n_docs, sum_dl, postings, k1, b, global_df=None):
+        self.n_docs = int(n_docs)
+        self.sum_dl = int(sum_dl)
+        self.postings = postings  # token -> (ids int64[], tf int64[], dl int64[])
+        self.k1 = float(k1)
+        self.b = float(b)
+        # per-term document frequency used for idf: global when this
+        # replica holds only a doc shard, local otherwise
+        self.global_df = global_df
+
+    @classmethod
+    def from_dataframe(
+        cls,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k1: float = 1.2,
+        b: float = 0.75,
+        global_stats: tuple[int, int, dict] | None = None,
+    ) -> "ServingLexicalIndex":
+        """One-time export (offline half, excluded from query latency):
+        one explode + groupBy job lands (doc, token, tf, dl) rows
+        through Arrow into per-token numpy postings.
+
+        ``global_stats``: (n_docs, sum_dl, {token: df}) from the FULL
+        corpus when ``docs`` is one replica's document shard."""
+        import numpy as np
+
+        toks = tokenize(F.col(text_col))
+        pdf = (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.size(toks).alias("dl"),
+                F.explode(toks).alias("token"),
+            )
+            .groupBy("doc_id", "dl", "token")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .toPandas()
+        )
+        postings: dict = {}
+        for token, grp in pdf.groupby("token", sort=False):
+            g = grp.sort_values("doc_id")
+            postings[token] = (
+                g["doc_id"].to_numpy(dtype=np.int64),
+                g["tf"].to_numpy(dtype=np.int64),
+                g["dl"].to_numpy(dtype=np.int64),
+            )
+        if global_stats is not None:
+            n_docs, sum_dl, global_df = global_stats
+        else:
+            st = docs.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.size(toks)).alias("s"),
+            ).collect()[0]
+            n_docs, sum_dl, global_df = st["n"] or 0, st["s"] or 0, None
+        if n_docs == 0:
+            raise ValueError("empty corpus")
+        return cls(n_docs, sum_dl, postings, k1, b, global_df)
+
+    def query(self, query: str, k: int = 10) -> list[tuple[int, float, int]]:
+        """BM25 point query: [(doc_id, score rounded-6, rank)].
+
+        Vectorized accumulation: term-score arrays are concatenated in
+        sorted-term order and summed per doc with the UNBUFFERED
+        ``np.add.at`` (which applies repeated-index additions in array
+        order) — so each doc's additions happen in exactly the
+        engine's token-sorted fold sequence, bit-for-bit."""
+        import math
+
+        import numpy as np
+
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        terms = sorted({t for t in query.split(" ") if t})
+        if not terms:
+            raise ValueError("query has no terms")
+        n = self.n_docs
+        avgdl = self.sum_dl / n
+        k1, b = self.k1, self.b
+        id_chunks, ts_chunks = [], []
+        for t in terms:
+            post = self.postings.get(t)
+            if post is None:
+                continue
+            ids, tf, dl = post
+            df = (
+                self.global_df.get(t, len(ids))
+                if self.global_df is not None
+                else len(ids)
+            )
+            idf = math.log(1.0 + (float(n) - df + 0.5) / (df + 0.5))
+            ts = (
+                idf
+                * (tf.astype("float64") * (k1 + 1.0))
+                / (
+                    tf.astype("float64")
+                    + k1 * ((1.0 - b) + b * dl.astype("float64") / avgdl)
+                )
+            )
+            id_chunks.append(ids)
+            ts_chunks.append(ts)
+        if not id_chunks:
+            return []
+        all_ids = np.concatenate(id_chunks)
+        all_ts = np.concatenate(ts_chunks)
+        uids, inv = np.unique(all_ids, return_inverse=True)
+        scores = np.zeros(uids.shape[0], dtype=np.float64)
+        np.add.at(scores, inv, all_ts)
+        order = np.lexsort((uids, -np.round(scores, 10)))[:k]
+        return [
+            (int(uids[j]), round(float(scores[j]), 6), i + 1)
+            for i, j in enumerate(order)
+        ]
+
+
+def merge_topk_scores(
+    shard_results: list[list[tuple[int, float, int]]], k: int = 10
+) -> list[tuple[int, float, int]]:
+    """Router-side scatter-gather merge for doc-sharded lexical
+    replicas: each doc lives in exactly one shard, so the global top-k
+    is the top-k of the per-shard answers re-ranked under the same
+    (round-10 score desc, doc_id asc) rule."""
+    pool = [(d, s) for res in shard_results for (d, s, _r) in res]
+    ranked = sorted(pool, key=lambda it: (-round(it[1], 10), it[0]))[:k]
+    return [(d, round(s, 6), i + 1) for i, (d, s) in enumerate(ranked)]
+
+
+def hybrid_rrf_point(
+    lex_index: "ServingLexicalIndex",
+    vec_index,
+    query_text: str,
+    query_vec: list,
+    k: int = 10,
+    c: int = 60,
+    n_probe: int = 4,
+    shortlist: int | None = None,
+) -> list[tuple[int, float, int]]:
+    """In-process hybrid point query: BM25 point list + IVF-PQ vector
+    point list fused by the same RRF rule as :func:`rrf_fuse`
+    (1/(c+rank) summed lexical-first, round-10 ordering, id ties) —
+    the serving twin of the ``hybrid_rrf_topk`` contract query, with
+    no Spark job on the hot path."""
+    if c < 1:
+        raise ValueError(f"c must be >= 1, got {c}")
+    lex_hits = lex_index.query(query_text, k=k)
+    vec_hits = vec_index.query(
+        query_vec, k=k, n_probe=n_probe, shortlist=shortlist
+    )
+    scores: dict[int, float] = {}
+    for doc_id, _s, rank in lex_hits:
+        scores[doc_id] = scores.get(doc_id, 0.0) + 1.0 / (c + rank)
+    for vec_id, _d, rank in vec_hits:
+        scores[int(vec_id)] = scores.get(int(vec_id), 0.0) + 1.0 / (c + rank)
+    ranked = sorted(
+        scores.items(), key=lambda it: (-round(it[1], 10), it[0])
+    )[:k]
+    return [(d, round(s, 6), i + 1) for i, (d, s) in enumerate(ranked)]
