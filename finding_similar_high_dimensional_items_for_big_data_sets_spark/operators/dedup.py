@@ -1346,11 +1346,15 @@ def remove_duplicate_spans(
             ),
             toks.alias("toks"),
         )
+        # materialize the kept-token array ONCE: Catalyst copies (not
+        # CSEs) an expression tree per reference, and kept_toks is
+        # needed by both the reassembled text and the removal count
+        .select("doc_id", "n_tokens", kept_toks.alias("kept"))
         .select(
             "doc_id",
-            F.array_join(kept_toks, " ").alias("clean_text"),
+            F.array_join(F.col("kept"), " ").alias("clean_text"),
             F.col("n_tokens").cast("int").alias("n_tokens"),
-            (F.col("n_tokens") - F.size(kept_toks)).cast("int").alias(
+            (F.col("n_tokens") - F.size("kept")).cast("int").alias(
                 "n_removed"
             ),
         )
