@@ -941,14 +941,6 @@ def main():
             codes_store, cents_store, books_store = read_ivfpq_index(
                 spark, ivfpq_dir
             )
-            # cache the codes relation (offline half): an uncached DF
-            # re-lists and re-opens the n_cells partition directories
-            # per rep, and with n_cells ∝ N that small-file scan term
-            # dominates the timing (measured growth 0.73 uncached vs
-            # the probe work itself, which is occupancy-bounded) —
-            # the serving regime this row models keeps codes resident
-            codes_store = codes_store.cache()
-            codes_store.count()
             qdf_s = spark.createDataFrame(
                 [(i, qv) for i, qv in enumerate(qv_s)],
                 "query_id long, query_vec array<double>",
@@ -967,7 +959,6 @@ def main():
                 ivfpq_batch_once, max(1, reps - 1)
             )
             qdf_s.unpersist()
-            codes_store.unpersist()
             shutil.rmtree(ivfpq_dir, ignore_errors=True)
             emb_s.unpersist()
 

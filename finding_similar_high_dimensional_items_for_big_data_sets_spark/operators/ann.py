@@ -2309,7 +2309,16 @@ def ivfpq_topk_batch(
     probe_df = spark.createDataFrame(
         probe_rows, f"{query_id_col} long, cell int"
     )
-    cand = codes.join(F.broadcast(probe_df), "cell")
+    # explicit probed-cell filter BEFORE the join: the broadcast hash
+    # join alone streams the ENTIRE codes table (O(N) per batch); the
+    # probe set is driver-known, so an isin literal gives the scan
+    # static partition pruning on a cell-partitioned store — the same
+    # directory-level skip the point path gets — and bounds the join
+    # input by probed-cell occupancy
+    probed_cells = sorted({c for _, c in probe_rows})
+    cand = codes.filter(F.col("cell").isin(probed_cells)).join(
+        F.broadcast(probe_df), "cell"
+    )
     bl = spark.sparkContext.broadcast(luts)
     m_sub = len(codebooks)
 
