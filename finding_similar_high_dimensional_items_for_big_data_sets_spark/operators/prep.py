@@ -1049,3 +1049,46 @@ def naive_bayes_classify(
             (F.col("label") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+def temperature_mixture_sample(
+    docs: DataFrame,
+    group_col: str = "source",
+    count_col: str | None = None,
+    seed: int = 7,
+    scale: int = 1_000_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature T=2 mixture rebalance (sampling exponent
+    alpha = 1/2 — the mBERT/XLM-R multilingual recipe): downsample each
+    group so post-sample token masses go as sqrt(T_g) instead of T_g,
+    flattening the mixture HALFWAY between natural (T=1, keep all) and
+    uniform (:func:`balanced_mixture_sample`). Keep fraction per group
+    is sqrt(T_min / T_g), with the smallest group kept whole.
+
+    The keep boundary is EXACT despite the square root: a row with
+    hash bucket h is kept iff ``h^2 * T_g < scale^2 * T_min`` — the
+    cross-multiplied form of ``h < scale * sqrt(T_min/T_g)`` in pure
+    integers. The engine folds it to the equivalent per-group
+    threshold ``isqrt((scale^2 * T_min - 1) // T_g) + 1`` with Python
+    big-int arithmetic (h < thr <=> h^2 * T_g < scale^2 * T_min,
+    since h <= isqrt(K) <=> h^2 <= K for non-negative integers), and
+    the DuckDB oracle evaluates the cross-multiplied form directly in
+    HUGEINT — two derivations of one integer rule, no float boundary
+    anywhere. Same two-pass scale shape as the other mixture
+    samplers: one group agg, one shuffle-free literal-map filter.
+
+    Output: kept rows as (doc_id, <group_col>, n_tokens, sample_bucket).
+    """
+    import math
+
+    counted = _mixture_counts(docs, group_col, count_col, id_col)
+    totals = _mixture_totals(counted, group_col)
+    thresholds = {}
+    if totals:
+        t_min = min(totals.values())
+        thresholds = {
+            g: math.isqrt((scale * scale * t_min - 1) // t) + 1
+            for g, t in totals.items()
+        }
+    return _threshold_sample(counted, thresholds, scale, seed, group_col, id_col)

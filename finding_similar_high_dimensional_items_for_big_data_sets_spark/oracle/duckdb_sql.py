@@ -1622,6 +1622,30 @@ WHERE ({h} % {C.MIX_SCALE}) < thr.thr
 """
 
 
+def sql_mixture_temperature() -> str:
+    """Mirrors prep.temperature_mixture_sample: keep iff
+    h^2 * T_g < scale^2 * T_min, evaluated directly in HUGEINT — the
+    cross-multiplied twin of the engine's driver-side
+    isqrt((scale^2*T_min - 1)//T_g) + 1 threshold (provably the same
+    integer rule: h <= isqrt(K) <=> h^2 <= K for h >= 0)."""
+    h = H(f"CAST(doc_id AS VARCHAR) || ':{C.MIX_SEED}'")
+    s = C.MIX_SCALE
+    return f"""
+WITH c AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_tokens
+  FROM documents),
+g AS (SELECT source, sum(n_tokens) AS t FROM c
+      WHERE source IS NOT NULL GROUP BY 1 HAVING sum(n_tokens) > 0),
+b AS (SELECT doc_id, CAST({h} % {s} AS INT) AS sample_bucket FROM c)
+SELECT c.doc_id, c.source, n_tokens, b.sample_bucket
+FROM c JOIN g ON c.source = g.source
+       JOIN b ON c.doc_id = b.doc_id
+WHERE CAST(b.sample_bucket AS HUGEINT) * b.sample_bucket * g.t
+      < CAST({s} AS HUGEINT) * {s} * (SELECT min(t) FROM g)
+"""
+
+
 def _pq_codes_expr(vec: str) -> str:
     """DuckDB list of the PQ_M per-subspace argmin codes for ``vec``,
     mirroring ann.pq_encode (first-tie argmin, same fold)."""
@@ -2878,6 +2902,7 @@ def registry() -> dict[str, str]:
         "shared_ngram_spans": sql_shared_ngram_spans(),
         "mixture_sample": sql_mixture_sample(),
         "mixture_weighted": sql_mixture_weighted(),
+        "mixture_temperature": sql_mixture_temperature(),
         "token_entropy": sql_token_entropy(),
         "lm_quality": sql_lm_quality(),
         "lm_quality_bands": sql_lm_quality_bands(),

@@ -1772,6 +1772,18 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+def q_mixture_temperature(spark, sf_dir):
+    """Temperature T=2 mixture rebalance: post-sample source token
+    masses go as sqrt(T_g) (the mBERT/XLM-R multilingual recipe),
+    with an exact cross-multiplied integer keep boundary."""
+    return prep.temperature_mixture_sample(
+        _docs(spark, sf_dir),
+        group_col="source",
+        seed=C.MIX_SEED,
+        scale=C.MIX_SCALE,
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII detection + redaction over a corpus with planted emails /
     phone numbers / IPv4s (the synthetic text has none): per-doc match
@@ -2023,6 +2035,7 @@ REGISTRY = {
     "shared_ngram_spans": q_shared_ngram_spans,
     "mixture_sample": q_mixture_sample,
     "mixture_weighted": q_mixture_weighted,
+    "mixture_temperature": q_mixture_temperature,
     "token_entropy": q_token_entropy,
     "lm_quality": q_lm_quality,
     "lm_quality_bands": q_lm_quality_bands,

@@ -281,3 +281,57 @@ def test_rrf_fuse_full_outer_and_ties(spark):
         retrieval.rrf_fuse(a, b, k=0)
     with _pytest.raises(ValueError, match="c must"):
         retrieval.rrf_fuse(a, b, c=0)
+
+
+def test_temperature_mixture_sample_sqrt_masses_and_exact_boundary(spark):
+    import math
+
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.hashing import (
+        portable_hash64,
+    )
+
+    # three sources with token masses ~ 1x / 4x / 16x (one doc = one
+    # token of mass via count_col)
+    rows = []
+    did = 0
+    for src, n in (("a", 250), ("b", 1000), ("c", 4000)):
+        for _ in range(n):
+            rows.append((did, src, 1))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, w int")
+    scale = 1000
+    out = prep.temperature_mixture_sample(
+        docs, group_col="source", count_col="w", seed=7, scale=scale
+    ).collect()
+    kept = {}
+    for r in out:
+        kept.setdefault(r["source"], 0)
+        kept[r["source"]] += 1
+    # smallest group kept whole; others ~ sqrt(T_min/T_g): 1/2 and 1/4
+    assert kept["a"] == 250
+    assert abs(kept["b"] / 1000 - 0.5) < 0.08
+    assert abs(kept["c"] / 4000 - 0.25) < 0.08
+    # exact boundary identity: the engine's isqrt threshold keeps a row
+    # iff h^2 * T_g < scale^2 * T_min (the oracle's HUGEINT rule)
+    t = {"a": 250, "b": 1000, "c": 4000}
+    t_min = 250
+    buckets = {
+        r["doc_id"]: r["sample_bucket"]
+        for r in docs.select(
+            "doc_id",
+            F.pmod(
+                portable_hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":7"))),
+                F.lit(scale),
+            ).cast("int").alias("sample_bucket"),
+        ).collect()
+    }
+    kept_ids = {r["doc_id"] for r in out}
+    for doc_id, src, _w in rows:
+        h = buckets[doc_id]
+        expect = h * h * t[src] < scale * scale * t_min
+        assert (doc_id in kept_ids) == expect, (doc_id, src, h)
+    # determinism
+    again = prep.temperature_mixture_sample(
+        docs, group_col="source", count_col="w", seed=7, scale=scale
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
