@@ -116,6 +116,15 @@ BM25_B = 0.75
 # Reciprocal Rank Fusion constant (Cormack et al.'s canonical 60).
 RRF_C = 60
 
+# Batch BM25 fixture: query_id -> keyword query (vocab present at
+# every SF; one query shares no terms with the others).
+BM25_BATCH_QUERIES = (
+    (0, "column window scan merge"),
+    (1, "join hash row batch"),
+    (2, "customer order part value"),
+    (3, "sort filter"),
+)
+
 # Balanced mixture sampling: hash-bucket scale and salt.
 MIX_SCALE = 1_000_000
 MIX_SEED = 7

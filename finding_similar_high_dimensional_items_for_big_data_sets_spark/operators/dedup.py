@@ -1607,3 +1607,70 @@ def winnow_pairs(
         .agg(F.count("*").cast("int").alias("shared_fps"))
         .filter(F.col("shared_fps") >= F.lit(min_shared))
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    blocking_params: MinHashParams | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: directional n-gram containment
+    |A∩B| / |A| — the Broder containment coefficient. Jaccard misses
+    the quotation/subset relationship a containment pass exists for
+    (a short doc fully embedded in a long one scores low Jaccard but
+    containment 1.0 in the short->long direction); dedup pipelines use
+    it to drop quoted/excerpted docs that survive symmetric scoring.
+
+    Same LSH-blocked candidate generation and exact-verify shape as
+    :func:`ngram_jaccard_duplicates` (recall-heavy banding, exact set
+    arithmetic on the survivors), with BOTH directions scored and a
+    pair kept when either direction clears ``threshold``. NOTE the
+    blocking recall caveat inherited from MinHash: a tiny-doc/huge-doc
+    pair has low JACCARD, so band-blocking can miss extreme
+    containment-only pairs — the standard tradeoff of containment-
+    over-LSH (exact containment needs the shared_ngram_spans-style
+    inverted index, which :func:`shared_ngram_spans` provides).
+
+    Output: (doc_a, doc_b, containment_ab, containment_ba, jaccard),
+    doc_a < doc_b, all scores exact-integer ratios rounded to 6.
+    """
+    params = blocking_params or MinHashParams(k_shingle=n, bands=64)
+    grams = docs.select(
+        F.col(id_col),
+        word_shingles(tokenize(F.col(text_col)), n).alias("shingles"),
+    )
+    sigs = minhash.with_signature(grams, params).select(id_col, "sig")
+    bands = lsh.bands_table(sigs, params, id_col)
+    pairs = lsh.band_pair_candidates(bands, min_bands=1, id_col=id_col)
+    ga = grams.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    gb = grams.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast(
+        "double"
+    )
+    ratio = lambda num, den: F.when(  # noqa: E731 — 0-gram docs score 0
+        den == 0, F.lit(0.0)
+    ).otherwise(num / den)
+    return (
+        pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                ratio(inter, F.size("sh_a").cast("double")), 6
+            ).alias("containment_ab"),
+            F.round(
+                ratio(inter, F.size("sh_b").cast("double")), 6
+            ).alias("containment_ba"),
+            F.round(
+                jaccard_arrays(F.col("sh_a"), F.col("sh_b")), 6
+            ).alias("jaccard"),
+        )
+        .filter(
+            (F.col("containment_ab") >= threshold)
+            | (F.col("containment_ba") >= threshold)
+        )
+    )

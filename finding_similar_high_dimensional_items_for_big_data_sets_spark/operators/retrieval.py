@@ -380,3 +380,112 @@ def hybrid_rrf_point(
         scores.items(), key=lambda it: (-round(it[1], 10), it[0])
     )[:k]
     return [(d, round(s, 6), i + 1) for i, (d, s) in enumerate(ranked)]
+
+
+def bm25_topk_batch(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Batch BM25: one job for a whole keyword-query set — the lexical
+    twin of the vector ``*_topk_batch`` kernels. Same model and float
+    discipline as :func:`bm25_topk`; document frequencies are computed
+    once over the UNION of all query terms (df is a corpus property,
+    not a query property), the (query, term) map broadcasts into the
+    matched-token join, and the per-(query, doc) fold runs token-
+    sorted. Per-query results are bit-identical to the point path.
+
+    Output: (query_id, doc_id, score DOUBLE rounded-6, rank INT <= k)
+    per query; queries with no matching terms return no rows.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = docs.sparkSession
+    qrows = queries.select(query_id_col, query_text_col).collect()
+    qterm_rows = sorted(
+        {
+            (int(r[query_id_col]), t)
+            for r in qrows
+            for t in (r[query_text_col] or "").split(" ")
+            if t
+        }
+    )
+    if not qterm_rows:
+        raise ValueError("no query terms in the batch")
+    toks = tokenize(F.col(text_col))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size(toks)).alias("sum_dl")
+    ).collect()[0]
+    n_docs = stats["n"] or 0
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    avgdl = (stats["sum_dl"] or 0) / n_docs
+
+    qterm_df = spark.createDataFrame(
+        qterm_rows, f"{query_id_col} long, token string"
+    )
+    terms_df = qterm_df.select("token").distinct()
+    matched = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("token"),
+        )
+        .join(F.broadcast(terms_df), "token")
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = matched.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    scored = (
+        matched.join(dfreq, "token")
+        .join(F.broadcast(qterm_df), "token")
+        .select(
+            query_id_col,
+            "doc_id",
+            "token",
+            (
+                idf
+                * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+                    )
+                )
+            ).alias("term_score"),
+        )
+        .groupBy(query_id_col, "doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("token", "term_score"))),
+                F.lit(0.0),
+                lambda a, s: a + s["term_score"],
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.round(F.col("score"), 10).desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "doc_id",
+            F.round(F.col("score"), 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

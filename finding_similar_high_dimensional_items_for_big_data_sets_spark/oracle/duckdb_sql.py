@@ -1622,6 +1622,63 @@ WHERE ({h} % {C.MIX_SCALE}) < thr.thr
 """
 
 
+def sql_containment_pairs() -> str:
+    """Mirrors dedup.containment_pairs(n=3, threshold=0.5) with the
+    same recall-heavy blocking as sql_ngram_jaccard_pairs (blocking
+    determines which pairs are scored); both directional ratios and
+    the Jaccard are exact-integer divisions rounded to 6, and the
+    either-direction threshold compares the ROUNDED values on both
+    engines."""
+    n, thr, nb = 3, 0.5, 64
+    rpb = NP // nb
+    grams = (
+        f"SELECT doc_id, list_distinct(CASE WHEN len(t) < {n} "
+        f"THEN [array_to_string(t, ' ')] "
+        f"ELSE list_transform(range(len(t) - {n - 1}), i -> array_to_string(t[i+1:i+{n}], ' ')) END) AS sh "
+        f"FROM ({TOKS})"
+    )
+    hs = f"SELECT doc_id, sh, list_transform(sh, s -> {HMOD('s')}) AS h FROM ({grams})"
+    sigs = (
+        f"SELECT doc_id, sh, list_transform(range({NP}), p -> coalesce("
+        f"list_min(list_transform(h, x -> (ca[p+1]*x + cb[p+1]) % {P})), {P})) AS sigl "
+        f"FROM ({hs}), {CONSTS}"
+    )
+    band_str = (
+        f"array_to_string(list_transform("
+        f"sigl[band_id*{rpb}+1 : band_id*{rpb}+{rpb}], v -> v::VARCHAR), ',')"
+    )
+    bands = (
+        f"SELECT doc_id, CAST(band_id AS INT) AS band_id, {H(band_str)} AS band_hash "
+        f"FROM ({sigs}), (SELECT unnest(range({nb})) AS band_id) b"
+    )
+    inter = "CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE)"
+    ratio = lambda den: (  # noqa: E731
+        f"CASE WHEN len({den}) = 0 THEN 0.0 "
+        f"ELSE {inter} / CAST(len({den}) AS DOUBLE) END"
+    )
+    jac = (
+        "CASE WHEN len(list_distinct(list_concat(ga.sh, gb.sh))) = 0 THEN 0.0 "
+        "ELSE CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) / "
+        "CAST(len(list_distinct(list_concat(ga.sh, gb.sh))) AS DOUBLE) END"
+    )
+    return f"""
+WITH grams AS MATERIALIZED ({grams}),
+bands AS MATERIALIZED ({bands}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_id, band_hash)
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, containment_ab, containment_ba, jaccard FROM (
+  SELECT doc_a, doc_b,
+         round({ratio("ga.sh")}, 6) AS containment_ab,
+         round({ratio("gb.sh")}, 6) AS containment_ba,
+         round({jac}, 6) AS jaccard
+  FROM pairs JOIN grams ga ON pairs.doc_a = ga.doc_id
+             JOIN grams gb ON pairs.doc_b = gb.doc_id)
+WHERE containment_ab >= {thr} OR containment_ba >= {thr}
+"""
+
+
 def sql_mixture_temperature() -> str:
     """Mirrors prep.temperature_mixture_sample: keep iff
     h^2 * T_g < scale^2 * T_min, evaluated directly in HUGEINT — the
@@ -2815,6 +2872,58 @@ SELECT doc_id, round(score, 6) AS score, rank FROM rk WHERE rank <= {k}
 """
 
 
+def sql_bm25_topk_batch() -> str:
+    """Mirrors retrieval.bm25_topk_batch over the BM25_BATCH_QUERIES
+    fixture: df computed once over the union of all query terms, same
+    float expression order and literals as sql_bm25_topk, per-(query,
+    doc) token-sorted fold, per-query ranking on round(score, 10)
+    desc / doc_id asc."""
+    qterms = sorted(
+        {
+            (qid, t)
+            for qid, q in C.BM25_BATCH_QUERIES
+            for t in q.split(" ")
+            if t
+        }
+    )
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in qterms)
+    k1, b, k = C.BM25_K1, C.BM25_B, C.BM25_K
+    return f"""
+WITH toks AS ({TOKS}),
+st AS (SELECT count(*) AS n, sum(len(t)) AS sum_dl FROM toks),
+qterms AS (SELECT * FROM (VALUES {values}) AS v(query_id, token)),
+terms AS (SELECT DISTINCT token FROM qterms),
+matched AS (
+  SELECT doc_id, dl, token, count(*) AS tf
+  FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM toks) x
+  JOIN terms ON x.tok = terms.token
+  GROUP BY 1, 2, 3),
+dfq AS (SELECT token, count(*) AS df FROM matched GROUP BY 1),
+ts AS (
+  SELECT q.query_id, m.doc_id, m.token,
+    ln(1.0 + (CAST((SELECT n FROM st) AS DOUBLE) - df + 0.5) / (df + 0.5))
+      * (CAST(tf AS DOUBLE) * {k1 + 1.0!r})
+      / (CAST(tf AS DOUBLE)
+         + {k1!r} * ({1.0 - b!r}
+                     + {b!r} * CAST(dl AS DOUBLE)
+                       / ((SELECT sum_dl FROM st) / (SELECT n FROM st))))
+      AS term_score
+  FROM matched m JOIN dfq USING (token) JOIN qterms q ON q.token = m.token),
+agg AS (
+  SELECT query_id, doc_id,
+    list_reduce(list_prepend(0.0, list(term_score ORDER BY token)),
+                (a, x) -> a + x) AS score
+  FROM ts GROUP BY 1, 2),
+rk AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY round(score, 10) DESC, doc_id ASC) AS INT) AS rank
+  FROM agg)
+SELECT query_id, doc_id, round(score, 6) AS score, rank
+FROM rk WHERE rank <= {k}
+"""
+
+
 def sql_hybrid_rrf_topk() -> str:
     """Mirrors q_hybrid_rrf_topk: the bm25 and cosine top-k statements
     as MATERIALIZED CTEs, full-outer rank fusion 1/(c+rank) summed in
@@ -2845,7 +2954,9 @@ def registry() -> dict[str, str]:
     """name -> DuckDB SQL, for every oracle-checkable query."""
     return {
         "bm25_topk": sql_bm25_topk(),
+        "bm25_topk_batch": sql_bm25_topk_batch(),
         "hybrid_rrf_topk": sql_hybrid_rrf_topk(),
+        "containment_pairs": sql_containment_pairs(),
         "winnow_fingerprints": sql_winnow_fingerprints(),
         "winnow_pairs": sql_winnow_pairs(),
         "remove_duplicate_spans": sql_remove_duplicate_spans(),

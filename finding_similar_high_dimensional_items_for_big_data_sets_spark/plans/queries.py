@@ -1983,13 +1983,36 @@ def q_hybrid_rrf_topk(spark, sf_dir):
     return retrieval.rrf_fuse(lex, vec, k=C.BM25_K, c=C.RRF_C)
 
 
+def q_bm25_topk_batch(spark, sf_dir):
+    """Batch BM25 over the fixed query set — the lexical twin of the
+    vector *_topk_batch kernels, per-query results bit-identical to
+    the point path."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import retrieval
+
+    qdf = spark.createDataFrame(
+        list(C.BM25_BATCH_QUERIES), "query_id long, query_text string"
+    )
+    return retrieval.bm25_topk_batch(
+        _docs(spark, sf_dir), qdf, k=C.BM25_K, k1=C.BM25_K1, b=C.BM25_B
+    )
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Directional n-gram containment pairs (Broder coefficient) —
+    the asymmetric near-dup view that catches quotation/subset
+    relationships symmetric Jaccard misses."""
+    return dedup.containment_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
 REGISTRY = {
     "remove_duplicate_spans": q_remove_duplicate_spans,
     "nb_classify": q_nb_classify,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_pairs": q_winnow_pairs,
     "bm25_topk": q_bm25_topk,
+    "bm25_topk_batch": q_bm25_topk_batch,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
+    "containment_pairs": q_containment_pairs,
     "shingle_stats": q_shingle_stats,
     "content_hashes": q_content_hashes,
     "minhash_signatures": q_minhash_signatures,

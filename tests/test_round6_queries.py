@@ -335,3 +335,53 @@ def test_temperature_mixture_sample_sqrt_masses_and_exact_boundary(spark):
         docs, group_col="source", count_col="w", seed=7, scale=scale
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_bm25_topk_batch_identical_to_point(spark):
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark import contract as C2
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import retrieval
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    qdf = spark.createDataFrame(
+        list(C2.BM25_BATCH_QUERIES), "query_id long, query_text string"
+    )
+    batch = retrieval.bm25_topk_batch(docs, qdf, k=5).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score"], r["rank"])
+        )
+    for qid, qtext in C2.BM25_BATCH_QUERIES:
+        point = [
+            (r["doc_id"], r["score"], r["rank"])
+            for r in retrieval.bm25_topk(docs, qtext, k=5).collect()
+        ]
+        assert sorted(by_q[qid]) == sorted(point), qid
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no query terms"):
+        retrieval.bm25_topk_batch(
+            docs,
+            spark.createDataFrame([(0, " ")], "query_id long, query_text string"),
+        )
+
+
+def test_containment_pairs_catches_subset_docs(spark):
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import dedup
+
+    long_doc = " ".join(f"tok{i}" for i in range(60))
+    short_doc = " ".join(f"tok{i}" for i in range(20, 30))  # embedded span
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc), (3, "entirely unrelated words here now")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_a"], r["doc_b"]): r for r in
+           dedup.containment_pairs(docs, n=3, threshold=0.9).collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    # the short doc's 3-grams are ALL inside the long doc: ba == 1.0,
+    # while symmetric jaccard stays far below the threshold
+    assert r["containment_ba"] == 1.0
+    assert r["containment_ab"] < 0.2
+    assert r["jaccard"] < 0.2
+    assert (1, 3) not in out and (2, 3) not in out
