@@ -119,12 +119,20 @@ def bm25_topk(
             ).alias("score")
         )
     )
+    # orderBy+limit first so the global top-k is a TakeOrderedAndProject
+    # (per-partition partial top-k, no single-partition exchange over the
+    # full matched set — for a stopword query on a 100 TB corpus `scored`
+    # is billions of rows); the constant-partition rank window then runs
+    # over exactly <=k survivors by construction.
     w = Window.orderBy(
         F.round(F.col("score"), 10).desc(), F.col("doc_id").asc()
     ).partitionBy(F.pmod(F.col("doc_id"), F.lit(1)))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        scored.orderBy(
+            F.round(F.col("score"), 10).desc(), F.col("doc_id").asc()
+        )
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
         .select(
             "doc_id",
             F.round(F.col("score"), 6).alias("score"),

@@ -253,6 +253,30 @@ def test_bm25_topk_ranking_and_guards(spark):
         retrieval.bm25_topk(docs, "  ")
 
 
+def test_bm25_topk_plan_is_take_ordered(spark):
+    """Plan-shape guard (r6 verdict item #1): the global top-k tail must
+    be a TakeOrderedAndProject (per-partition partial top-k) — never a
+    full-matched-set sort/window through a single partition. The rank
+    window may only run over the <=k limit survivors."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [(i, "apple banana word%d" % i) for i in range(50)],
+        "doc_id long, text string",
+    )
+    df = retrieval.bm25_topk(docs, "apple banana", k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    # Spark prints parents above children: the rank Window must sit ABOVE
+    # the TakeOrderedAndProject (i.e. it consumes the k survivors, not the
+    # full matched set).
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
+    # no single-partition exchange below the top-k (the window's own
+    # SinglePartition exchange above it carries only k rows)
+    below_topk = plan[plan.index("TakeOrderedAndProject"):]
+    assert "Exchange SinglePartition" not in below_topk, plan
+
+
 def test_rrf_fuse_full_outer_and_ties(spark):
     from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import retrieval
 
