@@ -116,6 +116,13 @@ BM25_B = 0.75
 # Reciprocal Rank Fusion constant (Cormack et al.'s canonical 60).
 RRF_C = 60
 
+# Persisted postings-store fixture: a different keyword query (tokens
+# present at every SF) so the store path exercises its own buckets,
+# plus the store's partition layout (doc shards x token buckets).
+BM25_STORE_QUERY = "filter hash join sort"
+LEX_STORE_DOC_SHARDS = 4
+LEX_STORE_TOKEN_BUCKETS = 16
+
 # Batch BM25 fixture: query_id -> keyword query (vocab present at
 # every SF; one query shares no terms with the others).
 BM25_BATCH_QUERIES = (

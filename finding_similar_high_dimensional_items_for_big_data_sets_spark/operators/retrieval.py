@@ -80,18 +80,32 @@ def bm25_topk(
         .groupBy("doc_id", "dl", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # df per term from the matched rows (a doc counts once per term)
+    # df per term from the matched rows (a doc counts once per term) —
+    # identical to the corpus-global df for these terms by definition
     dfreq = matched.groupBy("token").agg(
         F.count(F.lit(1)).alias("df")
     )
+    return _rank_matched_terms(matched.join(dfreq, "token"), n_docs, avgdl, k1, b, k)
+
+
+def _rank_matched_terms(
+    matched: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int,
+) -> DataFrame:
+    """Shared BM25 scoring tail: (doc_id, dl, token, tf, df) rows ->
+    ranked (doc_id, score, rank). One expression tree for the table and
+    store paths, so their floats cannot drift."""
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
     )
     scored = (
-        matched.join(dfreq, "token")
-        .select(
+        matched.select(
             "doc_id",
             "dl",
             "token",
@@ -139,6 +153,53 @@ def bm25_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def bm25_topk_store(spark, path: str, query: str, k: int = 10) -> DataFrame:
+    """BM25 top-k answered FROM the persisted postings store
+    (:func:`sources.tables.write_postings_index`) — answer-identical to
+    :func:`bm25_topk` over the source table (same expression tree via
+    :func:`_rank_matched_terms`, df/N/sum_dl from the store's sidecars,
+    which equal the corpus values by construction).
+
+    Scale shape: the scan is pruned to the ``token_bucket=`` partition
+    directories of the query's terms BEFORE any join (literal ``isin``
+    on the partition column ⇒ static directory pruning, the lexical twin
+    of the IVF probe-cell pruning), so a point query touches
+    ~|terms|/n_token_buckets of a 100 TB index, k1/b come from the
+    store meta, and no corpus tokenization happens at query time."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        read_postings_corpus_stats,
+        read_postings_index,
+        token_buckets_for,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    terms = sorted({t for t in query.split(" ") if t})
+    if not terms:
+        raise ValueError("query has no terms")
+    posts, meta = read_postings_index(spark, path)
+    k1, b = float(meta["k1"]), float(meta["b"])
+    n_docs, sum_dl = read_postings_corpus_stats(spark, path)
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    avgdl = sum_dl / n_docs
+    buckets = sorted(
+        set(token_buckets_for(spark, terms, int(meta["n_token_buckets"])).values())
+    )
+    term_df = spark.createDataFrame([(t,) for t in terms], "token string")
+    side_df = (
+        spark.read.parquet(path + "/_term_stats")
+        .filter(F.col("token").isin(terms))
+    )
+    matched = (
+        posts.filter(F.col("token_bucket").isin(buckets))
+        .join(F.broadcast(term_df), "token")
+        .join(F.broadcast(side_df), "token")
+        .select("doc_id", "dl", "token", "tf", "df")
+    )
+    return _rank_matched_terms(matched, n_docs, avgdl, k1, b, k)
 
 
 def rrf_fuse(
@@ -208,6 +269,23 @@ def rrf_fuse(
     )
 
 
+def _postings_dict(pdf) -> dict:
+    """(doc_id, dl, token, tf) pandas rows -> {token: (ids, tf, dl)}
+    numpy postings, doc-sorted per token — one builder for the table and
+    store export paths so their array layouts cannot drift."""
+    import numpy as np
+
+    postings: dict = {}
+    for token, grp in pdf.groupby("token", sort=False):
+        g = grp.sort_values("doc_id")
+        postings[token] = (
+            g["doc_id"].to_numpy(dtype=np.int64),
+            g["tf"].to_numpy(dtype=np.int64),
+            g["dl"].to_numpy(dtype=np.int64),
+        )
+    return postings
+
+
 class ServingLexicalIndex:
     """In-process inverted index for ms-scale BM25 point queries — the
     lexical twin of ``serving_vector.ServingVectorIndex`` (and of the
@@ -270,14 +348,7 @@ class ServingLexicalIndex:
             .agg(F.count(F.lit(1)).alias("tf"))
             .toPandas()
         )
-        postings: dict = {}
-        for token, grp in pdf.groupby("token", sort=False):
-            g = grp.sort_values("doc_id")
-            postings[token] = (
-                g["doc_id"].to_numpy(dtype=np.int64),
-                g["tf"].to_numpy(dtype=np.int64),
-                g["dl"].to_numpy(dtype=np.int64),
-            )
+        postings = _postings_dict(pdf)
         if global_stats is not None:
             n_docs, sum_dl, global_df = global_stats
         else:
@@ -289,6 +360,50 @@ class ServingLexicalIndex:
         if n_docs == 0:
             raise ValueError("empty corpus")
         return cls(n_docs, sum_dl, postings, k1, b, global_df)
+
+    @classmethod
+    def from_store(
+        cls,
+        spark,
+        path: str,
+        doc_shards: list[int] | None = None,
+    ) -> "ServingLexicalIndex":
+        """Load a replica from the persisted postings store
+        (:func:`sources.tables.write_postings_index`) — the lexical twin
+        of ``ServingVectorIndex.from_store``: no corpus re-tokenization,
+        k1/b from the store meta, and corpus statistics (N, sum_dl,
+        per-term df) consumed from the sidecars so a doc-shard replica
+        scores with GLOBAL idf without being hand-fed ``global_stats``.
+
+        ``doc_shards``: replica sharding — load ONLY these doc shards'
+        postings (the store is partitioned by doc_shard first, so the
+        export scan prunes to this replica's directories). Replicas
+        covering all shards merge with :func:`merge_topk_scores`
+        identically to one full index."""
+        import numpy as np  # noqa: F401  (postings dict dtype contract)
+
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+            read_postings_corpus_stats,
+            read_postings_index,
+        )
+
+        posts, meta = read_postings_index(spark, path)
+        if doc_shards is not None:
+            posts = posts.filter(
+                F.col("doc_shard").isin([int(s) for s in doc_shards])
+            )
+        pdf = posts.select("doc_id", "dl", "token", "tf").toPandas()
+        postings = _postings_dict(pdf)
+        n_docs, sum_dl = read_postings_corpus_stats(spark, path)
+        if n_docs == 0:
+            raise ValueError("empty corpus")
+        global_df = {
+            r["token"]: int(r["df"])
+            for r in spark.read.parquet(path + "/_term_stats").collect()
+        }
+        return cls(
+            n_docs, sum_dl, postings, meta["k1"], meta["b"], global_df
+        )
 
     def query(self, query: str, k: int = 10) -> list[tuple[int, float, int]]:
         """BM25 point query: [(doc_id, score rounded-6, rank)].

@@ -2828,15 +2828,19 @@ HAVING count(*) >= {ms}
 """
 
 
-def sql_bm25_topk() -> str:
+def sql_bm25_topk(query: str | None = None) -> str:
     """Mirrors retrieval.bm25_topk: same Lucene-variant idf over exact
     integer df/N (+0.5 halves are exact in binary), same operation
     order in every float expression (the k1/b literals are emitted
     from the SAME Python floats the engine uses), per-doc fold ordered
     by token, ranking on round(score, 10) desc / doc_id asc. avgdl is
     sum_dl / n — DuckDB float division of exact ints matches Python's
-    correctly-rounded int true-division below 2^53."""
-    terms = sorted({t for t in C.BM25_QUERY.split(" ") if t})
+    correctly-rounded int true-division below 2^53.
+
+    Also the oracle for bm25_topk_store (with the store fixture query):
+    the persisted index's sidecar df/N/sum_dl equal the corpus values
+    by construction, so the store query's oracle IS the table query."""
+    terms = sorted({t for t in (query or C.BM25_QUERY).split(" ") if t})
     term_list = ", ".join(f"'{t}'" for t in terms)
     k1, b, k = C.BM25_K1, C.BM25_B, C.BM25_K
     return f"""
@@ -2954,6 +2958,7 @@ def registry() -> dict[str, str]:
     """name -> DuckDB SQL, for every oracle-checkable query."""
     return {
         "bm25_topk": sql_bm25_topk(),
+        "bm25_topk_store": sql_bm25_topk(C.BM25_STORE_QUERY),
         "bm25_topk_batch": sql_bm25_topk_batch(),
         "hybrid_rrf_topk": sql_hybrid_rrf_topk(),
         "containment_pairs": sql_containment_pairs(),

@@ -1997,6 +1997,35 @@ def q_bm25_topk_batch(spark, sf_dir):
     )
 
 
+def q_bm25_topk_store(spark, sf_dir):
+    """BM25 answered from the PERSISTED postings index: build the
+    token-bucketed, doc-sharded store (sidecars: doc lengths, global
+    term df) and query it — the point query's scan prunes to the query
+    terms' token_bucket directories (static partition pruning, the
+    lexical twin of the IVF probe-cell pruning). Answer-identical to
+    bm25_topk over the source table, so the oracle is the same SQL."""
+    import os as _os
+
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import retrieval
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources import tables as T
+
+    store = _os.path.join(
+        "/tmp",
+        "fshdi_lex_store_" + _os.path.basename(sf_dir.rstrip("/")),
+    )
+    T.write_postings_index(
+        _docs(spark, sf_dir),
+        store,
+        k1=C.BM25_K1,
+        b=C.BM25_B,
+        n_doc_shards=C.LEX_STORE_DOC_SHARDS,
+        n_token_buckets=C.LEX_STORE_TOKEN_BUCKETS,
+    )
+    return retrieval.bm25_topk_store(
+        spark, store, C.BM25_STORE_QUERY, k=C.BM25_K
+    )
+
+
 def q_containment_pairs(spark, sf_dir):
     """Directional n-gram containment pairs (Broder coefficient) —
     the asymmetric near-dup view that catches quotation/subset
@@ -2010,6 +2039,7 @@ REGISTRY = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_pairs": q_winnow_pairs,
     "bm25_topk": q_bm25_topk,
+    "bm25_topk_store": q_bm25_topk_store,
     "bm25_topk_batch": q_bm25_topk_batch,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "containment_pairs": q_containment_pairs,

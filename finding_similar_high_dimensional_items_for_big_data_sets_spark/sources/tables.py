@@ -1305,3 +1305,427 @@ def validate_ivfpq_store(spark: SparkSession, path: str) -> None:
             "new-ids contract — dedup (delete_from_ivfpq_index the "
             "stale copies) before serving"
         )
+
+
+# ---------------------------------------------------------------------------
+# Lexical postings store: the persisted BM25 index artifact, at lifecycle
+# parity with the LSH (write_bands_bucketed/compact_index/delete_from_index)
+# and IVF-PQ (write_ivfpq_index/compact_ivfpq_index/...) stores. The
+# reference's design is "prebuilt index on shared storage, workers load
+# shards" (app/src/index_builder.py:22-36, app/src/worker_tasks.py:88-117);
+# this is that artifact for the lexical tier.
+#
+# Layout under `path`:
+#   doc_shard=<s>/token_bucket=<b>/*.parquet   postings (doc_id, dl, token, tf)
+#   _doc_lengths/                              (doc_id, dl) for ALL docs,
+#                                              including zero-token docs —
+#                                              N and sum_dl stay exact under
+#                                              append and delete
+#   _term_stats/                               (token, df) GLOBAL document
+#                                              frequencies — replicas loading
+#                                              a doc shard score with corpus
+#                                              idf without being hand-fed
+#   _index_meta.json                           {kind, k1, b, n_doc_shards,
+#                                              n_token_buckets}
+#
+# The two partition levels are the two pruning axes: a serving replica
+# exporting doc shard s reads only doc_shard=s/ directories (the lexical
+# twin of the vector tier's cell-subset export), and a point query reads
+# only the token_bucket=<hash(term)> directories of its query terms (the
+# lexical twin of the IVF probe-cell partition pruning).
+# ---------------------------------------------------------------------------
+
+
+def _postings_rows(
+    docs: DataFrame,
+    n_doc_shards: int,
+    n_token_buckets: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, dl, token, tf, doc_shard, token_bucket) rows for a doc
+    set under the store's bucketing — shared by build and append so the
+    two can never disagree on layout."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.text import tokenize
+
+    toks = tokenize(F.col(text_col))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("token"),
+        )
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "doc_shard", F.pmod(F.col("doc_id"), F.lit(n_doc_shards))
+        )
+        .withColumn(
+            "token_bucket",
+            F.pmod(F.xxhash64(F.col("token")), F.lit(n_token_buckets)),
+        )
+    )
+
+
+def token_buckets_for(spark: SparkSession, terms: list[str], n_token_buckets: int) -> dict[str, int]:
+    """token -> token_bucket under the store's hash, computed with the
+    SAME JVM xxhash64 the writer used (one tiny local job, no corpus
+    scan) so query-side literals prune the right directories."""
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "token string")
+        .select(
+            "token",
+            F.pmod(F.xxhash64(F.col("token")), F.lit(n_token_buckets)).alias("b"),
+        )
+        .collect()
+    )
+    return {r["token"]: int(r["b"]) for r in rows}
+
+
+def write_postings_index(
+    docs: DataFrame,
+    path: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_doc_shards: int = 4,
+    n_token_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Build the persisted lexical (BM25) index: one tokenize+aggregate
+    pass lands token-bucketed, doc-sharded postings; the doc-length and
+    term-df sidecars are derived next to them. k1/b land in the meta so
+    every consumer scores under the config the index was built for."""
+    spark = docs.sparkSession
+    _postings_rows(
+        docs, n_doc_shards, n_token_buckets, id_col, text_col
+    ).write.mode("overwrite").partitionBy("doc_shard", "token_bucket").parquet(path)
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.text import tokenize
+
+    docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(F.col(text_col))).alias("dl"),
+    ).write.mode("overwrite").parquet(os.path.join(path, "_doc_lengths"))
+    # df from the store itself (cheaper than re-tokenizing the corpus:
+    # postings are one row per (doc, distinct term))
+    (
+        spark.read.parquet(path)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "_term_stats"))
+    )
+    _write_store_meta(
+        path,
+        {
+            "kind": "postings",
+            "k1": float(k1),
+            "b": float(b),
+            "n_doc_shards": int(n_doc_shards),
+            "n_token_buckets": int(n_token_buckets),
+        },
+    )
+
+
+def read_postings_index(spark: SparkSession, path: str):
+    """(postings DataFrame, meta dict) from a :func:`write_postings_index`
+    store; raises on any other store kind rather than scoring garbage."""
+    meta = read_store_meta(path)
+    if meta.get("kind") != "postings":
+        raise ValueError(
+            f"{path} is not a lexical postings store (kind={meta.get('kind')!r})"
+        )
+    return spark.read.parquet(path), meta
+
+
+def read_postings_corpus_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_docs, sum_dl) from the ``_doc_lengths`` sidecar — one tiny agg,
+    always consistent with the store's own doc set (a stale cached meta
+    number can't drift from it because there isn't one)."""
+    st = (
+        spark.read.parquet(os.path.join(path, "_doc_lengths"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+        .collect()[0]
+    )
+    return int(st["n"] or 0), int(st["s"] or 0)
+
+
+def append_postings_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental lexical-index maintenance: tokenize ONLY the new docs
+    under the store's own bucketing (read from the sidecar — appends
+    cannot diverge from the build config) and append under their
+    partition directories; then roll the doc-length and term-df sidecars
+    forward. New doc_ids must be new (same contract as the LSH/IVF-PQ
+    appends — :func:`validate_postings_store` catches violations).
+
+    Write order is postings -> _doc_lengths -> _term_stats; a crash
+    between steps leaves a detectable (validate) and healable
+    (:func:`rebuild_postings_stats`) store, never a wrong-silently one.
+    The _term_stats rewrite swaps via a sibling tmp directory because
+    Spark refuses to overwrite a path its own plan reads."""
+    meta = read_store_meta(path)
+    if meta.get("kind") != "postings":
+        raise ValueError(
+            f"{path} is not a lexical postings store (kind={meta.get('kind')!r})"
+        )
+    spark = new_docs.sparkSession
+    new_posts = _postings_rows(
+        new_docs,
+        int(meta["n_doc_shards"]),
+        int(meta["n_token_buckets"]),
+        id_col,
+        text_col,
+    )
+    new_posts.write.mode("append").partitionBy(
+        "doc_shard", "token_bucket"
+    ).parquet(path)
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.text import tokenize
+
+    new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(F.col(text_col))).alias("dl"),
+    ).write.mode("append").parquet(os.path.join(path, "_doc_lengths"))
+    _refresh_term_stats(spark, path)
+
+
+def _refresh_term_stats(spark: SparkSession, path: str) -> None:
+    """Recompute ``_term_stats`` from the postings and swap it in via a
+    sibling tmp dir + rename (never overwrite-in-place what the plan
+    reads; a complete copy exists at every instant)."""
+    import shutil
+
+    stats_dir = os.path.join(path, "_term_stats")
+    tmp = stats_dir + "__tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        spark.read.parquet(path)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    old = stats_dir + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(stats_dir):
+        os.rename(stats_dir, old)
+    os.rename(tmp, stats_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _rewrite_postings_swapped(spark: SparkSession, path: str, transform) -> None:
+    """Crash-safe full rewrite of a lexical postings store:
+    ``transform(postings, doc_lengths)`` returns the replacement
+    (postings, doc_lengths) pair, written to a sibling tmp directory
+    under the same partition layout with the term-df sidecar recomputed
+    from the surviving postings and the meta carried over, then swapped
+    in by directory rename (shared law with
+    :func:`_rewrite_ivfpq_swapped`; :func:`recover_postings_swap` heals
+    a mid-swap death)."""
+    import shutil
+
+    meta = read_store_meta(path)
+    if meta.get("kind") != "postings":
+        raise ValueError(
+            f"{path} is not a lexical postings store (kind={meta.get('kind')!r})"
+        )
+    postings = spark.read.parquet(path)
+    doc_lengths = spark.read.parquet(os.path.join(path, "_doc_lengths"))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    new_posts, new_dls = transform(postings, doc_lengths)
+    new_posts.write.mode("overwrite").partitionBy(
+        "doc_shard", "token_bucket"
+    ).parquet(tmp)
+    new_dls.write.mode("overwrite").parquet(os.path.join(tmp, "_doc_lengths"))
+    (
+        spark.read.parquet(tmp)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(tmp, "_term_stats"))
+    )
+    # meta LAST: its presence next to _SUCCESS + _term_stats is what
+    # recover_postings_swap treats as "tmp is complete"
+    shutil.copy2(
+        os.path.join(path, "_index_meta.json"),
+        os.path.join(tmp, "_index_meta.json"),
+    )
+    _replace_dir(path, tmp)
+
+
+def compact_postings_index(spark: SparkSession, path: str) -> None:
+    """Compact a lexical postings store: many appends leave small files
+    under every (doc_shard, token_bucket) directory; rewrite the store
+    once KEEPING both partition levels (replica-export and query-bucket
+    pruning must survive compaction) and refresh the sidecars from the
+    rewritten data. Crash-safe via the sibling-dir + rename swap."""
+    _rewrite_postings_swapped(spark, path, lambda p, d: (p, d))
+
+
+def delete_from_postings_index(
+    spark: SparkSession,
+    delete_ids,
+    path: str,
+    id_col: str = "doc_id",
+) -> None:
+    """Targeted deletion from a persisted lexical store — the
+    retention / right-to-be-forgotten operator at parity with
+    :func:`delete_from_index` (LSH) and :func:`delete_from_ivfpq_index`.
+    Removes the docs' postings AND doc-length rows, so N, sum_dl and
+    every term df reflect the post-delete corpus exactly (BM25 scores
+    shift when the corpus does — stale stats would silently mis-rank).
+    ``delete_ids``: a one-column DataFrame or Python list (broadcast
+    anti-join). Re-running a delete converges."""
+    if not isinstance(delete_ids, DataFrame):
+        delete_ids = spark.createDataFrame(
+            [(int(i),) for i in delete_ids], "doc_id bigint"
+        )
+    else:
+        delete_ids = delete_ids.selectExpr(f"{id_col} AS doc_id")
+    ids = F.broadcast(delete_ids.select("doc_id").distinct())
+    _rewrite_postings_swapped(
+        spark,
+        path,
+        lambda p, d: (
+            p.join(ids, "doc_id", "left_anti"),
+            d.join(ids, "doc_id", "left_anti"),
+        ),
+    )
+
+
+def recover_postings_swap(path: str) -> bool:
+    """Startup recovery after a process death inside a lexical-store
+    rewrite's swap: re-install whichever complete copy survives (the
+    rewritten tmp if its data AND sidecars landed, else the set-aside
+    original) and clear leftovers. Returns True if any action was
+    taken; raises only if no copy survives."""
+    import shutil
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
+    acted = False
+    if os.path.exists(path):
+        for left in (tmp, old):
+            if os.path.exists(left):
+                shutil.rmtree(left)
+                acted = True
+        return acted
+    tmp_complete = (
+        os.path.exists(os.path.join(tmp, "_SUCCESS"))
+        and os.path.exists(os.path.join(tmp, "_index_meta.json"))
+        and os.path.exists(os.path.join(tmp, "_term_stats"))
+    )
+    if tmp_complete:
+        os.rename(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        return True
+    if os.path.exists(old):
+        os.rename(old, path)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        return True
+    raise ValueError(
+        f"no surviving copy of postings store {path} (neither the store, "
+        "a complete __compact_tmp, nor __compact_old exists)"
+    )
+
+
+def rebuild_postings_stats(spark: SparkSession, path: str) -> None:
+    """Heal the sidecars after a crash between an append's steps:
+    re-derive ``_term_stats`` from the postings, and backfill any
+    doc_ids present in the postings but missing from ``_doc_lengths``
+    (a zero-token doc lost in that window is unrecoverable from the
+    postings alone — the one documented gap, caught by re-appending)."""
+    dl_path = os.path.join(path, "_doc_lengths")
+    have = spark.read.parquet(dl_path).select("doc_id")
+    missing = (
+        spark.read.parquet(path)
+        .select("doc_id", "dl")
+        .distinct()
+        .join(have, "doc_id", "left_anti")
+        .localCheckpoint(eager=True)  # cut lineage: the write reads dl_path
+    )
+    if missing.count() > 0:
+        missing.write.mode("append").parquet(dl_path)
+    _refresh_term_stats(spark, path)
+
+
+def validate_postings_store(spark: SparkSession, path: str) -> None:
+    """Consistency check for a persisted lexical store against its own
+    sidecars: every postings doc must have exactly one doc-length row
+    agreeing on dl; every term's sidecar df must equal its postings doc
+    count; partition values must match the meta's bucketing. Raises
+    with the first few offenders; cost is one scan — run it after a
+    suspected partial append, like :func:`validate_ivfpq_store`."""
+    posts, meta = read_postings_index(spark, path)
+    dls = spark.read.parquet(os.path.join(path, "_doc_lengths"))
+    dup = dls.groupBy("doc_id").count().filter("count > 1").limit(5).collect()
+    if dup:
+        ids = [r["doc_id"] for r in dup]
+        raise ValueError(
+            f"duplicate doc_ids {ids} in {path}/_doc_lengths: an append "
+            "violated the new-ids contract — delete the stale copies"
+        )
+    bad_doc = (
+        posts.select("doc_id", "dl")
+        .distinct()
+        .join(dls.withColumnRenamed("dl", "dl_sidecar"), "doc_id", "left")
+        .filter(
+            F.col("dl_sidecar").isNull() | (F.col("dl") != F.col("dl_sidecar"))
+        )
+        .select("doc_id")
+        .limit(5)
+        .collect()
+    )
+    if bad_doc:
+        ids = [r["doc_id"] for r in bad_doc]
+        raise ValueError(
+            f"doc_ids {ids} in {path} postings disagree with (or are "
+            "missing from) _doc_lengths — run rebuild_postings_stats"
+        )
+    real_df = posts.groupBy("token").agg(F.count(F.lit(1)).alias("real_df"))
+    side_df = spark.read.parquet(os.path.join(path, "_term_stats"))
+    bad_df = (
+        real_df.join(side_df, "token", "full_outer")
+        .filter(
+            F.col("df").isNull()
+            | F.col("real_df").isNull()
+            | (F.col("df") != F.col("real_df"))
+        )
+        .select("token")
+        .limit(5)
+        .collect()
+    )
+    if bad_df:
+        toks = [r["token"] for r in bad_df]
+        raise ValueError(
+            f"terms {toks} in {path}/_term_stats disagree with the "
+            "postings — run rebuild_postings_stats"
+        )
+    nshards, nbuckets = int(meta["n_doc_shards"]), int(meta["n_token_buckets"])
+    bad_part = (
+        posts.filter(
+            (F.col("doc_shard") != F.pmod(F.col("doc_id"), F.lit(nshards)))
+            | (
+                F.col("token_bucket")
+                != F.pmod(F.xxhash64(F.col("token")), F.lit(nbuckets))
+            )
+        )
+        .select("doc_id")
+        .limit(5)
+        .collect()
+    )
+    if bad_part:
+        ids = [r["doc_id"] for r in bad_part]
+        raise ValueError(
+            f"doc_ids {ids} in {path} sit in partition directories that "
+            "disagree with the meta bucketing — store and meta diverged"
+        )
