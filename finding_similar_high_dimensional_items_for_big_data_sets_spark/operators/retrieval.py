@@ -494,9 +494,23 @@ def hybrid_rrf_point(
     vec_hits = vec_index.query(
         query_vec, k=k, n_probe=n_probe, shortlist=shortlist
     )
+    return rrf_fuse_lists(lex_hits, vec_hits, k=k, c=c)
+
+
+def rrf_fuse_lists(
+    lex_hits: list[tuple[int, float, int]],
+    vec_hits: list[tuple[int, float, int]],
+    k: int = 10,
+    c: int = 60,
+) -> list[tuple[int, float, int]]:
+    """The in-process RRF law on two already-ranked point lists —
+    1/(c+rank) summed lexical-first, round-10 ordering, id ties; shared
+    by :func:`hybrid_rrf_point` and the scatter-gather router (which
+    fuses AFTER each tier's exact replica merge, because RRF over a doc
+    shard's local ranks would not equal RRF over global ranks)."""
     scores: dict[int, float] = {}
     for doc_id, _s, rank in lex_hits:
-        scores[doc_id] = scores.get(doc_id, 0.0) + 1.0 / (c + rank)
+        scores[int(doc_id)] = scores.get(int(doc_id), 0.0) + 1.0 / (c + rank)
     for vec_id, _d, rank in vec_hits:
         scores[int(vec_id)] = scores.get(int(vec_id), 0.0) + 1.0 / (c + rank)
     ranked = sorted(

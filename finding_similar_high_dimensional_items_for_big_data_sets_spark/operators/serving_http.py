@@ -367,3 +367,312 @@ def start_lexical_server(
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server, thread
+
+
+# ---------------------------------------------------------------------------
+# Scatter-gather router: the reference's online topology
+# (app/src/query_service.py:167-192 fans one query out to every worker
+# and merges the partial top-k lists). Each replica server binds ONE
+# shard of an index (start_server / start_vector_server /
+# start_lexical_server); the router fans a request across all of them
+# over HTTP and merges with the SAME in-process laws the tiers already
+# prove exact (serving.merge_topk, serving_vector.merge_topk_dist,
+# retrieval.merge_topk_scores) — so N replicas answer identically to
+# one full index.
+# ---------------------------------------------------------------------------
+
+
+class RouterService:
+    """Transport-free scatter-gather: fan ``payload`` to every replica's
+    ``POST /query``, merge by tier law, answer in the tier's own
+    response shape.
+
+    tier: ``"lsh"`` (signature envelope, score-desc merge),
+    ``"vector"`` (embedding envelope, dist-asc merge), or ``"lexical"``
+    (keyword envelope, round-10 score merge). A lexical router given
+    ``vector_replicas`` also serves ``POST /hybrid``: each tier is
+    merged exactly FIRST and the RRF fusion runs on the two global
+    lists (fusing per-replica hybrid answers would rank by shard-local
+    positions — wrong), so the hybrid answer equals the single-machine
+    ``hybrid_rrf_point`` over full indexes.
+
+    Failure law: the merge is only exact over a COMPLETE replica cover,
+    so any replica error fails the request (502; a replica's own 400
+    envelope rejection is passed through) rather than silently serving
+    a partial corpus."""
+
+    TIERS = ("lsh", "vector", "lexical")
+
+    def __init__(
+        self,
+        tier: str,
+        replicas: list[str],
+        vector_replicas: list[str] | None = None,
+        timeout: float = 10.0,
+    ):
+        if tier not in self.TIERS:
+            raise ValueError(f"tier must be one of {self.TIERS}, got {tier!r}")
+        if not replicas:
+            raise ValueError("need at least one replica url")
+        if vector_replicas is not None and tier != "lexical":
+            raise ValueError("vector_replicas only compose with tier='lexical'")
+        self.tier = tier
+        self.replicas = [u.rstrip("/") for u in replicas]
+        self.vector_replicas = [
+            u.rstrip("/") for u in (vector_replicas or [])
+        ]
+        self.timeout = timeout
+
+    # -- transport ---------------------------------------------------------
+    def _post(self, url: str, payload: dict) -> tuple[int, dict]:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            url,
+            data=json.dumps(payload).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            try:
+                return e.code, json.loads(e.read())
+            except (ValueError, json.JSONDecodeError):
+                return e.code, {"error": f"replica returned HTTP {e.code}"}
+        except (urllib.error.URLError, OSError) as e:
+            return 503, {"error": f"replica unreachable: {e}"}
+
+    def _fan(self, urls: list[str], payload: dict):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(urls))) as ex:
+            return list(
+                ex.map(lambda u: self._post(u + "/query", payload), urls)
+            )
+
+    def _gather(self, urls: list[str], payload: dict):
+        """(error_response | None, per-replica candidate lists)."""
+        results = self._fan(urls, payload)
+        for url, (status, body) in zip(urls, results):
+            if status == 400:
+                # envelope rejection — every replica validates alike;
+                # surface the replica's own message to the caller
+                return (400, body), None
+            if status != 200:
+                return (
+                    502,
+                    {
+                        "error": "replica failed; partial answers are not "
+                        "served (merge is only exact over a complete cover)",
+                        "replica": url,
+                        "detail": body.get("error"),
+                    },
+                ), None
+        return None, [body["candidates"] for _s, body in results]
+
+    # -- endpoints ----------------------------------------------------------
+    def handle_query(self, payload) -> tuple[int, dict]:
+        if not isinstance(payload, dict):
+            return 400, {"error": "body must be a JSON object"}
+        k = payload.get("k", DEFAULT_K)
+        if not isinstance(k, int) or isinstance(k, bool):
+            return 400, {"error": "k must be an integer"}
+        k = max(1, k)
+        err, cand_lists = self._gather(self.replicas, payload)
+        if err is not None:
+            return err
+        if self.tier == "lsh":
+            from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.serving import (
+                merge_topk,
+            )
+
+            previews = {
+                int(c["id"]): c["vector_preview"]
+                for cands in cand_lists
+                for c in cands
+            }
+            merged = merge_topk(
+                [
+                    [(int(c["id"]), c["score"], i + 1) for i, c in enumerate(cands)]
+                    for cands in cand_lists
+                ],
+                k=k,
+            )
+            return 200, {
+                "candidates": [
+                    {
+                        "id": d,
+                        "score": s,
+                        "vector_preview": previews[d],
+                    }
+                    for (d, s, _r) in merged
+                ]
+            }
+        if self.tier == "vector":
+            from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.serving_vector import (
+                merge_topk_dist,
+            )
+
+            merged = merge_topk_dist(
+                [
+                    [(int(c["id"]), c["dist"], c["rank"]) for c in cands]
+                    for cands in cand_lists
+                ],
+                k=k,
+            )
+            return 200, {
+                "candidates": [
+                    {"id": v, "dist": d, "rank": r} for (v, d, r) in merged
+                ]
+            }
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.retrieval import (
+            merge_topk_scores,
+        )
+
+        merged = merge_topk_scores(
+            [
+                [(int(c["id"]), c["score"], c["rank"]) for c in cands]
+                for cands in cand_lists
+            ],
+            k=k,
+        )
+        return 200, {
+            "candidates": [
+                {"id": d, "score": s, "rank": r} for (d, s, r) in merged
+            ]
+        }
+
+    def handle_hybrid(self, payload) -> tuple[int, dict]:
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.retrieval import (
+            merge_topk_scores,
+            rrf_fuse_lists,
+        )
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.serving_vector import (
+            merge_topk_dist,
+        )
+
+        if not self.vector_replicas:
+            return 404, {"error": "router has no vector replicas"}
+        if not isinstance(payload, dict):
+            return 400, {"error": "body must be a JSON object"}
+        k = payload.get("k", DEFAULT_K)
+        if not isinstance(k, int) or isinstance(k, bool):
+            return 400, {"error": "k must be an integer"}
+        k = max(1, k)
+        c = payload.get("c", 60)
+        if not isinstance(c, int) or isinstance(c, bool) or c < 1:
+            return 400, {"error": "c must be a positive integer"}
+        lex_payload = {"query": payload.get("query"), "k": k}
+        vec_payload = {
+            key: payload[key]
+            for key in ("vector", "n_probe", "shortlist")
+            if key in payload
+        }
+        vec_payload["k"] = k
+        err, lex_lists = self._gather(self.replicas, lex_payload)
+        if err is not None:
+            return err
+        err, vec_lists = self._gather(self.vector_replicas, vec_payload)
+        if err is not None:
+            return err
+        lex_hits = merge_topk_scores(
+            [
+                [(int(x["id"]), x["score"], x["rank"]) for x in cands]
+                for cands in lex_lists
+            ],
+            k=k,
+        )
+        vec_hits = merge_topk_dist(
+            [
+                [(int(x["id"]), x["dist"], x["rank"]) for x in cands]
+                for cands in vec_lists
+            ],
+            k=k,
+        )
+        fused = rrf_fuse_lists(lex_hits, vec_hits, k=k, c=c)
+        return 200, {
+            "candidates": [
+                {"id": d, "rrf": s, "rank": r} for (d, s, r) in fused
+            ]
+        }
+
+    def handle_health(self) -> tuple[int, dict]:
+        import urllib.error
+        import urllib.request
+
+        def ping(url):
+            try:
+                with urllib.request.urlopen(
+                    url + "/health", timeout=self.timeout
+                ) as resp:
+                    return resp.status == 200
+            except (urllib.error.URLError, OSError):
+                return False
+
+        ok = {u: ping(u) for u in self.replicas + self.vector_replicas}
+        status = 200 if all(ok.values()) else 503
+        return status, {
+            "status": "ok" if status == 200 else "degraded",
+            "tier": self.tier,
+            "replicas": ok,
+        }
+
+
+def start_router_server(
+    tier: str,
+    replicas: list[str],
+    vector_replicas: list[str] | None = None,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    timeout: float = 10.0,
+) -> tuple[ThreadingHTTPServer, threading.Thread]:
+    """Bind a scatter-gather router over replica servers: ``POST
+    /query`` fans out and merges by tier law; a lexical router with
+    ``vector_replicas`` also serves ``POST /hybrid``; ``GET /health``
+    aggregates replica health. Same start/stop contract as
+    :func:`start_server`."""
+    service = RouterService(tier, replicas, vector_replicas, timeout)
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802 (http.server API)
+            path = self.path.rstrip("/")
+            if path == "/query":
+                handle = service.handle_query
+            elif path == "/hybrid":
+                handle = service.handle_hybrid
+            else:
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"null")
+            except (ValueError, json.JSONDecodeError):
+                self._reply(400, {"error": "invalid JSON body"})
+                return
+            status, body = handle(payload)
+            self._reply(status, body)
+
+        def do_GET(self):  # noqa: N802
+            if self.path.rstrip("/") == "/health":
+                self._reply(*service.handle_health())
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def _reply(self, status: int, body: dict) -> None:
+            data = json.dumps(body).encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, fmt, *args):  # silence per-request stderr
+            pass
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, thread
