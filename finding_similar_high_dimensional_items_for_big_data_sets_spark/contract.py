@@ -132,6 +132,23 @@ BM25_BATCH_QUERIES = (
     (3, "sort filter"),
 )
 
+# Exact directional containment: gram size, boilerplate df cap,
+# report threshold, and the planted extreme-containment fixture — a
+# huge doc (the concatenation of the component docs, doc_id order) and
+# a tiny doc (a 10-token interior slice of the first component). The
+# tiny-in-huge pair has Jaccard ~0.01: provably below MinHash banding
+# recall (containment_pairs misses it at both gate SFs — tested), while
+# the inverted-index mode finds it deterministically.
+CONT_EXACT_N = 3
+CONT_EXACT_MAX_DF = 64
+CONT_EXACT_THRESHOLD = 0.9
+CONT_PLANT_COMPONENTS = (11, 12, 13, 14, 15, 16, 17, 18)
+CONT_PLANT_TINY_SRC = 11
+CONT_PLANT_SLICE_START = 21  # 1-based token offset
+CONT_PLANT_SLICE_LEN = 10
+CONT_PLANT_TINY_ID = 30_000_000
+CONT_PLANT_HUGE_ID = 30_000_001
+
 # Balanced mixture sampling: hash-bucket scale and salt.
 MIX_SCALE = 1_000_000
 MIX_SEED = 7

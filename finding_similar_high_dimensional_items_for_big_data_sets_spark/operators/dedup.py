@@ -1674,3 +1674,108 @@ def containment_pairs(
             | (F.col("containment_ba") >= threshold)
         )
     )
+
+
+def containment_pairs_exact(
+    docs: DataFrame,
+    n: int = 3,
+    max_doc_freq: int = 64,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT directional containment — the blocking-recall closer for
+    :func:`containment_pairs`: a tiny doc fully embedded in a huge one
+    has low Jaccard, so MinHash band-blocking can miss it entirely;
+    this mode rides the :func:`shared_ngram_spans` df-capped inverted
+    index instead, where ONE shared gram suffices to pair, so every
+    extreme-containment pair whose shared grams are not boilerplate is
+    found deterministically.
+
+    Semantics: grams are the same distinct word ``n``-shingles as
+    ``containment_pairs`` (short docs fall back to one whole-doc
+    shingle), keyed by the portable 60-bit hash on both engines; grams
+    with document frequency above ``max_doc_freq`` are boilerplate and
+    excluded from BOTH the intersection and the per-doc set sizes (the
+    standard contamination-pass cap — and what keeps every inverted
+    bucket bounded at corpus scale). containment_ab = |A∩B| / |A| over
+    the surviving grams, exact integer ratios rounded to 6; a pair is
+    reported when either direction clears ``threshold``.
+
+    Plan shape (scale-safe like shared_ngram_spans): only 8-byte gram
+    hashes shuffle, no bucket collects more than ``max_doc_freq`` ids,
+    pair expansion is <= C(max_doc_freq, 2) per bucket, and the size
+    join keys on doc ids of the already-bounded pair set.
+    """
+    if max_doc_freq < 2:
+        raise ValueError("max_doc_freq must be >= 2")
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(tokenize(F.col(text_col)), n).alias("sh"),
+    )
+    exploded = (
+        grams.select("doc_id", F.explode("sh").alias("gram"))
+        .select("doc_id", portable_hash64(F.col("gram")).alias("gram_hash"))
+        .distinct()  # two grams of one doc colliding on the 60-bit hash
+    )
+    dfreq = exploded.groupBy("gram_hash").agg(F.count("*").alias("df"))
+    kept = exploded.join(
+        dfreq.filter(F.col("df") <= F.lit(max_doc_freq)).select("gram_hash"),
+        "gram_hash",
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    pairable = kept.join(
+        dfreq.filter(
+            (F.col("df") >= 2) & (F.col("df") <= F.lit(max_doc_freq))
+        ).select("gram_hash"),
+        "gram_hash",
+    )
+    per_gram = pairable.groupBy("gram_hash").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    pairs = per_gram.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ds") - F.lit(1)),
+                    lambda i: F.transform(
+                        F.sequence(i + F.lit(1), F.size("ds")),
+                        lambda j: F.struct(
+                            F.element_at(F.col("ds"), i).alias("a"),
+                            F.element_at(F.col("ds"), j).alias("b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+    shared = (
+        pairs.filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("shared").cast("double") / F.col("sz_a").cast("double"), 6
+            ).alias("containment_ab"),
+            F.round(
+                F.col("shared").cast("double") / F.col("sz_b").cast("double"), 6
+            ).alias("containment_ba"),
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(
+            (F.col("containment_ab") >= threshold)
+            | (F.col("containment_ba") >= threshold)
+        )
+    )

@@ -1679,6 +1679,102 @@ WHERE containment_ab >= {thr} OR containment_ba >= {thr}
 """
 
 
+def _sql_containment_exact(docs_rel: str) -> str:
+    """Exact directional containment over the df-capped inverted gram
+    index (mirrors dedup.containment_pairs_exact) as one SELECT over an
+    arbitrary docs relation: same distinct word shingles (short-doc
+    whole-text fallback), SAME portable 60-bit gram hash (a collision
+    cannot diverge the engines), boilerplate grams (df > cap) excluded
+    from both the intersection and the per-doc sizes, exact integer
+    ratios rounded to 6, either-direction threshold on the ROUNDED
+    values."""
+    n, cap, thr = C.CONT_EXACT_N, C.CONT_EXACT_MAX_DF, C.CONT_EXACT_THRESHOLD
+    return f"""
+WITH ctoks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM {docs_rel}),
+cgrams AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(t) < {n}
+    THEN [array_to_string(t, ' ')]
+    ELSE list_transform(range(len(t) - {n - 1}),
+                        i -> array_to_string(t[i+1:i+{n}], ' ')) END) AS sh
+  FROM ctoks),
+cgh AS (
+  SELECT DISTINCT doc_id, {H('g')} AS gram_hash
+  FROM (SELECT doc_id, unnest(sh) AS g FROM cgrams)),
+cdf AS (SELECT gram_hash, count(*) AS df FROM cgh GROUP BY 1),
+ckept AS (
+  SELECT doc_id, cgh.gram_hash
+  FROM cgh JOIN cdf USING (gram_hash) WHERE df <= {cap}),
+csizes AS (SELECT doc_id, count(*) AS sz FROM ckept GROUP BY 1),
+cshared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM ckept a JOIN ckept b USING (gram_hash)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, containment_ab, containment_ba, jaccard FROM (
+  SELECT doc_a, doc_b,
+    round(CAST(shared AS DOUBLE) / CAST(sa.sz AS DOUBLE), 6) AS containment_ab,
+    round(CAST(shared AS DOUBLE) / CAST(sb.sz AS DOUBLE), 6) AS containment_ba,
+    round(CAST(shared AS DOUBLE) / CAST(sa.sz + sb.sz - shared AS DOUBLE), 6)
+      AS jaccard
+  FROM cshared JOIN csizes sa ON cshared.doc_a = sa.doc_id
+               JOIN csizes sb ON cshared.doc_b = sb.doc_id)
+WHERE containment_ab >= {thr} OR containment_ba >= {thr}
+"""
+
+
+def sql_containment_pairs_exact() -> str:
+    """Mirrors q_containment_pairs_exact: the exact-containment core
+    over the corpus PLUS the planted fixture (huge = component texts
+    concatenated in doc_id order, tiny = a 10-token interior slice of
+    the first component — both slicing rules identical across engines:
+    DuckDB t[a:b] is 1-based inclusive, Spark slice(t, a, len))."""
+    comps = ", ".join(str(i) for i in C.CONT_PLANT_COMPONENTS)
+    lo = C.CONT_PLANT_SLICE_START
+    hi = lo + C.CONT_PLANT_SLICE_LEN - 1
+    planted = f"""(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST({C.CONT_PLANT_HUGE_ID} AS BIGINT) AS doc_id,
+         string_agg(text, ' ' ORDER BY doc_id) AS text
+  FROM documents WHERE doc_id IN ({comps})
+  UNION ALL
+  SELECT CAST({C.CONT_PLANT_TINY_ID} AS BIGINT) AS doc_id,
+         array_to_string(
+           (list_filter(string_split(text, ' '), x -> x <> ''))[{lo}:{hi}],
+           ' ') AS text
+  FROM documents WHERE doc_id = {C.CONT_PLANT_TINY_SRC})"""
+    return _sql_containment_exact(planted)
+
+
+def sql_source_overlap_winnow() -> str:
+    """Mirrors q_source_overlap_winnow: the winnow_pairs statement as
+    the pair source under the same source-rollup as sql_source_overlap."""
+    return f"""
+WITH p AS MATERIALIZED ({sql_winnow_pairs()})
+SELECT da.source AS source_a, db.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM p JOIN documents da ON p.doc_a = da.doc_id
+       JOIN documents db ON p.doc_b = db.doc_id
+GROUP BY 1, 2
+"""
+
+
+def sql_source_overlap_containment() -> str:
+    """Mirrors q_source_overlap_containment: the exact-containment core
+    (UNplanted — governance runs on the real corpus) as the pair source
+    under the same source-rollup."""
+    return f"""
+WITH p AS MATERIALIZED ({_sql_containment_exact("documents")})
+SELECT da.source AS source_a, db.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM p JOIN documents da ON p.doc_a = da.doc_id
+       JOIN documents db ON p.doc_b = db.doc_id
+GROUP BY 1, 2
+"""
+
+
 def sql_mixture_temperature() -> str:
     """Mirrors prep.temperature_mixture_sample: keep iff
     h^2 * T_g < scale^2 * T_min, evaluated directly in HUGEINT — the
@@ -2962,6 +3058,9 @@ def registry() -> dict[str, str]:
         "bm25_topk_batch": sql_bm25_topk_batch(),
         "hybrid_rrf_topk": sql_hybrid_rrf_topk(),
         "containment_pairs": sql_containment_pairs(),
+        "containment_pairs_exact": sql_containment_pairs_exact(),
+        "source_overlap_winnow": sql_source_overlap_winnow(),
+        "source_overlap_containment": sql_source_overlap_containment(),
         "winnow_fingerprints": sql_winnow_fingerprints(),
         "winnow_pairs": sql_winnow_pairs(),
         "remove_duplicate_spans": sql_remove_duplicate_spans(),

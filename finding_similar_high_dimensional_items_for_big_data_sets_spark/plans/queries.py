@@ -1879,12 +1879,12 @@ def q_dedup_group_sizes(spark, sf_dir):
     return sizes.groupBy("group_size").agg(F.count("*").alias("n_groups"))
 
 
-def q_source_overlap(spark, sf_dir):
-    """Cross-source near-duplicate overlap: LSH pairs joined to each
-    side's source, counted per (source_a, source_b) — the contamination
-    matrix between ingest feeds."""
-    docs = _docs(spark, sf_dir)
-    pairs = q_lsh_pairs(spark, sf_dir)
+def _source_rollup(docs, pairs):
+    """Shared contamination-matrix shape: any blocked pair graph
+    (doc_a, doc_b, ...) joined to each side's source and counted per
+    (source_a, source_b). One verified rollup, three pair sources
+    (MinHash LSH, winnowing, exact containment) — the candidate
+    generator is a parameter, not a fork of the rollup."""
     sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
     sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
     return (
@@ -1892,6 +1892,74 @@ def q_source_overlap(spark, sf_dir):
         .join(sb, "doc_b")
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source near-duplicate overlap: LSH pairs joined to each
+    side's source, counted per (source_a, source_b) — the contamination
+    matrix between ingest feeds."""
+    return _source_rollup(_docs(spark, sf_dir), q_lsh_pairs(spark, sf_dir))
+
+
+def q_source_overlap_winnow(spark, sf_dir):
+    """The contamination matrix over WINNOWING candidates: plagiarism-
+    style shared-fingerprint pairs rolled up per source pair — catches
+    copied substrings between feeds that whole-doc MinHash dilutes."""
+    return _source_rollup(_docs(spark, sf_dir), q_winnow_pairs(spark, sf_dir))
+
+
+def q_source_overlap_containment(spark, sf_dir):
+    """The contamination matrix over EXACT-CONTAINMENT candidates:
+    quotation/subset pairs (either direction >= threshold) rolled up
+    per source pair — the asymmetric-overlap view of feed leakage."""
+    pairs = dedup.containment_pairs_exact(
+        _docs(spark, sf_dir),
+        n=C.CONT_EXACT_N,
+        max_doc_freq=C.CONT_EXACT_MAX_DF,
+        threshold=C.CONT_EXACT_THRESHOLD,
+    )
+    return _source_rollup(_docs(spark, sf_dir), pairs)
+
+
+def q_containment_pairs_exact(spark, sf_dir):
+    """Exact directional containment over the df-capped inverted gram
+    index, on the corpus PLUS the planted extreme-containment fixture
+    (a tiny slice doc inside a concatenated huge doc, Jaccard ~0.01 —
+    below MinHash banding recall, so the LSH-blocked containment_pairs
+    provably misses it while this mode must report it with
+    containment 1.0)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    huge = (
+        docs.filter(F.col("doc_id").isin(list(C.CONT_PLANT_COMPONENTS)))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("text")
+        )
+        .select(F.lit(C.CONT_PLANT_HUGE_ID).cast("long").alias("doc_id"), "text")
+    )
+    tiny = docs.filter(F.col("doc_id") == C.CONT_PLANT_TINY_SRC).select(
+        F.lit(C.CONT_PLANT_TINY_ID).cast("long").alias("doc_id"),
+        F.array_join(
+            F.slice(
+                tokenize(F.col("text")),
+                C.CONT_PLANT_SLICE_START,
+                C.CONT_PLANT_SLICE_LEN,
+            ),
+            " ",
+        ).alias("text"),
+    )
+    planted = docs.unionByName(huge).unionByName(tiny)
+    return dedup.containment_pairs_exact(
+        planted,
+        n=C.CONT_EXACT_N,
+        max_doc_freq=C.CONT_EXACT_MAX_DF,
+        threshold=C.CONT_EXACT_THRESHOLD,
     )
 
 
@@ -2043,6 +2111,9 @@ REGISTRY = {
     "bm25_topk_batch": q_bm25_topk_batch,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "containment_pairs": q_containment_pairs,
+    "containment_pairs_exact": q_containment_pairs_exact,
+    "source_overlap_winnow": q_source_overlap_winnow,
+    "source_overlap_containment": q_source_overlap_containment,
     "shingle_stats": q_shingle_stats,
     "content_hashes": q_content_hashes,
     "minhash_signatures": q_minhash_signatures,
