@@ -171,6 +171,7 @@ def bm25_topk_store(spark, path: str, query: str, k: int = 10) -> DataFrame:
     from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
         read_postings_corpus_stats,
         read_postings_index,
+        read_term_stats,
         token_buckets_for,
     )
 
@@ -189,10 +190,7 @@ def bm25_topk_store(spark, path: str, query: str, k: int = 10) -> DataFrame:
         set(token_buckets_for(spark, terms, int(meta["n_token_buckets"])).values())
     )
     term_df = spark.createDataFrame([(t,) for t in terms], "token string")
-    side_df = (
-        spark.read.parquet(path + "/_term_stats")
-        .filter(F.col("token").isin(terms))
-    )
+    side_df = read_term_stats(spark, path).filter(F.col("token").isin(terms))
     matched = (
         posts.filter(F.col("token_bucket").isin(buckets))
         .join(F.broadcast(term_df), "token")
@@ -385,6 +383,7 @@ class ServingLexicalIndex:
         from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
             read_postings_corpus_stats,
             read_postings_index,
+            read_term_stats,
         )
 
         posts, meta = read_postings_index(spark, path)
@@ -399,7 +398,7 @@ class ServingLexicalIndex:
             raise ValueError("empty corpus")
         global_df = {
             r["token"]: int(r["df"])
-            for r in spark.read.parquet(path + "/_term_stats").collect()
+            for r in read_term_stats(spark, path).collect()
         }
         return cls(
             n_docs, sum_dl, postings, meta["k1"], meta["b"], global_df
@@ -579,14 +578,39 @@ def bm25_topk_batch(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = matched.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return _rank_matched_terms_batch(
+        matched.join(dfreq, "token"),
+        qterm_df,
+        n_docs,
+        avgdl,
+        k1,
+        b,
+        k,
+        query_id_col,
+    )
+
+
+def _rank_matched_terms_batch(
+    matched: DataFrame,
+    qterm_df: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Shared batch scoring tail: (doc_id, dl, token, tf, df) rows plus
+    the broadcastable (query_id, token) map -> per-query ranked
+    (query_id, doc_id, score, rank). One expression tree for the table
+    and store batch paths, so their floats cannot drift."""
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
     )
     scored = (
-        matched.join(dfreq, "token")
-        .join(F.broadcast(qterm_df), "token")
+        matched.join(F.broadcast(qterm_df), "token")
         .select(
             query_id_col,
             "doc_id",
@@ -625,4 +649,70 @@ def bm25_topk_batch(
             F.round(F.col("score"), 6).alias("score"),
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+def bm25_topk_batch_store(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Batch BM25 answered FROM the persisted postings store — the
+    batch twin of :func:`bm25_topk_store`, completing the store API
+    (point + batch, like the vector tier's `ivfpq_topk_store` /
+    `ivfpq_topk_batch` pair). Answer-identical to
+    :func:`bm25_topk_batch` over the source table (shared batch
+    scoring tail; sidecar df/N/sum_dl equal the corpus values by
+    construction).
+
+    Scale shape: ONE pruned scan serves the whole query set — the
+    union of all query terms maps to a token_bucket literal set
+    (static directory pruning), no corpus tokenization happens at
+    query time, and k1/b come from the store meta."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        read_postings_corpus_stats,
+        read_postings_index,
+        read_term_stats,
+        token_buckets_for,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    qrows = queries.select(query_id_col, query_text_col).collect()
+    qterm_rows = sorted(
+        {
+            (int(r[query_id_col]), t)
+            for r in qrows
+            for t in (r[query_text_col] or "").split(" ")
+            if t
+        }
+    )
+    if not qterm_rows:
+        raise ValueError("no query terms in the batch")
+    terms = sorted({t for _qid, t in qterm_rows})
+    posts, meta = read_postings_index(spark, path)
+    k1, b = float(meta["k1"]), float(meta["b"])
+    n_docs, sum_dl = read_postings_corpus_stats(spark, path)
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    avgdl = sum_dl / n_docs
+    buckets = sorted(
+        set(token_buckets_for(spark, terms, int(meta["n_token_buckets"])).values())
+    )
+    qterm_df = spark.createDataFrame(
+        qterm_rows, f"{query_id_col} long, token string"
+    )
+    terms_df = qterm_df.select("token").distinct()
+    side_df = read_term_stats(spark, path).filter(F.col("token").isin(terms))
+    matched = (
+        posts.filter(F.col("token_bucket").isin(buckets))
+        .join(F.broadcast(terms_df), "token")
+        .join(F.broadcast(side_df), "token")
+        .select("doc_id", "dl", "token", "tf", "df")
+    )
+    return _rank_matched_terms_batch(
+        matched, qterm_df, n_docs, avgdl, k1, b, k, query_id_col
     )

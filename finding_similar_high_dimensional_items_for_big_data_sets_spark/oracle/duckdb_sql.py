@@ -2977,7 +2977,8 @@ def sql_bm25_topk_batch() -> str:
     fixture: df computed once over the union of all query terms, same
     float expression order and literals as sql_bm25_topk, per-(query,
     doc) token-sorted fold, per-query ranking on round(score, 10)
-    desc / doc_id asc."""
+    desc / doc_id asc. Also the oracle for bm25_topk_batch_store (the
+    persisted-index batch path is answer-identical by construction)."""
     qterms = sorted(
         {
             (qid, t)
@@ -3056,6 +3057,7 @@ def registry() -> dict[str, str]:
         "bm25_topk": sql_bm25_topk(),
         "bm25_topk_store": sql_bm25_topk(C.BM25_STORE_QUERY),
         "bm25_topk_batch": sql_bm25_topk_batch(),
+        "bm25_topk_batch_store": sql_bm25_topk_batch(),
         "hybrid_rrf_topk": sql_hybrid_rrf_topk(),
         "containment_pairs": sql_containment_pairs(),
         "containment_pairs_exact": sql_containment_pairs_exact(),

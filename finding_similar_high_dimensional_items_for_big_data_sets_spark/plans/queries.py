@@ -2094,6 +2094,34 @@ def q_bm25_topk_store(spark, sf_dir):
     )
 
 
+def q_bm25_topk_batch_store(spark, sf_dir):
+    """Batch BM25 from the persisted postings index — one pruned scan
+    (union of all query terms' token buckets) serves the whole fixture
+    query set; answer-identical to bm25_topk_batch, so the oracle is
+    the same SQL."""
+    import os as _os
+
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import retrieval
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources import tables as T
+
+    store = _os.path.join(
+        "/tmp",
+        "fshdi_lex_store_" + _os.path.basename(sf_dir.rstrip("/")),
+    )
+    T.write_postings_index(
+        _docs(spark, sf_dir),
+        store,
+        k1=C.BM25_K1,
+        b=C.BM25_B,
+        n_doc_shards=C.LEX_STORE_DOC_SHARDS,
+        n_token_buckets=C.LEX_STORE_TOKEN_BUCKETS,
+    )
+    qdf = spark.createDataFrame(
+        list(C.BM25_BATCH_QUERIES), "query_id long, query_text string"
+    )
+    return retrieval.bm25_topk_batch_store(spark, store, qdf, k=C.BM25_K)
+
+
 def q_containment_pairs(spark, sf_dir):
     """Directional n-gram containment pairs (Broder coefficient) —
     the asymmetric near-dup view that catches quotation/subset
@@ -2109,6 +2137,7 @@ REGISTRY = {
     "bm25_topk": q_bm25_topk,
     "bm25_topk_store": q_bm25_topk_store,
     "bm25_topk_batch": q_bm25_topk_batch,
+    "bm25_topk_batch_store": q_bm25_topk_batch_store,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "containment_pairs": q_containment_pairs,
     "containment_pairs_exact": q_containment_pairs_exact,

@@ -1427,6 +1427,67 @@ def write_postings_index(
     )
 
 
+def write_postings_stream_base(
+    docs: DataFrame,
+    path: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_doc_shards: int = 4,
+    n_token_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Base epoch of a STREAM-maintained lexical store (the lexical
+    twin of :func:`write_ivfpq_stream_base`): the same artifact as
+    :func:`write_postings_index` with an ``ingest_batch`` partition
+    level on top of every component — postings under
+    ``ingest_batch=BASE/doc_shard/token_bucket``, doc lengths and
+    per-term df DELTAS under ``ingest_batch=BASE`` — so each stream
+    micro-batch owns its partition directories and a replayed epoch
+    OVERWRITES itself instead of appending duplicates. Readers
+    aggregate the df deltas per term (:func:`read_term_stats`), which
+    also keeps per-epoch maintenance O(micro-batch), never a full
+    postings rescan."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.text import tokenize
+
+    posts = _postings_rows(
+        docs, n_doc_shards, n_token_buckets, id_col, text_col
+    ).withColumn("ingest_batch", F.lit(BASE_INGEST_BATCH))
+    posts.write.mode("overwrite").partitionBy(
+        "ingest_batch", "doc_shard", "token_bucket"
+    ).parquet(path)
+    (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokenize(F.col(text_col))).alias("dl"),
+        )
+        .withColumn("ingest_batch", F.lit(BASE_INGEST_BATCH))
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(os.path.join(path, "_doc_lengths"))
+    )
+    (
+        docs.sparkSession.read.parquet(path)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("ingest_batch", F.lit(BASE_INGEST_BATCH))
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(os.path.join(path, "_term_stats"))
+    )
+    _write_store_meta(
+        path,
+        {
+            "kind": "postings",
+            "k1": float(k1),
+            "b": float(b),
+            "n_doc_shards": int(n_doc_shards),
+            "n_token_buckets": int(n_token_buckets),
+            "batch_partitioned": True,
+        },
+    )
+
+
 def read_postings_index(spark: SparkSession, path: str):
     """(postings DataFrame, meta dict) from a :func:`write_postings_index`
     store; raises on any other store kind rather than scoring garbage."""
@@ -1436,6 +1497,18 @@ def read_postings_index(spark: SparkSession, path: str):
             f"{path} is not a lexical postings store (kind={meta.get('kind')!r})"
         )
     return spark.read.parquet(path), meta
+
+
+def read_term_stats(spark: SparkSession, path: str) -> DataFrame:
+    """GLOBAL (token, df) from the ``_term_stats`` sidecar. Flat stores
+    hold it directly; stream-maintained stores hold one df DELTA per
+    ``ingest_batch`` partition (epoch-local counts, so maintenance never
+    rescans the index) — aggregated here. A doc's postings live in
+    exactly one epoch, so the per-epoch counts sum to the corpus df."""
+    stats = spark.read.parquet(os.path.join(path, "_term_stats"))
+    if "ingest_batch" in stats.columns:
+        return stats.groupBy("token").agg(F.sum("df").alias("df"))
+    return stats.select("token", "df")
 
 
 def read_postings_corpus_stats(spark: SparkSession, path: str) -> tuple[int, int]:
@@ -1473,6 +1546,12 @@ def append_postings_index(
         raise ValueError(
             f"{path} is not a lexical postings store (kind={meta.get('kind')!r})"
         )
+    if meta.get("batch_partitioned"):
+        raise ValueError(
+            f"{path} is a stream-maintained (batch-partitioned) store — "
+            "land new docs through stream_lexical_ingest, whose per-epoch "
+            "partitions stay replay-idempotent; a plain append would not"
+        )
     spark = new_docs.sparkSession
     new_posts = _postings_rows(
         new_docs,
@@ -1496,19 +1575,31 @@ def append_postings_index(
 def _refresh_term_stats(spark: SparkSession, path: str) -> None:
     """Recompute ``_term_stats`` from the postings and swap it in via a
     sibling tmp dir + rename (never overwrite-in-place what the plan
-    reads; a complete copy exists at every instant)."""
+    reads; a complete copy exists at every instant). On a
+    stream-maintained store the recompute preserves the per-epoch delta
+    layout (grouped by ``ingest_batch``), so later epoch replays keep
+    overwriting their own partition consistently."""
     import shutil
 
     stats_dir = os.path.join(path, "_term_stats")
     tmp = stats_dir + "__tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    (
-        spark.read.parquet(path)
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
+    posts = spark.read.parquet(path)
+    if "ingest_batch" in posts.columns:
+        (
+            posts.groupBy("ingest_batch", "token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .write.mode("overwrite")
+            .partitionBy("ingest_batch")
+            .parquet(tmp)
+        )
+    else:
+        (
+            posts.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
     old = stats_dir + "__old"
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(stats_dir):
@@ -1521,11 +1612,12 @@ def _rewrite_postings_swapped(spark: SparkSession, path: str, transform) -> None
     """Crash-safe full rewrite of a lexical postings store:
     ``transform(postings, doc_lengths)`` returns the replacement
     (postings, doc_lengths) pair, written to a sibling tmp directory
-    under the same partition layout with the term-df sidecar recomputed
-    from the surviving postings and the meta carried over, then swapped
-    in by directory rename (shared law with
-    :func:`_rewrite_ivfpq_swapped`; :func:`recover_postings_swap` heals
-    a mid-swap death)."""
+    under the same partition layout (including the ``ingest_batch``
+    level of a stream-maintained store) with the term-df sidecar
+    recomputed from the surviving postings, the meta and any
+    absorbed-epoch watermark carried over, then swapped in by
+    directory rename (shared law with :func:`_rewrite_ivfpq_swapped`;
+    :func:`recover_postings_swap` heals a mid-swap death)."""
     import shutil
 
     meta = read_store_meta(path)
@@ -1535,22 +1627,44 @@ def _rewrite_postings_swapped(spark: SparkSession, path: str, transform) -> None
         )
     postings = spark.read.parquet(path)
     doc_lengths = spark.read.parquet(os.path.join(path, "_doc_lengths"))
+    part_cols = [
+        c
+        for c in ("ingest_batch", "doc_shard", "token_bucket")
+        if c in postings.columns
+    ]
+    dl_part_cols = [c for c in ("ingest_batch",) if c in doc_lengths.columns]
     tmp = path.rstrip("/") + "__compact_tmp"
     old = path.rstrip("/") + "__compact_old"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
     new_posts, new_dls = transform(postings, doc_lengths)
-    new_posts.write.mode("overwrite").partitionBy(
-        "doc_shard", "token_bucket"
-    ).parquet(tmp)
-    new_dls.write.mode("overwrite").parquet(os.path.join(tmp, "_doc_lengths"))
-    (
-        spark.read.parquet(tmp)
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .write.mode("overwrite")
-        .parquet(os.path.join(tmp, "_term_stats"))
-    )
+    new_posts.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
+    dl_writer = new_dls.write.mode("overwrite")
+    if dl_part_cols:
+        dl_writer = dl_writer.partitionBy(*dl_part_cols)
+    dl_writer.parquet(os.path.join(tmp, "_doc_lengths"))
+    tmp_posts = spark.read.parquet(tmp)
+    if "ingest_batch" in tmp_posts.columns:
+        (
+            tmp_posts.groupBy("ingest_batch", "token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .write.mode("overwrite")
+            .partitionBy("ingest_batch")
+            .parquet(os.path.join(tmp, "_term_stats"))
+        )
+    else:
+        (
+            tmp_posts.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "_term_stats"))
+        )
+    wm = read_absorbed_watermark(path)
+    new_wm = getattr(transform, "new_watermark", None)
+    if new_wm is not None:
+        wm = new_wm if wm is None else max(wm, new_wm)
+    if wm is not None:
+        write_absorbed_watermark(tmp, wm)
     # meta LAST: its presence next to _SUCCESS + _term_stats is what
     # recover_postings_swap treats as "tmp is complete"
     shutil.copy2(
@@ -1561,12 +1675,28 @@ def _rewrite_postings_swapped(spark: SparkSession, path: str, transform) -> None
 
 
 def compact_postings_index(spark: SparkSession, path: str) -> None:
-    """Compact a lexical postings store: many appends leave small files
-    under every (doc_shard, token_bucket) directory; rewrite the store
-    once KEEPING both partition levels (replica-export and query-bucket
-    pruning must survive compaction) and refresh the sidecars from the
-    rewritten data. Crash-safe via the sibling-dir + rename swap."""
-    _rewrite_postings_swapped(spark, path, lambda p, d: (p, d))
+    """Compact a lexical postings store: many appends (or one stream
+    epoch partition per micro-batch from ``stream_lexical_ingest``)
+    leave small files / unbounded ``ingest_batch=`` directories;
+    rewrite the store once, folding every epoch into
+    :data:`BASE_INGEST_BATCH` while KEEPING the doc_shard/token_bucket
+    levels (replica-export and query-bucket pruning must survive
+    compaction) and refreshing the sidecars from the rewritten data.
+    Crash-safe via the sibling-dir + rename swap; for epoch stores the
+    swap carries an absorbed-epoch watermark so a stream replay of a
+    folded epoch is dropped by the maintenance loop instead of
+    double-landing."""
+
+    def fold(posts: DataFrame, dls: DataFrame):
+        if "ingest_batch" in posts.columns:
+            posts = posts.withColumn("ingest_batch", F.lit(BASE_INGEST_BATCH))
+        if "ingest_batch" in dls.columns:
+            dls = dls.withColumn("ingest_batch", F.lit(BASE_INGEST_BATCH))
+        return posts, dls
+
+    epochs = _store_epoch_partitions(path)
+    fold.new_watermark = max(epochs) if epochs else None
+    _rewrite_postings_swapped(spark, path, fold)
 
 
 def delete_from_postings_index(
@@ -1646,15 +1776,20 @@ def rebuild_postings_stats(spark: SparkSession, path: str) -> None:
     postings alone — the one documented gap, caught by re-appending)."""
     dl_path = os.path.join(path, "_doc_lengths")
     have = spark.read.parquet(dl_path).select("doc_id")
+    posts = spark.read.parquet(path)
+    epoch_store = "ingest_batch" in posts.columns
+    cols = ["doc_id", "dl"] + (["ingest_batch"] if epoch_store else [])
     missing = (
-        spark.read.parquet(path)
-        .select("doc_id", "dl")
+        posts.select(*cols)
         .distinct()
         .join(have, "doc_id", "left_anti")
         .localCheckpoint(eager=True)  # cut lineage: the write reads dl_path
     )
     if missing.count() > 0:
-        missing.write.mode("append").parquet(dl_path)
+        writer = missing.write.mode("append")
+        if epoch_store:
+            writer = writer.partitionBy("ingest_batch")
+        writer.parquet(dl_path)
     _refresh_term_stats(spark, path)
 
 
@@ -1692,7 +1827,7 @@ def validate_postings_store(spark: SparkSession, path: str) -> None:
             "missing from) _doc_lengths — run rebuild_postings_stats"
         )
     real_df = posts.groupBy("token").agg(F.count(F.lit(1)).alias("real_df"))
-    side_df = spark.read.parquet(os.path.join(path, "_term_stats"))
+    side_df = read_term_stats(spark, path)
     bad_df = (
         real_df.join(side_df, "token", "full_outer")
         .filter(

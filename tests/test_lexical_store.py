@@ -80,6 +80,34 @@ def test_store_roundtrip_identity_and_pruning(spark, tmp_path):
     assert (idx_df.n_docs, idx_df.sum_dl) == (n, s)
 
 
+def test_batch_store_identical_to_batch_table(spark, tmp_path):
+    """bm25_topk_batch_store ≡ bm25_topk_batch per query, and its one
+    pruned scan carries the union-of-buckets partition filter."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark import contract as C
+
+    docs = _docs(spark)
+    p = str(tmp_path / "lex_batch")
+    write_postings_index(docs, p, n_doc_shards=2, n_token_buckets=8)
+    qdf = spark.createDataFrame(
+        list(C.BM25_BATCH_QUERIES), "query_id long, query_text string"
+    )
+    got_df = retrieval.bm25_topk_batch_store(spark, p, qdf, k=5)
+    got = sorted(map(tuple, got_df.collect()))
+    want = sorted(
+        map(tuple, retrieval.bm25_topk_batch(docs, qdf, k=5).collect())
+    )
+    assert got == want
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "token_bucket" in plan, plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no query terms"):
+        retrieval.bm25_topk_batch_store(
+            spark, p,
+            spark.createDataFrame([(0, " ")], "query_id long, query_text string"),
+        )
+
+
 def test_doc_shard_replicas_merge_to_full_answer(spark, tmp_path):
     """Doc-shard replicas loaded from the store (global df from the
     sidecar, NOT hand-fed) scatter-gather to the full index's answer;
