@@ -172,6 +172,15 @@ PQ_CODES = 16
 PQ_SEED = 44
 PQ_SHORTLIST = 50
 
+# Optimized PQ (Ge et al.): rotation + codebooks trained OFFLINE on the
+# fixed sf0.001 embedding sample (production pattern: a codec is a
+# shipped artifact applied corpus-wide), so the engine and the DuckDB
+# oracle inline the identical literals at any SF.
+OPQ_SEED = 45
+OPQ_ITERS = 8
+OPQ_KMEANS_ITERS = 12
+OPQ_TRAIN_PATH = "/root/testdata/sf0.001/embeddings.parquet"
+
 # Gopher-style quality rules (Rae et al. 2021 §A1.1), fixture-tuned
 # word-count bounds; every comparison is integer cross-multiplied so
 # the keep boundary is exact in both engines. Plant pattern: every

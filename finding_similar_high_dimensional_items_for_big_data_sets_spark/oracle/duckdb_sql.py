@@ -1807,7 +1807,13 @@ def _pq_codes_expr(vec: str) -> str:
     )
 
     books = random_codebooks(C.EMB_DIM, C.PQ_M, C.PQ_CODES, C.PQ_SEED)
-    dsub = C.EMB_DIM // C.PQ_M
+    return _pq_codes_expr_books(vec, books)
+
+
+def _pq_codes_expr_books(vec: str, books: list[list[list[float]]]) -> str:
+    """The codes expression against EXPLICIT codebooks — shared by the
+    seeded-PQ oracles and the OPQ oracles (rotated-space books)."""
+    dsub = len(books[0][0])
     parts = []
     for s, book in enumerate(books):
         sub = f"({vec}[{s * dsub + 1}:{(s + 1) * dsub}])"
@@ -1834,13 +1840,112 @@ def _pq_adc_expr() -> str:
     )
 
     books = random_codebooks(C.EMB_DIM, C.PQ_M, C.PQ_CODES, C.PQ_SEED)
-    dsub = C.EMB_DIM // C.PQ_M
+    return _pq_adc_expr_books(books, "q.qv")
+
+
+def _pq_adc_expr_books(books: list[list[list[float]]], qvec: str) -> str:
+    """The ADC expression against EXPLICIT codebooks and query column —
+    shared with the OPQ oracles, which pass the rotated query."""
+    dsub = len(books[0][0])
     terms = []
     for s, book in enumerate(books):
-        sub = f"(q.qv[{s * dsub + 1}:{(s + 1) * dsub}])"
+        sub = f"({qvec}[{s * dsub + 1}:{(s + 1) * dsub}])"
         lut = "[" + ", ".join(_sq_l2_lit(sub, code) for code in book) + "]"
         terms.append(f"({lut})[c.codes[{s + 1}] + 1]")
     return " + ".join(terms)
+
+
+def _rot_dot_lit(vec: str, col: list[float]) -> str:
+    """Dot product of ``vec`` with a literal rotation column, mirroring
+    ann._dot_lit bit-for-bit: a 0.0-seeded left-associative chain
+    (((0.0 + v1*w1) + v2*w2) + ...) — flat vectorized arithmetic, no
+    lambda folds (a list_reduce version measured ~40x slower)."""
+    terms = " + ".join(
+        f"{vec}[{i + 1}]::DOUBLE * {w!r}" for i, w in enumerate(col)
+    )
+    return f"(0.0 + {terms})"
+
+
+def _opq_rvec_expr(vec: str) -> str:
+    """``vec`` @ R as a DuckDB list — one _rot_dot_lit per output
+    dimension, literals from the SAME cached offline training call the
+    engine consumes (operators.opq.opq_train_offline)."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.opq import (
+        opq_train_offline,
+    )
+
+    r_cols, _ = opq_train_offline()
+    return "[" + ", ".join(_rot_dot_lit(vec, col) for col in r_cols) + "]"
+
+
+def sql_opq_codes() -> str:
+    """Mirrors opq.opq_encode: rotate once per row (materialized CTE,
+    like the engine's once-materialized _rvec projection), then the
+    shared per-subspace argmin codes expression over the rotated-space
+    codebooks."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.opq import (
+        opq_train_offline,
+    )
+
+    _, books = opq_train_offline()
+    return f"""
+WITH r AS MATERIALIZED (
+  SELECT vec_id, {_opq_rvec_expr('embedding')} AS rvec FROM embeddings)
+SELECT vec_id, {_pq_codes_expr_books('rvec', books)} AS codes FROM r
+"""
+
+
+def sql_opq_topk() -> str:
+    """Mirrors opq.opq_topk: the query row is rotated with the same
+    fold the engine runs driver-side (rotate_py), the corpus rows with
+    the same fold the engine runs JVM-side (rotate_expr), then the
+    shared ADC scan in the rotated space."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.opq import (
+        opq_train_offline,
+    )
+
+    _, books = opq_train_offline()
+    adc = _pq_adc_expr_books(books, "q.rqv")
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT {_opq_rvec_expr('embedding')} AS rqv FROM embeddings WHERE vec_id = {C.QUERY_VEC}),
+r AS MATERIALIZED (
+  SELECT vec_id, {_opq_rvec_expr('embedding')} AS rvec FROM embeddings),
+c AS (SELECT vec_id, {_pq_codes_expr_books('rvec', books)} AS codes FROM r),
+scored AS (
+  SELECT c.vec_id, round(sqrt({adc}), 6) AS dist FROM c, q)
+SELECT vec_id, dist, CAST(row_number() OVER (ORDER BY dist ASC, vec_id) AS INT) AS rank
+FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
+"""
+
+
+def sql_opq_topk_rerank() -> str:
+    """Mirrors opq.opq_topk_rerank: the ADC shortlist picked in the
+    ROTATED space (same expression as sql_opq_topk, LIMIT
+    PQ_SHORTLIST), exact L2 rerank in the ORIGINAL space — rotation is
+    orthonormal so the true distances need no rotated vectors."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.opq import (
+        opq_train_offline,
+    )
+
+    _, books = opq_train_offline()
+    adc = _pq_adc_expr_books(books, "q.rqv")
+    return f"""
+WITH q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {C.QUERY_VEC}),
+q AS MATERIALIZED (
+  SELECT {_opq_rvec_expr('embedding')} AS rqv FROM embeddings WHERE vec_id = {C.QUERY_VEC}),
+r AS MATERIALIZED (
+  SELECT vec_id, {_opq_rvec_expr('embedding')} AS rvec FROM embeddings),
+c AS (SELECT vec_id, {_pq_codes_expr_books('rvec', books)} AS codes FROM r),
+short AS (
+  SELECT c.vec_id FROM c, q
+  ORDER BY round(sqrt({adc}), 6) ASC, c.vec_id LIMIT {C.PQ_SHORTLIST}),
+scored AS (
+  SELECT e.vec_id, round({_l2('e.embedding', 'q0.qv', C.EMB_DIM)}, 6) AS dist
+  FROM embeddings e, q0 WHERE e.vec_id IN (SELECT vec_id FROM short))
+SELECT vec_id, dist, CAST(row_number() OVER (ORDER BY dist ASC, vec_id) AS INT) AS rank
+FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
+"""
 
 
 def sql_pq_topk() -> str:
@@ -3134,6 +3239,9 @@ def registry() -> dict[str, str]:
         "pq_codes": sql_pq_codes(),
         "pq_topk": sql_pq_topk(),
         "pq_topk_rerank": sql_pq_topk_rerank(),
+        "opq_codes": sql_opq_codes(),
+        "opq_topk": sql_opq_topk(),
+        "opq_topk_rerank": sql_opq_topk_rerank(),
         "cms_heavy_hitters": sql_cms_heavy_hitters(),
         "gopher_rules": sql_gopher_rules(),
         "events_asof": sql_events_asof(),

@@ -28,6 +28,7 @@ from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators im
     lsh,
     metrics,
     minhash,
+    opq,
     prep,
     qed,
 )
@@ -1334,6 +1335,40 @@ def q_pq_topk_rerank(spark, sf_dir):
     )
 
 
+def q_opq_codes(spark, sf_dir):
+    """OPQ encoding (Ge et al.): each embedding rotated by the
+    offline-trained orthonormal R (one materialized projection — the
+    code argmins reference it m x n_codes times), then PQ-encoded
+    against the rotated-space codebooks. Row-local, shuffle-free, same
+    single-pass shape as q_pq_codes."""
+    r_cols, books = opq.opq_train_offline()
+    return opq.opq_encode(_emb(spark, sf_dir), r_cols, books)
+
+
+def q_opq_topk(spark, sf_dir):
+    """OPQ ADC search for the fixture query vector: the query is
+    rotated driver-side with the identical fold, then the plain m-
+    lookup ADC scan runs in the rotated space."""
+    emb = _emb(spark, sf_dir)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == C.QUERY_VEC).first()["embedding"]
+    ]
+    return opq.opq_topk(emb, qvec, k=C.K_VEC)
+
+
+def q_opq_topk_rerank(spark, sf_dir):
+    """OPQ serving architecture: rotated-space ADC shortlist, exact L2
+    rerank against the ORIGINAL vectors (orthonormal R preserves L2,
+    so no back-rotation is needed)."""
+    emb = _emb(spark, sf_dir)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == C.QUERY_VEC).first()["embedding"]
+    ]
+    return opq.opq_topk_rerank(emb, qvec, k=C.K_VEC, shortlist=C.PQ_SHORTLIST)
+
+
 def q_sq_codes(spark, sf_dir):
     """SQ8 encoding: per-dim [min,max] trained in one shuffle-free agg
     pass, then every embedding compressed to dim byte codes — the
@@ -2203,6 +2238,9 @@ REGISTRY = {
     "pq_codes": q_pq_codes,
     "pq_topk": q_pq_topk,
     "pq_topk_rerank": q_pq_topk_rerank,
+    "opq_codes": q_opq_codes,
+    "opq_topk": q_opq_topk,
+    "opq_topk_rerank": q_opq_topk_rerank,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "gopher_rules": q_gopher_rules,
     "events_asof": q_events_asof,

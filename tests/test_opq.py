@@ -1,0 +1,152 @@
+"""Optimized Product Quantization (Ge et al.): training invariants,
+parity of the Spark encoder with the numpy trainer, the rotation-
+invariance of the exact rerank, and the plan shape (rotation
+materialized once, TakeOrderedAndProject tail)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from finding_similar_high_dimensional_items_for_big_data_sets_spark import contract as C
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import ann, opq
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def sample():
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(np.asarray(t["vec_id"]), kind="stable")
+    ids = np.asarray(t["vec_id"])[order]
+    X = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    return ids, X
+
+
+@pytest.fixture(scope="module")
+def artifact():
+    return opq.opq_train_offline()
+
+
+def test_rotation_is_orthonormal(artifact):
+    r_cols, _ = artifact
+    R = np.asarray(r_cols).T
+    assert np.allclose(R.T @ R, np.eye(R.shape[0]), atol=1e-10)
+
+
+def test_training_is_deterministic(sample):
+    _, X = sample
+    a = opq.opq_train(X, iters=2, kmeans_iters=3)
+    b = opq.opq_train(X, iters=2, kmeans_iters=3)
+    assert a == b
+
+
+def test_opq_objective_beats_plain_pq(sample, artifact):
+    """The whole point of the rotation: quantization MSE must improve
+    on trained PQ (identity rotation, same k-means budget) and crush
+    the seeded random codebooks the plain-PQ contract queries use."""
+    _, X = sample
+    r_cols, books = artifact
+    ident = np.eye(X.shape[1]).tolist()
+    pq_books = [
+        opq._kmeans(
+            X[:, s * 8:(s + 1) * 8], C.PQ_CODES, C.OPQ_KMEANS_ITERS,
+            np.random.RandomState(C.OPQ_SEED + 1000 * C.OPQ_ITERS + s),
+        ).tolist()
+        for s in range(C.PQ_M)
+    ]
+    seeded = ann.random_codebooks(C.EMB_DIM, C.PQ_M, C.PQ_CODES, C.PQ_SEED)
+    mse_opq = opq.quantization_mse(X, r_cols, books)
+    mse_pq = opq.quantization_mse(X, ident, pq_books)
+    mse_seeded = opq.quantization_mse(X, ident, seeded)
+    assert mse_opq < mse_pq < mse_seeded
+    # the gain is real, not float noise (measured ~14% on the fixture)
+    assert mse_opq < 0.95 * mse_pq
+
+
+def test_adc_recall_beats_seeded_pq(sample, artifact):
+    """ADC-only recall@k vs exact L2 truth, numpy end-to-end: the
+    trained rotated codec must beat the seeded random codebooks by a
+    wide margin on the fixture corpus."""
+    ids, X = sample
+    r_cols, books = artifact
+    R = np.asarray(r_cols).T
+    Xr = X @ R
+    nb = [np.asarray(b) for b in books]
+    codes = opq._encode_np(Xr, nb)
+    seeded = [np.asarray(b) for b in ann.random_codebooks(C.EMB_DIM, C.PQ_M, C.PQ_CODES, C.PQ_SEED)]
+    codes_pq = opq._encode_np(X, seeded)
+
+    def adc_topk(q, cb, cd, k):
+        dsub = cb[0].shape[1]
+        lut = np.stack([((b - q[s * dsub:(s + 1) * dsub][None, :]) ** 2).sum(1)
+                        for s, b in enumerate(cb)])
+        d = lut[np.arange(len(cb))[None, :], cd].sum(1)
+        return set(ids[np.lexsort((ids, d))[:k]])
+
+    k = C.K_VEC
+    hits_opq = hits_pq = 0
+    for qi in range(20):
+        q = X[qi]
+        truth = set(ids[np.lexsort((ids, ((X - q) ** 2).sum(1)))[:k]])
+        hits_opq += len(adc_topk(q @ R, nb, codes, k) & truth)
+        hits_pq += len(adc_topk(q, seeded, codes_pq, k) & truth)
+    recall_opq, recall_pq = hits_opq / (20 * k), hits_pq / (20 * k)
+    assert recall_opq > recall_pq + 0.2, (recall_opq, recall_pq)
+
+
+def test_spark_encode_matches_numpy(spark, sample, artifact):
+    """The JVM fold encoder and the float64 numpy encoder agree on the
+    codes (both argmin the same distances; fold-order float drift can
+    flip only exact near-ties, which the fixture doesn't produce)."""
+    ids, X = sample
+    r_cols, books = artifact
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = {
+        r["vec_id"]: r["codes"]
+        for r in opq.opq_encode(emb, r_cols, books).collect()
+    }
+    R = np.asarray(r_cols).T
+    want = opq._encode_np(X @ R, [np.asarray(b) for b in books])
+    agree = sum(got[int(i)] == list(map(int, w)) for i, w in zip(ids, want))
+    assert agree == len(ids)
+
+
+def test_rerank_is_exact_l2(spark, sample):
+    """Rotation preserves L2: the reranked top-k must equal the brute-
+    force exact top-k whenever the shortlist covers it (shortlist =
+    corpus here, so equality is unconditional)."""
+    ids, X = sample
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(v) for v in X[int(np.where(ids == C.QUERY_VEC)[0][0])]]
+    got = opq.opq_topk_rerank(emb, q, k=5, shortlist=len(ids)).collect()
+    d = np.sqrt(((X - np.asarray(q)) ** 2).sum(1))
+    want = ids[np.lexsort((ids, np.round(d, 6)))[:5]]
+    assert [r["vec_id"] for r in got] == [int(v) for v in want]
+    for r, wi in zip(got, want):
+        exact = float(np.sqrt(((X[ids == wi][0] - np.asarray(q)) ** 2).sum()))
+        assert abs(r["dist"] - exact) < 1e-5
+
+
+def test_plan_materializes_rotation_once_and_takeordered_tail(spark, artifact):
+    """Plan-shape guards: (a) the 64x64 rotation array appears in ONE
+    projection, not inlined into each of the m x n_codes argmin
+    distances (Catalyst copies, not CSEs, per reference); (b) the
+    ADC top-k tail is a TakeOrderedAndProject with the rank window
+    above it, same as the audited pq_topk/bm25_topk shape."""
+    r_cols, books = artifact
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    enc = opq.opq_encode(emb, r_cols, books)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    # the rotation's literal leading column value appears exactly once
+    marker = repr(float(r_cols[0][0]))[:12]
+    assert plan.count(marker) == 1, plan.count(marker)
+    q = [0.0] * C.EMB_DIM
+    df = opq.opq_topk(emb, q, k=5, r_cols=r_cols, codebooks=books)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+    below = plan[plan.index("TakeOrderedAndProject"):]
+    assert "Exchange SinglePartition" not in below
