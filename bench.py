@@ -36,6 +36,7 @@ from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators im
     lsh,
     metrics,
     minhash,
+    opq,
 )
 from finding_similar_high_dimensional_items_for_big_data_sets_spark.plans import queries as Q  # noqa: E402
 from finding_similar_high_dimensional_items_for_big_data_sets_spark.session import get_spark  # noqa: E402
@@ -400,6 +401,34 @@ def main():
     pq_codes_tr.unpersist()
     pq_codes.unpersist()
     quality["ivf_trained_recall_at_k"] = recall(ivf_tr)
+
+    # OPQ (Ge et al.): the rotation-trained codec, shipped as an
+    # offline artifact (trained once on the fixed sf0.001 sample and
+    # applied corpus-wide, like a production codec). The honest
+    # comparison row is pq_trained_recall_at_k — same k-means budget,
+    # no rotation; pq_recall_at_k (seeded books) is the floor.
+    t, (opq_r, opq_books) = timed(lambda: opq.opq_train_offline(), reps=1)
+    timings["opq_train_offline"] = t
+    t, _ = timed(lambda: opq.opq_encode(emb, opq_r, opq_books).count(), reps=1)
+    timings["opq_encode"] = t
+    opq_codes = opq.opq_encode(emb, opq_r, opq_books).cache()
+    opq_codes.count()
+    t, opq_rows = timed(
+        lambda: opq.opq_topk(
+            emb, qvec, k=K, r_cols=opq_r, codebooks=opq_books, codes=opq_codes
+        ).collect()
+    )
+    timings["opq_point_store"] = t
+    quality["opq_recall_at_k"] = recall(opq_rows)
+    t, opq_rr = timed(
+        lambda: opq.opq_topk_rerank(
+            emb, qvec, k=K, shortlist=short,
+            r_cols=opq_r, codebooks=opq_books, codes=opq_codes,
+        ).collect()
+    )
+    timings["opq_rerank_point"] = t
+    quality["opq_rerank_recall_at_k"] = recall(opq_rr)
+    opq_codes.unpersist()
 
     # SQ8 scalar quantization: the per-dim byte codec — unlike PQ its
     # reconstruction error is per-dim rounding, so ADC stays accurate
@@ -1371,6 +1400,7 @@ def main():
         "ivf_budget_scan_fraction", "ivfpq_recall_at_k",
         "ivfpq_rerank_recall_at_k", "ivfpq_scan_fraction",
         "sq_recall_at_k", "sq_rerank_recall_at_k", "pq_rerank_recall_at_k",
+        "pq_trained_recall_at_k", "opq_recall_at_k", "opq_rerank_recall_at_k",
         "bm25_recall_at_k", "bm25_mrr", "hybrid_recall_at_k", "hybrid_mrr",
     )
     compact = {

@@ -239,6 +239,39 @@ def opq_topk_rerank(
     )
 
 
+def opq_topk_store(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    embeddings: DataFrame | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OPQ search against a persisted :func:`..sources.tables.
+    write_opq_index` store: codes, rotation, and codebooks all come
+    from the sidecar, so the rotated query and LUT always match the
+    codes. Plain ADC top-k by default; pass ``shortlist`` +
+    ``embeddings`` for the shortlist-then-exact-rerank serving path
+    (rerank in the ORIGINAL space — same contract as
+    :func:`ann.pq_topk_store`)."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        read_opq_index,
+    )
+
+    codes, r_cols, books = read_opq_index(spark, path)
+    if shortlist is None:
+        return opq_topk(None, query, k=k, r_cols=r_cols, codebooks=books,
+                        id_col=id_col, codes=codes)
+    if embeddings is None:
+        raise ValueError("shortlist rerank needs the embeddings DataFrame")
+    return opq_topk_rerank(
+        embeddings, query, k=k, shortlist=shortlist, r_cols=r_cols,
+        codebooks=books, id_col=id_col, vec_col=vec_col, codes=codes,
+    )
+
+
 def quantization_mse(X: np.ndarray, r_cols: list[list[float]],
                      books: list[list[list[float]]]) -> float:
     """Mean squared reconstruction error ||XR - Q(XR)||^2 / n — the

@@ -976,6 +976,71 @@ def append_pq_index(
         path
     )
 
+def _opq_meta(
+    r_cols: list[list[float]], codebooks: list[list[list[float]]]
+) -> dict:
+    return {
+        "kind": "opq",
+        "rotation_cols": [[float(x) for x in col] for col in r_cols],
+        "codebooks": [
+            [[float(x) for x in code] for code in book] for book in codebooks
+        ],
+    }
+
+
+def write_opq_index(
+    embeddings: DataFrame,
+    path: str,
+    r_cols: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """OPQ store: rotated-space codes plus BOTH halves of the quantizer
+    (rotation columns + codebooks) in the sidecar — a code is only
+    meaningful under the rotation that produced it, so they ship as one
+    artifact. Same shape and guarantees as :func:`write_pq_index`."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.opq import (
+        opq_encode,
+    )
+
+    opq_encode(embeddings, r_cols, codebooks, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(path)
+    _write_store_meta(path, _opq_meta(r_cols, codebooks))
+
+
+def read_opq_index(spark, path: str):
+    """(codes DataFrame, rotation_cols, codebooks) from a
+    :func:`write_opq_index` store; raises on a non-OPQ store."""
+    meta = read_store_meta(path)
+    if meta.get("kind") != "opq":
+        raise ValueError(f"{path} is not an OPQ store (kind={meta.get('kind')!r})")
+    return spark.read.parquet(path), meta["rotation_cols"], meta["codebooks"]
+
+
+def append_opq_index(
+    embeddings: DataFrame,
+    path: str,
+    r_cols: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental OPQ-store maintenance: rotate + encode ONLY the new
+    vectors with the store's artifact and append. Rejects a mismatched
+    rotation OR codebooks — codes from either are incomparable under
+    one ADC table (same contract as :func:`append_pq_index`)."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.opq import (
+        opq_encode,
+    )
+
+    _check_store_meta(path, _opq_meta(r_cols, codebooks))
+    opq_encode(embeddings, r_cols, codebooks, id_col, vec_col).write.mode(
+        "append"
+    ).parquet(path)
+
+
 def _ivfpq_meta(
     centroids, codebooks: list[list[list[float]]]
 ) -> dict:

@@ -130,6 +130,43 @@ def test_rerank_is_exact_l2(spark, sample):
         assert abs(r["dist"] - exact) < 1e-5
 
 
+def test_store_roundtrip_append_and_guards(spark, sample, artifact, tmp_path):
+    """Store lifecycle at parity with the PQ store: from-store answers
+    identical to in-memory, incremental append encodes only the new
+    vectors, and a mismatched rotation or wrong store kind refuses to
+    score garbage."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources import tables as T
+
+    ids, X = sample
+    r_cols, books = artifact
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    old, new = emb.filter("vec_id < 400"), emb.filter("vec_id >= 400")
+    path = str(tmp_path / "opq_store")
+    T.write_opq_index(old, path, r_cols, books)
+    q = [float(v) for v in X[int(np.where(ids == C.QUERY_VEC)[0][0])]]
+    got = opq.opq_topk_store(spark, path, q, k=5).collect()
+    want = opq.opq_topk(old, q, k=5, r_cols=r_cols, codebooks=books).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    T.append_opq_index(new, path, r_cols, books)
+    got = opq.opq_topk_store(spark, path, q, k=5, shortlist=20, embeddings=emb).collect()
+    want = opq.opq_topk_rerank(
+        emb, q, k=5, shortlist=20, r_cols=r_cols, codebooks=books
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    bad_r = [list(col) for col in r_cols]
+    bad_r[0] = list(bad_r[0][1:]) + [bad_r[0][0]]
+    with pytest.raises(ValueError):
+        T.append_opq_index(new, path, bad_r, books)
+    with pytest.raises(ValueError):
+        T.read_pq_index(spark, path)
+    pq_path = str(tmp_path / "pq_store")
+    T.write_pq_index(old, pq_path, books)
+    with pytest.raises(ValueError):
+        T.read_opq_index(spark, pq_path)
+
+
 def test_plan_materializes_rotation_once_and_takeordered_tail(spark, artifact):
     """Plan-shape guards: (a) the 64x64 rotation array appears in ONE
     projection, not inlined into each of the m x n_codes argmin
