@@ -239,6 +239,114 @@ def opq_topk_rerank(
     )
 
 
+def ivfopq_encode(
+    embeddings: DataFrame,
+    r_cols: list[list[float]],
+    centroids,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-OPQ index artifact — the full FAISS ``OPQ,IVF,PQ`` factory
+    string: rotate (materialized once), assign the ROTATED vector to
+    its coarse cell, PQ-encode the rotated-space residual. Row-local
+    and shuffle-free like :func:`ann.ivfpq_encode`; at scale the output
+    persists partitioned by cell."""
+    rotated = embeddings.select(
+        id_col, rotate_expr(F.col(vec_col), r_cols).alias("_rvec")
+    )
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        ivfpq_encode,
+    )
+
+    return ivfpq_encode(rotated, centroids, codebooks, id_col, vec_col="_rvec")
+
+
+def ivfopq_topk(
+    embeddings: DataFrame | None,
+    query: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = C.PQ_M,
+    n_codes: int = C.PQ_CODES,
+    cell_seed: int = 43,
+    code_seed: int = C.PQ_SEED,
+    r_cols: list[list[float]] | None = None,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-OPQ ADC search: rotate the query driver-side (identical
+    fold), then the plain IVF-PQ probe + residual-LUT scan runs
+    entirely in the rotated space — cell probing, residual encoding,
+    and ADC all see rotated coordinates, so :func:`ann.ivfpq_topk`'s
+    machinery applies unchanged (L2 is preserved by the orthonormal
+    R, so the probed cells cover the same metric balls).
+
+    Output: (vec_id, dist, rank) — ADC approximation of TRUE L2."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        ivfpq_topk,
+        random_centroids,
+        random_codebooks,
+    )
+
+    if r_cols is None:
+        r_cols, _ = opq_train_offline()
+    if centroids is None:
+        centroids = random_centroids(len(query), n_cells, cell_seed)
+    if codebooks is None:
+        codebooks = random_codebooks(len(query), m, n_codes, code_seed)
+    rq = rotate_py(query, r_cols)
+    if codes is None:
+        if embeddings is None:
+            raise ValueError("need embeddings to encode, or a prebuilt codes table")
+        codes = ivfopq_encode(embeddings, r_cols, centroids, codebooks,
+                              id_col, vec_col)
+    return ivfpq_topk(
+        None, rq, k=k, n_probe=n_probe, id_col=id_col,
+        centroids=centroids, codebooks=codebooks, codes=codes,
+    )
+
+
+def ivfopq_topk_rerank(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    shortlist: int = C.PQ_SHORTLIST,
+    n_probe: int = 4,
+    r_cols: list[list[float]] | None = None,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-OPQ serving architecture: rotated-space probe + ADC
+    shortlist, exact L2 rerank in the ORIGINAL space.
+
+    Output: (vec_id, dist, rank) — dist is the EXACT L2, rounded 6."""
+    cand = ivfopq_topk(
+        embeddings, query, k=shortlist, n_probe=n_probe, r_cols=r_cols,
+        centroids=centroids, codebooks=codebooks, id_col=id_col,
+        vec_col=vec_col, codes=codes,
+    ).select(id_col)
+    qlit = F.array(*[F.lit(float(v)) for v in query])
+    scored = embeddings.join(cand, id_col, "left_semi").select(
+        id_col, F.round(l2_distance(F.col(vec_col), qlit), 6).alias("dist")
+    )
+    w = Window.partitionBy(F.pmod(F.col(id_col), F.lit(1))).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
 def opq_topk_store(
     spark,
     path: str,

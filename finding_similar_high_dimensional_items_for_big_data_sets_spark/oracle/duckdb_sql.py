@@ -2313,6 +2313,74 @@ FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
 """
 
 
+def _ivfopq_prefix() -> str:
+    """The two rotated CTEs the IVF-OPQ oracles prepend: the corpus
+    rotated once per row (named ``remb`` with the vector still called
+    ``embedding`` so _ivfpq_res_codes_ctes('remb') applies unchanged)
+    and the rotated query row (named ``q.qv`` so the probe-distance
+    and residual-LUT expressions apply unchanged)."""
+    return f"""remb AS MATERIALIZED (
+  SELECT vec_id, {_opq_rvec_expr('embedding')} AS embedding FROM embeddings),
+q AS MATERIALIZED (
+  SELECT {_opq_rvec_expr('embedding')} AS qv FROM embeddings WHERE vec_id = {C.QUERY_VEC})"""
+
+
+def sql_ivfopq_codes() -> str:
+    """Mirrors opq.ivfopq_encode: the seeded IVF-PQ residual encode,
+    run on the ROTATED corpus."""
+    return (
+        f"WITH {_ivfopq_prefix()},\n{_ivfpq_res_codes_ctes('remb').lstrip()}\n"
+        "SELECT vec_id, cell, codes FROM c"
+    )
+
+
+def sql_ivfopq_topk() -> str:
+    """Mirrors opq.ivfopq_topk: identical probe + residual-ADC
+    expressions as sql_ivfpq_topk, with both the corpus and the query
+    rotated first (the same folds the engine runs JVM-side and
+    driver-side)."""
+    cents, _ = _ivfpq_quantizers()
+    qdists = "[" + ", ".join(_sq_l2_lit("q.qv", c) for c in cents) + "]"
+    return f"""
+WITH {_ivfopq_prefix()},
+{_ivfpq_res_codes_ctes('remb').lstrip()},
+probe AS (
+  SELECT CAST(u.c AS INT) AS cell
+  FROM q, (SELECT unnest(range({C.IVF_CELLS})) AS c) u
+  ORDER BY ({qdists})[u.c + 1], u.c LIMIT {C.IVF_PROBE}),
+scored AS (
+  SELECT c.vec_id, round(sqrt({_ivfpq_adc_expr()}), 6) AS dist
+  FROM c, q WHERE c.cell IN (SELECT cell FROM probe))
+SELECT vec_id, dist, CAST(row_number() OVER (ORDER BY dist ASC, vec_id) AS INT) AS rank
+FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
+"""
+
+
+def sql_ivfopq_topk_rerank() -> str:
+    """Mirrors opq.ivfopq_topk_rerank: rotated-space ADC shortlist
+    (same expressions as sql_ivfopq_topk, LIMIT PQ_SHORTLIST), exact
+    L2 rerank in the ORIGINAL space."""
+    cents, _ = _ivfpq_quantizers()
+    qdists = "[" + ", ".join(_sq_l2_lit("q.qv", c) for c in cents) + "]"
+    return f"""
+WITH q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {C.QUERY_VEC}),
+{_ivfopq_prefix()},
+{_ivfpq_res_codes_ctes('remb').lstrip()},
+probe AS (
+  SELECT CAST(u.c AS INT) AS cell
+  FROM q, (SELECT unnest(range({C.IVF_CELLS})) AS c) u
+  ORDER BY ({qdists})[u.c + 1], u.c LIMIT {C.IVF_PROBE}),
+short AS (
+  SELECT c.vec_id FROM c, q WHERE c.cell IN (SELECT cell FROM probe)
+  ORDER BY round(sqrt({_ivfpq_adc_expr()}), 6) ASC, c.vec_id LIMIT {C.PQ_SHORTLIST}),
+scored AS (
+  SELECT e.vec_id, round({_l2('e.embedding', 'q0.qv', C.EMB_DIM)}, 6) AS dist
+  FROM embeddings e, q0 WHERE e.vec_id IN (SELECT vec_id FROM short))
+SELECT vec_id, dist, CAST(row_number() OVER (ORDER BY dist ASC, vec_id) AS INT) AS rank
+FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
+"""
+
+
 def sql_ivfpq_topk_rerank() -> str:
     """Mirrors ann.ivfpq_topk_rerank: the ADC shortlist (same shared
     expressions, LIMIT SQ_SHORTLIST) semi-joins the full vectors for
@@ -3242,6 +3310,13 @@ def registry() -> dict[str, str]:
         "opq_codes": sql_opq_codes(),
         "opq_topk": sql_opq_topk(),
         "opq_topk_rerank": sql_opq_topk_rerank(),
+        # the store twin is answer-identical to opq_topk by
+        # construction (same artifact, prebuilt codes), so it shares
+        # the oracle — the bm25_topk_store pattern
+        "opq_topk_store": sql_opq_topk(),
+        "ivfopq_codes": sql_ivfopq_codes(),
+        "ivfopq_topk": sql_ivfopq_topk(),
+        "ivfopq_topk_rerank": sql_ivfopq_topk_rerank(),
         "cms_heavy_hitters": sql_cms_heavy_hitters(),
         "gopher_rules": sql_gopher_rules(),
         "events_asof": sql_events_asof(),

@@ -1369,6 +1369,77 @@ def q_opq_topk_rerank(spark, sf_dir):
     return opq.opq_topk_rerank(emb, qvec, k=C.K_VEC, shortlist=C.PQ_SHORTLIST)
 
 
+def q_ivfopq_codes(spark, sf_dir):
+    """IVF-OPQ index artifact — the full FAISS ``OPQ,IVF,PQ`` factory
+    string: offline-trained rotation (materialized once per row), then
+    the seeded coarse-cell assignment + residual PQ encode, all in the
+    rotated space. Row-local, shuffle-free; persists partitioned by
+    cell at scale."""
+    r_cols, _ = opq.opq_train_offline()
+    cents = ann.random_centroids(C.EMB_DIM, C.IVF_CELLS, C.IVF_SEED)
+    books = ann.random_codebooks(C.EMB_DIM, C.PQ_M, C.PQ_CODES, C.PQ_SEED)
+    return opq.ivfopq_encode(_emb(spark, sf_dir), r_cols, cents, books)
+
+
+def q_ivfopq_topk(spark, sf_dir):
+    """IVF-OPQ ADC search: the query rotated driver-side with the
+    identical fold, then the plain probe + residual-LUT scan in the
+    rotated space (orthonormal R preserves L2, so the probed cells
+    cover the same metric balls)."""
+    emb = _emb(spark, sf_dir)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == C.QUERY_VEC).first()["embedding"]
+    ]
+    return opq.ivfopq_topk(
+        emb, qvec, k=C.K_VEC,
+        n_cells=C.IVF_CELLS, n_probe=C.IVF_PROBE,
+        m=C.PQ_M, n_codes=C.PQ_CODES,
+        cell_seed=C.IVF_SEED, code_seed=C.PQ_SEED,
+    )
+
+
+def q_ivfopq_topk_rerank(spark, sf_dir):
+    """IVF-OPQ with exact rerank: rotated-space ADC shortlist from the
+    probed cells, true L2 in the ORIGINAL space over the fetched
+    shortlist vectors."""
+    emb = _emb(spark, sf_dir)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == C.QUERY_VEC).first()["embedding"]
+    ]
+    cents = ann.random_centroids(C.EMB_DIM, C.IVF_CELLS, C.IVF_SEED)
+    books = ann.random_codebooks(C.EMB_DIM, C.PQ_M, C.PQ_CODES, C.PQ_SEED)
+    return opq.ivfopq_topk_rerank(
+        emb, qvec, k=C.K_VEC, shortlist=C.PQ_SHORTLIST, n_probe=C.IVF_PROBE,
+        centroids=cents, codebooks=books,
+    )
+
+
+def q_opq_topk_store(spark, sf_dir):
+    """OPQ ADC search answered from the PERSISTED codes store (codes +
+    rotation + codebooks in the sidecar): answer-identical to opq_topk
+    over the source table, so the oracle is the same SQL — the store
+    twin proves the artifact round-trip inside the driver gate, the
+    pattern bm25_topk_store set for the lexical index."""
+    import os as _os
+
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources import tables as T
+
+    store = _os.path.join(
+        "/tmp",
+        "fshdi_opq_store_" + _os.path.basename(sf_dir.rstrip("/")),
+    )
+    emb = _emb(spark, sf_dir)
+    r_cols, books = opq.opq_train_offline()
+    T.write_opq_index(emb, store, r_cols, books)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == C.QUERY_VEC).first()["embedding"]
+    ]
+    return opq.opq_topk_store(spark, store, qvec, k=C.K_VEC)
+
+
 def q_sq_codes(spark, sf_dir):
     """SQ8 encoding: per-dim [min,max] trained in one shuffle-free agg
     pass, then every embedding compressed to dim byte codes — the
@@ -2241,6 +2312,10 @@ REGISTRY = {
     "opq_codes": q_opq_codes,
     "opq_topk": q_opq_topk,
     "opq_topk_rerank": q_opq_topk_rerank,
+    "opq_topk_store": q_opq_topk_store,
+    "ivfopq_codes": q_ivfopq_codes,
+    "ivfopq_topk": q_ivfopq_topk,
+    "ivfopq_topk_rerank": q_ivfopq_topk_rerank,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "gopher_rules": q_gopher_rules,
     "events_asof": q_events_asof,

@@ -130,6 +130,46 @@ def test_rerank_is_exact_l2(spark, sample):
         assert abs(r["dist"] - exact) < 1e-5
 
 
+def test_ivfopq_rerank_full_coverage_is_exact(spark, sample, artifact):
+    """Composition sanity for the FAISS OPQ,IVF,PQ pipeline: probing
+    ALL cells with a corpus-sized shortlist must reduce to the exact
+    brute-force top-k — the rotation and the coarse quantizer can only
+    re-order the APPROXIMATE stage, never the exact rerank."""
+    ids, X = sample
+    r_cols, _ = artifact
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(v) for v in X[int(np.where(ids == C.QUERY_VEC)[0][0])]]
+    got = opq.ivfopq_topk_rerank(
+        emb, q, k=5, shortlist=len(ids), n_probe=16, r_cols=r_cols
+    ).collect()
+    d = np.sqrt(((X - np.asarray(q)) ** 2).sum(1))
+    want = ids[np.lexsort((ids, np.round(d, 6)))[:5]]
+    assert [r["vec_id"] for r in got] == [int(v) for v in want]
+
+
+def test_ivfopq_codes_match_numpy_recompute(spark, sample, artifact):
+    """Cell assignment and residual codes recomputed in float64 numpy
+    on the rotated corpus must agree with the JVM fold encoder."""
+    ids, X = sample
+    r_cols, _ = artifact
+    cents = np.asarray(ann.random_centroids(C.EMB_DIM, 16, 43))
+    books = [np.asarray(b) for b in
+             ann.random_codebooks(C.EMB_DIM, C.PQ_M, C.PQ_CODES, C.PQ_SEED)]
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = {
+        r["vec_id"]: (r["cell"], r["codes"])
+        for r in opq.ivfopq_encode(
+            emb, r_cols, cents.tolist(), [b.tolist() for b in books]
+        ).collect()
+    }
+    Xr = X @ np.asarray(r_cols).T
+    cell = ((Xr[:, None, :] - cents[None]) ** 2).sum(2).argmin(1)
+    res = Xr - cents[cell]
+    codes = opq._encode_np(res, books)
+    for i, vid in enumerate(ids):
+        assert got[int(vid)] == (int(cell[i]), [int(c) for c in codes[i]])
+
+
 def test_store_roundtrip_append_and_guards(spark, sample, artifact, tmp_path):
     """Store lifecycle at parity with the PQ store: from-store answers
     identical to in-memory, incremental append encodes only the new
