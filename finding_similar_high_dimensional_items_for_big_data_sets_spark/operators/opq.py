@@ -41,7 +41,6 @@ from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.ar
     l2_distance,
 )
 from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
-    _dot_lit,
     pq_code_expr,
     pq_topk,
 )
@@ -140,10 +139,23 @@ def opq_train_offline(
 
 
 def rotate_expr(vec: Column, r_cols: list[list[float]]) -> Column:
-    """X @ R as a column expression: one :func:`ann._dot_lit`
-    sequential fold per output dimension (0.0-seeded left fold, the
-    exact arithmetic the DuckDB oracle mirrors)."""
-    return F.array(*[_dot_lit(vec, col) for col in r_cols])
+    """X @ R as a column expression: ONE transform lambda over the
+    2-D rotation literal, each element the same 0.0-seeded
+    zip_with-multiply left fold as :func:`ann._dot_lit` — bit-identical
+    to dim unrolled folds (asserted equal over the corpus before the
+    swap) but compiled once, so codegen and task-binary size stay flat
+    as dim grows."""
+    rlit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in col]) for col in r_cols]
+    )
+    return F.transform(
+        rlit,
+        lambda col: F.aggregate(
+            F.zip_with(vec, col, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
 
 
 def rotate_py(vec: list[float], r_cols: list[list[float]]) -> list[float]:
