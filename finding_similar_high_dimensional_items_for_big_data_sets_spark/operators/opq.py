@@ -359,6 +359,67 @@ def ivfopq_topk_rerank(
     )
 
 
+def ivfopq_topk_batch(
+    embeddings: DataFrame | None,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = C.PQ_M,
+    n_codes: int = C.PQ_CODES,
+    cell_seed: int = 43,
+    code_seed: int = C.PQ_SEED,
+    r_cols: list[list[float]] | None = None,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Batch IVF-OPQ ADC: every query vector rotated driver-side with
+    the :func:`rotate_py` fold (the batch kernel collects queries to
+    the driver anyway, so rotation adds no extra job), then one
+    :func:`ann.ivfpq_topk_batch` probe job over the rotated codes —
+    answer-identical per query to :func:`ivfopq_topk`.
+
+    Output: (query_id, vec_id, dist, rank<=k) per query."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+        ivfpq_topk_batch,
+        random_centroids,
+        random_codebooks,
+    )
+
+    if r_cols is None:
+        r_cols, _ = opq_train_offline()
+    spark = queries.sparkSession
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    dim = len(qrows[0][query_vec_col]) if qrows else len(r_cols)
+    if centroids is None:
+        centroids = random_centroids(dim, n_cells, cell_seed)
+    if codebooks is None:
+        codebooks = random_codebooks(dim, m, n_codes, code_seed)
+    rq = spark.createDataFrame(
+        [
+            (int(r[query_id_col]),
+             rotate_py([float(v) for v in r[query_vec_col]], r_cols))
+            for r in qrows
+        ],
+        f"{query_id_col} long, {query_vec_col} array<double>",
+    )
+    if codes is None:
+        if embeddings is None:
+            raise ValueError("need embeddings to encode, or a prebuilt codes table")
+        codes = ivfopq_encode(embeddings, r_cols, centroids, codebooks,
+                              id_col, vec_col)
+    return ivfpq_topk_batch(
+        None, rq, k=k, n_probe=n_probe, id_col=id_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        centroids=centroids, codebooks=codebooks, codes=codes,
+    )
+
+
 def opq_topk_store(
     spark,
     path: str,

@@ -2381,6 +2381,36 @@ FROM scored ORDER BY dist ASC, vec_id LIMIT {C.K_VEC}
 """
 
 
+def sql_ivfopq_topk_batch() -> str:
+    """Mirrors opq.ivfopq_topk_batch: sql_ivfpq_topk_batch's probe +
+    residual-ADC expressions verbatim, with the corpus AND every batch
+    query rotated first (same folds as the engine's JVM/driver
+    rotations)."""
+    cents, _ = _ivfpq_quantizers()
+    qdists = "[" + ", ".join(_sq_l2_lit("q.qv", c) for c in cents) + "]"
+    return f"""
+WITH remb AS MATERIALIZED (
+  SELECT vec_id, {_opq_rvec_expr('embedding')} AS embedding FROM embeddings),
+q AS MATERIALIZED (
+  SELECT vec_id AS query_id, {_opq_rvec_expr('embedding')} AS qv
+  FROM embeddings WHERE vec_id < {C.BATCH_DOCS}),
+{_ivfpq_res_codes_ctes('remb').lstrip()},
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, CAST(u.c AS INT) AS cell,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY ({qdists})[u.c + 1], u.c) AS rn
+    FROM q, (SELECT unnest(range({C.IVF_CELLS})) AS c) u)
+  WHERE rn <= {C.IVF_PROBE}),
+scored AS (
+  SELECT q.query_id, c.vec_id, round(sqrt({_ivfpq_adc_expr()}), 6) AS dist
+  FROM c JOIN probe p ON p.cell = c.cell JOIN q ON q.query_id = p.query_id)
+SELECT query_id, vec_id, dist, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id) AS INT) AS rank
+  FROM scored)
+WHERE rank <= {C.K_BATCH}
+"""
+
+
 def sql_ivfpq_topk_rerank() -> str:
     """Mirrors ann.ivfpq_topk_rerank: the ADC shortlist (same shared
     expressions, LIMIT SQ_SHORTLIST) semi-joins the full vectors for
@@ -3317,6 +3347,7 @@ def registry() -> dict[str, str]:
         "ivfopq_codes": sql_ivfopq_codes(),
         "ivfopq_topk": sql_ivfopq_topk(),
         "ivfopq_topk_rerank": sql_ivfopq_topk_rerank(),
+        "ivfopq_topk_batch": sql_ivfopq_topk_batch(),
         "cms_heavy_hitters": sql_cms_heavy_hitters(),
         "gopher_rules": sql_gopher_rules(),
         "events_asof": sql_events_asof(),

@@ -1416,6 +1416,22 @@ def q_ivfopq_topk_rerank(spark, sf_dir):
     )
 
 
+def q_ivfopq_topk_batch(spark, sf_dir):
+    """Batch IVF-OPQ ADC: the first BATCH_DOCS query vectors rotated
+    driver-side (the batch kernel collects them anyway), then ONE
+    probe job over the rotated codes — answer-identical per query to
+    ivfopq_topk."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < C.BATCH_DOCS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return opq.ivfopq_topk_batch(
+        emb, qs, k=C.K_BATCH, n_probe=C.IVF_PROBE,
+        n_cells=C.IVF_CELLS, m=C.PQ_M, n_codes=C.PQ_CODES,
+        cell_seed=C.IVF_SEED, code_seed=C.PQ_SEED,
+    )
+
+
 def q_opq_topk_store(spark, sf_dir):
     """OPQ ADC search answered from the PERSISTED codes store (codes +
     rotation + codebooks in the sidecar): answer-identical to opq_topk
@@ -2316,6 +2332,7 @@ REGISTRY = {
     "ivfopq_codes": q_ivfopq_codes,
     "ivfopq_topk": q_ivfopq_topk,
     "ivfopq_topk_rerank": q_ivfopq_topk_rerank,
+    "ivfopq_topk_batch": q_ivfopq_topk_batch,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "gopher_rules": q_gopher_rules,
     "events_asof": q_events_asof,

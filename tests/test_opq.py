@@ -170,6 +170,29 @@ def test_ivfopq_codes_match_numpy_recompute(spark, sample, artifact):
         assert got[int(vid)] == (int(cell[i]), [int(c) for c in codes[i]])
 
 
+def test_ivfopq_batch_identical_to_point(spark, sample, artifact):
+    """The one-job batch kernel must answer exactly what the point
+    path answers per query — the same identity the IVF-PQ batch path
+    guarantees, now through the rotation."""
+    ids, X = sample
+    r_cols, _ = artifact
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = opq.ivfopq_topk_batch(emb, qs, k=5, n_probe=4, r_cols=r_cols)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["dist"], r["rank"]))
+    for qid in range(3):
+        q = [float(v) for v in X[int(np.where(ids == qid)[0][0])]]
+        want = [
+            (r["vec_id"], r["dist"], r["rank"])
+            for r in opq.ivfopq_topk(emb, q, k=5, n_probe=4, r_cols=r_cols).collect()
+        ]
+        assert sorted(got[qid]) == sorted(want), qid
+
+
 def test_store_roundtrip_append_and_guards(spark, sample, artifact, tmp_path):
     """Store lifecycle at parity with the PQ store: from-store answers
     identical to in-memory, incremental append encodes only the new
