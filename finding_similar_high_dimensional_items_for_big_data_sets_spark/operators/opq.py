@@ -117,6 +117,26 @@ def opq_train(
 
 
 @lru_cache(maxsize=4)
+def _opq_train_offline_frozen(
+    path: str, m: int, n_codes: int, iters: int, kmeans_iters: int, seed: int
+) -> tuple[tuple, tuple]:
+    """Cached core of :func:`opq_train_offline`. Stores the artifact as
+    nested TUPLES: the cache is shared by the engine query and the
+    DuckDB oracle builder, so a caller mutating a returned list must
+    not be able to corrupt it (it would silently break bit-parity)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    order = np.argsort(np.asarray(t["vec_id"]), kind="stable")
+    X = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    r_cols, books = opq_train(X, m=m, n_codes=n_codes, iters=iters,
+                              kmeans_iters=kmeans_iters, seed=seed)
+    return (
+        tuple(tuple(col) for col in r_cols),
+        tuple(tuple(tuple(c) for c in book) for book in books),
+    )
+
+
 def opq_train_offline(
     path: str = C.OPQ_TRAIN_PATH,
     m: int = C.PQ_M,
@@ -128,14 +148,16 @@ def opq_train_offline(
     """The shipped OPQ artifact: trained once per process on the fixed
     sample parquet (rows sorted by vec_id so file layout can't reorder
     the input), cached so the engine query and the DuckDB oracle
-    builder consume the SAME float literals."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(path, columns=["vec_id", "embedding"])
-    order = np.argsort(np.asarray(t["vec_id"]), kind="stable")
-    X = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[order]
-    return opq_train(X, m=m, n_codes=n_codes, iters=iters,
-                     kmeans_iters=kmeans_iters, seed=seed)
+    builder consume the SAME float literals. Each call returns fresh
+    lists rebuilt from an immutable cached form — mutating a returned
+    value cannot corrupt the shared artifact."""
+    r_cols, books = _opq_train_offline_frozen(
+        path, m, n_codes, iters, kmeans_iters, seed
+    )
+    return (
+        [list(col) for col in r_cols],
+        [[list(c) for c in book] for book in books],
+    )
 
 
 def rotate_expr(vec: Column, r_cols: list[list[float]]) -> Column:
@@ -145,10 +167,11 @@ def rotate_expr(vec: Column, r_cols: list[list[float]]) -> Column:
     to dim unrolled folds (asserted equal over the corpus before the
     swap) but compiled once, so codegen and task-binary size stay flat
     as dim grows."""
+    dim = len(r_cols[0])
     rlit = F.array(
         *[F.array(*[F.lit(float(x)) for x in col]) for col in r_cols]
     )
-    return F.transform(
+    rotated = F.transform(
         rlit,
         lambda col: F.aggregate(
             F.zip_with(vec, col, lambda x, y: x.cast("double") * y),
@@ -156,12 +179,28 @@ def rotate_expr(vec: Column, r_cols: list[list[float]]) -> Column:
             lambda acc, x: acc + x,
         ),
     )
+    # zip_with null-pads a shorter side, so a dim mismatch would yield
+    # silently-null rotated vectors (then null codes/distances); fail
+    # the job instead, with the offending length in the message
+    return F.when(F.size(vec) == dim, rotated).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"OPQ rotation dim mismatch: expected {dim}, got "),
+                F.size(vec).cast("string"),
+            )
+        )
+    )
 
 
 def rotate_py(vec: list[float], r_cols: list[list[float]]) -> list[float]:
     """Driver-side twin of :func:`rotate_expr` for query vectors: the
     identical 0.0-seeded left fold, term by term, so the rotated query
     is bit-equal to what the oracle computes in SQL."""
+    if len(vec) != len(r_cols[0]):
+        raise ValueError(
+            f"OPQ rotation dim mismatch: expected {len(r_cols[0])}, "
+            f"got {len(vec)}"
+        )
     out = []
     for col in r_cols:
         acc = 0.0
@@ -450,6 +489,46 @@ def opq_topk_store(
     return opq_topk_rerank(
         embeddings, query, k=k, shortlist=shortlist, r_cols=r_cols,
         codebooks=books, id_col=id_col, vec_col=vec_col, codes=codes,
+    )
+
+
+def ivfopq_topk_store(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    embeddings: DataFrame | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-OPQ search against a persisted :func:`..sources.tables.
+    write_ivfopq_index` store: rotation, coarse cells, codebooks, and
+    codes all come from the sidecar, so the rotated query and residual
+    LUTs always match the codes, and the probe's ``cell IN (...)``
+    filter prunes cell DIRECTORIES at the source exactly like
+    :func:`ann.ivfpq_topk_store` — a point query reads ~n_probe/n_cells
+    of the store. Plain rotated-space ADC top-k by default; pass
+    ``shortlist`` + ``embeddings`` for the shortlist-then-exact-rerank
+    serving path (rerank in the ORIGINAL space — the orthonormal R
+    preserves L2, so no back-rotation)."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        read_ivfopq_index,
+    )
+
+    codes, r_cols, cents, books = read_ivfopq_index(spark, path)
+    if shortlist is None:
+        return ivfopq_topk(
+            None, query, k=k, n_probe=n_probe, id_col=id_col,
+            r_cols=r_cols, centroids=cents, codebooks=books, codes=codes,
+        )
+    if embeddings is None:
+        raise ValueError("shortlist rerank needs the embeddings DataFrame")
+    return ivfopq_topk_rerank(
+        embeddings, query, k=k, shortlist=shortlist, n_probe=n_probe,
+        r_cols=r_cols, centroids=cents, codebooks=books,
+        id_col=id_col, vec_col=vec_col, codes=codes,
     )
 
 

@@ -399,7 +399,13 @@ class RouterService:
     Failure law: the merge is only exact over a COMPLETE replica cover,
     so any replica error fails the request (502; a replica's own 400
     envelope rejection is passed through) rather than silently serving
-    a partial corpus."""
+    a partial corpus.
+
+    ``timeout`` is the PER-REPLICA socket bound (seconds), applied to
+    every fan-out call and every health ping independently: a hung
+    replica turns into a 502 after ``timeout``, never an indefinitely
+    held router request, and ``GET /health`` pings all replicas in
+    parallel so one hung replica costs one timeout for the sweep."""
 
     TIERS = ("lsh", "vector", "lexical")
 
@@ -469,6 +475,22 @@ class RouterService:
                         "served (merge is only exact over a complete cover)",
                         "replica": url,
                         "detail": body.get("error"),
+                    },
+                ), None
+        # a 200 with a malformed body (no candidate list) is a replica
+        # failure too — 502 like any other incomplete cover, not a
+        # KeyError that drops the connection
+        for url, (_s, body) in zip(urls, results):
+            if not isinstance(body, dict) or not isinstance(
+                body.get("candidates"), list
+            ):
+                return (
+                    502,
+                    {
+                        "error": "replica failed; partial answers are not "
+                        "served (merge is only exact over a complete cover)",
+                        "replica": url,
+                        "detail": "200 response without a candidates list",
                     },
                 ), None
         return None, [body["candidates"] for _s, body in results]
@@ -602,6 +624,7 @@ class RouterService:
     def handle_health(self) -> tuple[int, dict]:
         import urllib.error
         import urllib.request
+        from concurrent.futures import ThreadPoolExecutor
 
         def ping(url):
             try:
@@ -612,7 +635,11 @@ class RouterService:
             except (urllib.error.URLError, OSError):
                 return False
 
-        ok = {u: ping(u) for u in self.replicas + self.vector_replicas}
+        # pinged in PARALLEL: a hung replica costs one timeout for the
+        # whole sweep, not one per replica behind it in the list
+        urls = self.replicas + self.vector_replicas
+        with ThreadPoolExecutor(max_workers=min(16, len(urls))) as ex:
+            ok = dict(zip(urls, ex.map(ping, urls)))
         status = 200 if all(ok.values()) else 503
         return status, {
             "status": "ok" if status == 200 else "degraded",

@@ -88,16 +88,32 @@ def stream_lexical_ingest(
         # conf must be set on the CLONE session foreachBatch hands us —
         # conf set on the outer session never reaches the clone's writes
         s = batch_df.sparkSession
-        from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.text import (
-            tokenize,
-        )
 
         posts = _postings_rows(
             batch_df, n_shards, n_buckets, id_col, text_col
         ).withColumn("ingest_batch", F.lit(int(batch_id)))
         # one tokenize pass feeds all three writes: materialize + cut
-        # lineage so the posting rows aren't recomputed per write
+        # lineage so the posting rows aren't recomputed per write —
+        # doc lengths and term df both derive from the checkpointed
+        # posts below (posting rows carry dl), so tokenize() runs
+        # exactly once per epoch
         posts = posts.localCheckpoint(eager=True)
+        # (doc_id, dl) from the postings themselves; zero-token docs
+        # have no posting rows (explode drops them), so backfill them
+        # with dl=0 from the batch's id column — no second tokenize
+        doc_lengths = (
+            posts.select("doc_id", "dl")
+            .distinct()
+            .unionByName(
+                batch_df.select(F.col(id_col).alias("doc_id"))
+                .join(
+                    posts.select("doc_id").distinct(),
+                    "doc_id",
+                    "left_anti",
+                )
+                .withColumn("dl", F.lit(0).cast("int"))
+            )
+        )
         prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
@@ -107,10 +123,7 @@ def stream_lexical_ingest(
                 .parquet(store_path)
             )
             (
-                batch_df.select(
-                    F.col(id_col).alias("doc_id"),
-                    F.size(tokenize(F.col(text_col))).alias("dl"),
-                )
+                doc_lengths
                 .withColumn("ingest_batch", F.lit(int(batch_id)))
                 .write.mode("overwrite")
                 .partitionBy("ingest_batch")

@@ -229,3 +229,98 @@ def test_router_failure_law_and_guards(spark, corpus):
         serving_http.RouterService("lsh", [])
     with pytest.raises(ValueError, match="only compose"):
         serving_http.RouterService("lsh", ["http://x"], ["http://y"])
+
+
+def test_router_timeout_bounds_hung_replica(spark, corpus):
+    """The per-replica timeout knob: a replica that accepts the
+    connection but never answers must turn into a 502 after ~timeout
+    seconds (and show up dead in /health in the same bound) — the
+    router never holds a request on a hung replica indefinitely."""
+    import socket
+    import time
+
+    docs, _ = corpus
+    sigs = minhash.signatures(docs.limit(50), PARAMS).cache()
+    bands = lsh.bands_table(sigs, PARAMS)
+    idx = ServingIndex.from_dataframes(sigs, bands, PARAMS)
+    server, st = serving_http.start_server(idx)
+
+    # a deliberately-hung "replica": accepts TCP, reads nothing,
+    # writes nothing
+    hung = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    hung.bind(("127.0.0.1", 0))
+    hung.listen(8)
+    hung_url = f"http://127.0.0.1:{hung.getsockname()[1]}"
+
+    router, rt = serving_http.start_router_server(
+        "lsh", [_url(server), hung_url], timeout=0.5
+    )
+    try:
+        qsig = [int(v) for v in sigs.first()["sig"]]
+        t0 = time.monotonic()
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(_url(router), "/query", {"vector": qsig, "k": 5})
+        elapsed = time.monotonic() - t0
+        assert ei.value.code == 502
+        assert json.loads(ei.value.read())["replica"] == hung_url
+        # bounded by the knob (0.5s) + slack, not the 10s default or
+        # an indefinite hold
+        assert elapsed < 5.0
+        # health: pings run in parallel, the hung replica reads false
+        t0 = time.monotonic()
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(_url(router) + "/health")
+        elapsed = time.monotonic() - t0
+        assert ei.value.code == 503
+        h = json.loads(ei.value.read())
+        assert h["replicas"][hung_url] is False
+        assert h["replicas"][_url(server)] is True
+        assert elapsed < 5.0
+    finally:
+        _stop([(router, rt), (server, st)])
+        hung.close()
+
+
+def test_router_rejects_malformed_200_body(spark, corpus):
+    """A replica answering 200 with a body that has no candidates list
+    is an incomplete cover like any other failure: 502, not a dropped
+    connection (round-8 guard in RouterService._gather)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    import threading
+
+    docs, _ = corpus
+    sigs = minhash.signatures(docs.limit(50), PARAMS).cache()
+    bands = lsh.bands_table(sigs, PARAMS)
+    idx = ServingIndex.from_dataframes(sigs, bands, PARAMS)
+    server, st = serving_http.start_server(idx)
+
+    class BadHandler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            data = json.dumps({"status": "ok, but wrong shape"}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, fmt, *args):
+            pass
+
+    bad = ThreadingHTTPServer(("127.0.0.1", 0), BadHandler)
+    bt = threading.Thread(target=bad.serve_forever, daemon=True)
+    bt.start()
+    bad_url = f"http://{bad.server_address[0]}:{bad.server_address[1]}"
+
+    router, rt = serving_http.start_router_server(
+        "lsh", [_url(server), bad_url]
+    )
+    try:
+        qsig = [int(v) for v in sigs.first()["sig"]]
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(_url(router), "/query", {"vector": qsig, "k": 5})
+        assert ei.value.code == 502
+        detail = json.loads(ei.value.read())
+        assert detail["replica"] == bad_url
+        assert "candidates" in detail["detail"]
+    finally:
+        _stop([(router, rt), (server, st), (bad, bt)])
