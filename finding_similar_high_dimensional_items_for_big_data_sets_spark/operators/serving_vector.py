@@ -95,6 +95,12 @@ class ServingVectorIndex:
     codes: np.ndarray  # (N, m) int64, row-aligned with vec_ids
     vectors: np.ndarray | None = None  # (N, dim) float64, for exact rerank
     _leaf_arr: np.ndarray | None = None  # (C, dim) float64 centroid matrix
+    # IVF-OPQ stores only: rotation COLUMNS from the sidecar. The query
+    # is rotated in-process with the same fold as the Spark path
+    # (opq.rotate_py); probe + ADC then run in the rotated space while
+    # exact rerank stays in the ORIGINAL space against the retained
+    # vectors (orthonormal R preserves L2).
+    rotation: list | None = None
 
     @classmethod
     def from_store(
@@ -120,10 +126,17 @@ class ServingVectorIndex:
         gather as ``serving.ServingIndex.from_sharded`` / `merge_topk`,
         with the shard routing in the cell layout)."""
         from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+            read_ivfopq_index,
             read_ivfpq_index,
+            read_store_meta,
         )
 
-        codes_df, cents, books = read_ivfpq_index(spark, path)
+        rotation = None
+        if read_store_meta(path).get("kind") in ("ivfopq", "ivfopq_hkm"):
+            codes_df, rotation, cents, books = read_ivfopq_index(spark, path)
+            rotation = [[float(x) for x in col] for col in rotation]
+        else:
+            codes_df, cents, books = read_ivfpq_index(spark, path)
         if cells is not None:
             from pyspark.sql import functions as F
 
@@ -172,6 +185,7 @@ class ServingVectorIndex:
             codes=code_mat,
             vectors=vectors,
             _leaf_arr=np.asarray(centroids, dtype=np.float64),
+            rotation=rotation,
         )
 
     @property
@@ -249,8 +263,19 @@ class ServingVectorIndex:
             raise ValueError(
                 "alpha probing applies to the ADC path; rerank fixes n_probe"
             )
-        probes = self._probe_set(qv, n_probe, alpha, max_probe)
-        ids, raw = self._adc(qv, probes)
+        # IVF-OPQ store: probe + ADC in the rotated space (the same
+        # rotate_py fold as the Spark store query, so LUT floats are
+        # identical); the exact rerank below stays on the ORIGINAL qv
+        if self.rotation is not None:
+            from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.opq import (
+                rotate_py,
+            )
+
+            adc_qv = rotate_py(qv, self.rotation)
+        else:
+            adc_qv = qv
+        probes = self._probe_set(adc_qv, n_probe, alpha, max_probe)
+        ids, raw = self._adc(adc_qv, probes)
         if ids.shape[0] == 0:
             return []
         if shortlist is None:

@@ -3346,6 +3346,10 @@ def registry() -> dict[str, str]:
         "opq_topk_store": sql_opq_topk(),
         "ivfopq_codes": sql_ivfopq_codes(),
         "ivfopq_topk": sql_ivfopq_topk(),
+        # the store twin is answer-identical to ivfopq_topk by
+        # construction (rotation + coarse quantizer + codebooks all
+        # pinned in the sidecar), so it shares the oracle
+        "ivfopq_topk_store": sql_ivfopq_topk(),
         "ivfopq_topk_rerank": sql_ivfopq_topk_rerank(),
         "ivfopq_topk_batch": sql_ivfopq_topk_batch(),
         "cms_heavy_hitters": sql_cms_heavy_hitters(),

@@ -1456,6 +1456,35 @@ def q_opq_topk_store(spark, sf_dir):
     return opq.opq_topk_store(spark, store, qvec, k=C.K_VEC)
 
 
+def q_ivfopq_topk_store(spark, sf_dir):
+    """IVF-OPQ ADC search answered from the PERSISTED cell-partitioned
+    store (rotation + coarse centroids + codebooks all pinned in the
+    sidecar; probe-time ``cell IN (...)`` prunes cell DIRECTORIES):
+    answer-identical to ivfopq_topk over the source table, so the
+    oracle is the same SQL — the full ``OPQ,IVF,PQ`` artifact
+    round-trip proven inside the driver gate."""
+    import os as _os
+
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources import tables as T
+
+    store = _os.path.join(
+        "/tmp",
+        "fshdi_ivfopq_store_" + _os.path.basename(sf_dir.rstrip("/")),
+    )
+    emb = _emb(spark, sf_dir)
+    r_cols, _ = opq.opq_train_offline()
+    cents = ann.random_centroids(C.EMB_DIM, C.IVF_CELLS, C.IVF_SEED)
+    books = ann.random_codebooks(C.EMB_DIM, C.PQ_M, C.PQ_CODES, C.PQ_SEED)
+    T.write_ivfopq_index(emb, store, r_cols, cents, books)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == C.QUERY_VEC).first()["embedding"]
+    ]
+    return opq.ivfopq_topk_store(
+        spark, store, qvec, k=C.K_VEC, n_probe=C.IVF_PROBE
+    )
+
+
 def q_sq_codes(spark, sf_dir):
     """SQ8 encoding: per-dim [min,max] trained in one shuffle-free agg
     pass, then every embedding compressed to dim byte codes — the
@@ -2331,6 +2360,7 @@ REGISTRY = {
     "opq_topk_store": q_opq_topk_store,
     "ivfopq_codes": q_ivfopq_codes,
     "ivfopq_topk": q_ivfopq_topk,
+    "ivfopq_topk_store": q_ivfopq_topk_store,
     "ivfopq_topk_rerank": q_ivfopq_topk_rerank,
     "ivfopq_topk_batch": q_ivfopq_topk_batch,
     "cms_heavy_hitters": q_cms_heavy_hitters,

@@ -1131,6 +1131,99 @@ def append_ivfpq_index(
     ).partitionBy("cell").parquet(path)
 
 
+def _ivfopq_meta(
+    r_cols: list[list[float]], centroids, codebooks: list[list[list[float]]]
+) -> dict:
+    base = _ivfpq_meta(centroids, codebooks)
+    out = {
+        "kind": "ivfopq_hkm" if base["kind"] == "ivfpq_hkm" else "ivfopq",
+        "rotation_cols": [[float(x) for x in col] for col in r_cols],
+    }
+    out.update({k: v for k, v in base.items() if k != "kind"})
+    return out
+
+
+def write_ivfopq_index(
+    embeddings: DataFrame,
+    path: str,
+    r_cols: list[list[float]],
+    centroids,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IVF-OPQ store — the persisted artifact of the full FAISS
+    ``OPQ,IVF,PQ`` factory string (the codec you'd actually ship at
+    100 TB): rotated-space residual codes written PARTITIONED on the
+    coarse cell, with ALL THREE quantizer halves (rotation columns +
+    coarse centroids/tree + codebooks) pinned in the sidecar — a code
+    is only meaningful under the rotation AND cell set that produced
+    it, so they ship as one artifact. Same layout, probe-time
+    directory pruning, and self-configuration guarantees as
+    :func:`write_ivfpq_index`; reference analog is the prebuilt-index
+    regime (``app/src/index_builder.py:22-36``)."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.opq import (
+        ivfopq_encode,
+    )
+
+    ivfopq_encode(
+        embeddings, r_cols, centroids, codebooks, id_col, vec_col
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    _write_store_meta(path, _ivfopq_meta(r_cols, centroids, codebooks))
+
+
+def read_ivfopq_index(spark, path: str):
+    """(codes DataFrame, rotation_cols, centroids-or-tree, codebooks)
+    from a :func:`write_ivfopq_index` store; raises on any other store
+    kind rather than scoring garbage."""
+    meta = read_store_meta(path)
+    if meta.get("kind") == "ivfopq_hkm":
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+            HKMQuantizer,
+        )
+
+        return (
+            spark.read.parquet(path),
+            meta["rotation_cols"],
+            HKMQuantizer.from_dict(meta["tree"]),
+            meta["codebooks"],
+        )
+    if meta.get("kind") != "ivfopq":
+        raise ValueError(
+            f"{path} is not an IVF-OPQ store (kind={meta.get('kind')!r})"
+        )
+    return (
+        spark.read.parquet(path),
+        meta["rotation_cols"],
+        meta["centroids"],
+        meta["codebooks"],
+    )
+
+
+def append_ivfopq_index(
+    embeddings: DataFrame,
+    path: str,
+    r_cols: list[list[float]],
+    centroids,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF-OPQ maintenance: rotate + encode ONLY the new
+    vectors with the store's artifact and append under their cell
+    directories. Rejects a mismatched rotation, coarse quantizer, OR
+    codebooks — rotated-residual codes from any other triple are
+    incomparable under one LUT."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.opq import (
+        ivfopq_encode,
+    )
+
+    _check_store_meta(path, _ivfopq_meta(r_cols, centroids, codebooks))
+    ivfopq_encode(
+        embeddings, r_cols, centroids, codebooks, id_col, vec_col
+    ).write.mode("append").partitionBy("cell").parquet(path)
+
+
 # ---------------------------------------------------------------------------
 # IVF-PQ store lifecycle: delete + compaction, crash-safe (the cell-store
 # twin of compact_index / delete_from_index / recover_sigs_swap)
@@ -1187,19 +1280,29 @@ def _replace_dir(path: str, tmp: str) -> None:
     shutil.rmtree(old)
 
 
-def _rewrite_ivfpq_swapped(spark: SparkSession, path: str, transform) -> None:
-    """Crash-safe full rewrite of an IVF-PQ codes store:
-    ``transform(current_df, part_cols)`` produces the replacement rows,
-    written to a sibling tmp directory under the SAME partition layout
-    with the quantizer sidecar (and any absorbed-epoch watermark)
-    carried over, then swapped in by directory rename. Shared by
-    :func:`compact_ivfpq_index` and :func:`delete_from_ivfpq_index`."""
+CELL_STORE_KINDS = ("ivfpq", "ivfpq_hkm", "ivfopq", "ivfopq_hkm")
+FLAT_CODES_KINDS = ("pq", "opq")
+
+
+def _rewrite_ivfpq_swapped(
+    spark: SparkSession,
+    path: str,
+    transform,
+    kinds: tuple = CELL_STORE_KINDS,
+) -> None:
+    """Crash-safe full rewrite of a codes store: ``transform(
+    current_df, part_cols)`` produces the replacement rows, written to
+    a sibling tmp directory under the SAME partition layout with the
+    quantizer sidecar (and any absorbed-epoch watermark) carried over,
+    then swapped in by directory rename. Shared by the cell-partitioned
+    (IVF-PQ, IVF-OPQ) and flat (PQ, OPQ) lifecycles — the flat stores
+    simply have no ``cell`` partition column to restate."""
     import shutil
 
     meta = read_store_meta(path)
-    if meta.get("kind") not in ("ivfpq", "ivfpq_hkm"):
+    if meta.get("kind") not in kinds:
         raise ValueError(
-            f"{path} is not an IVF-PQ store (kind={meta.get('kind')!r})"
+            f"{path} is not one of {kinds} (kind={meta.get('kind')!r})"
         )
     codes = spark.read.parquet(path)
     part_cols = [c for c in ("ingest_batch", "cell") if c in codes.columns]
@@ -1317,8 +1420,9 @@ def recover_ivfpq_swap(path: str) -> bool:
 
 
 def validate_ivfpq_store(spark: SparkSession, path: str) -> None:
-    """Consistency check for a persisted IVF-PQ codes store against its
-    own sidecar: every row's cell must be a valid quantizer cell, every
+    """Consistency check for a persisted cell-partitioned codes store
+    (IVF-PQ or IVF-OPQ) against its own sidecar: every row's cell must
+    be a valid quantizer cell, every
     codes array must have exactly m entries all within [0, n_codes),
     and vec_ids must be unique (the invariant appends rely on; a
     duplicate means some append violated the new-ids contract). Raises
@@ -1329,7 +1433,10 @@ def validate_ivfpq_store(spark: SparkSession, path: str) -> None:
         HKMQuantizer,
     )
 
-    codes, cents, books = read_ivfpq_index(spark, path)
+    if read_store_meta(path).get("kind") in ("ivfopq", "ivfopq_hkm"):
+        codes, _r, cents, books = read_ivfopq_index(spark, path)
+    else:
+        codes, cents, books = read_ivfpq_index(spark, path)
     n_cells = (
         cents.n_leaves if isinstance(cents, HKMQuantizer) else len(cents)
     )
@@ -1369,6 +1476,108 @@ def validate_ivfpq_store(spark: SparkSession, path: str) -> None:
             f"duplicate vec_ids {ids} in {path}: an append violated the "
             "new-ids contract — dedup (delete_from_ivfpq_index the "
             "stale copies) before serving"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Flat codes store lifecycle (PQ and OPQ): the same crash-safe
+# sibling-dir-swap compact/delete/recover/validate the cell-partitioned
+# (IVF-PQ/IVF-OPQ) and postings stores get — write/read/append alone left
+# the flat serving artifacts without a retention or small-files story.
+# The flat stores have no partition column; the shared rewrite simply has
+# nothing to restate, and recovery is layout-generic already.
+# ---------------------------------------------------------------------------
+
+
+def compact_pq_index(spark: SparkSession, path: str) -> None:
+    """Compact a flat PQ or OPQ codes store: many appends leave small
+    files; rewrite the store once (coalesced to a bounded file count —
+    codes are m bytes/vector, so even a billion-row store is a handful
+    of parquet files), quantizer sidecar carried over, crash-safe via
+    the sibling-dir + rename swap (:func:`recover_pq_swap` heals a
+    mid-swap death)."""
+
+    def fold(codes: DataFrame, part_cols: list[str]) -> DataFrame:
+        if "ingest_batch" in part_cols:
+            codes = codes.withColumn(
+                "ingest_batch", F.lit(BASE_INGEST_BATCH)
+            )
+        return codes.coalesce(max(1, codes.rdd.getNumPartitions() // 8))
+
+    epochs = _store_epoch_partitions(path)
+    fold.new_watermark = max(epochs) if epochs else None
+    _rewrite_ivfpq_swapped(spark, path, fold, kinds=FLAT_CODES_KINDS)
+
+
+def delete_from_pq_index(
+    spark: SparkSession,
+    delete_ids,
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Targeted deletion from a flat PQ or OPQ codes store — the
+    retention operator completing the create/append/probe/compact
+    lifecycle at parity with :func:`delete_from_ivfpq_index`.
+    ``delete_ids``: a one-column DataFrame or a Python list (broadcast
+    anti-join). Crash-safe swap; re-running converges."""
+    if not isinstance(delete_ids, DataFrame):
+        delete_ids = spark.createDataFrame(
+            [(int(i),) for i in delete_ids], f"{id_col} bigint"
+        )
+    ids = F.broadcast(delete_ids.select(id_col).distinct())
+    _rewrite_ivfpq_swapped(
+        spark,
+        path,
+        lambda cur, _parts: cur.join(ids, id_col, "left_anti"),
+        kinds=FLAT_CODES_KINDS,
+    )
+
+
+def recover_pq_swap(path: str) -> bool:
+    """Startup recovery for a flat PQ/OPQ store rewrite — the swap
+    mechanics are layout-generic, so this is
+    :func:`recover_ivfpq_swap` under the flat store's name."""
+    return recover_ivfpq_swap(path)
+
+
+def validate_pq_store(spark: SparkSession, path: str) -> None:
+    """Consistency check for a flat PQ or OPQ codes store against its
+    own sidecar: every codes array must have exactly m entries all in
+    [0, n_codes), and vec_ids must be unique (the append invariant).
+    One scan of the codes columns, like :func:`validate_ivfpq_store`."""
+    meta = read_store_meta(path)
+    if meta.get("kind") not in FLAT_CODES_KINDS:
+        raise ValueError(
+            f"{path} is not a flat codes store (kind={meta.get('kind')!r})"
+        )
+    books = meta["codebooks"]
+    m, n_codes = len(books), len(books[0])
+    codes = spark.read.parquet(path)
+    bad_codes = (
+        codes.filter(
+            (F.size("codes") != m)
+            | F.exists(
+                "codes", lambda c: (c < F.lit(0)) | (c >= F.lit(n_codes))
+            )
+        )
+        .select("vec_id").limit(5).collect()
+    )
+    if bad_codes:
+        ids = [r["vec_id"] for r in bad_codes]
+        raise ValueError(
+            f"vec_ids {ids} in {path} carry codes incompatible with the "
+            f"sidecar codebooks (m={m}, n_codes={n_codes})"
+        )
+    dup = (
+        codes.groupBy("vec_id").count().filter(F.col("count") > 1)
+        .limit(5).collect()
+    )
+    if dup:
+        ids = [r["vec_id"] for r in dup]
+        raise ValueError(
+            f"duplicate vec_ids {ids} in {path}: an append violated the "
+            "new-ids contract — dedup (delete_from_pq_index the stale "
+            "copies) before serving"
         )
 
 
