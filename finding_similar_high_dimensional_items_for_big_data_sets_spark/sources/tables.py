@@ -963,6 +963,7 @@ def append_pq_index(
         pq_encode,
     )
 
+    _reject_stream_codes_store(path)
     _check_store_meta(
         path,
         {
@@ -975,6 +976,26 @@ def append_pq_index(
     pq_encode(embeddings, codebooks, id_col, vec_col).write.mode("append").parquet(
         path
     )
+
+
+def _reject_stream_codes_store(path: str) -> None:
+    """Plain appends refuse a stream-maintained (batch-partitioned)
+    codes store: new vectors must land through the epoch loop
+    (:func:`..streaming.codes.stream_codes_ingest`) whose per-epoch
+    partitions stay replay-idempotent — a plain append would not, and
+    would also write rows without the ``ingest_batch`` column the
+    layout requires. Same contract as :func:`append_postings_index`."""
+    try:
+        meta = read_store_meta(path)
+    except FileNotFoundError:
+        return
+    if meta.get("batch_partitioned"):
+        raise ValueError(
+            f"{path} is a stream-maintained (batch-partitioned) store — "
+            "land new vectors through stream_codes_ingest, whose "
+            "per-epoch partitions stay replay-idempotent; a plain "
+            "append would not"
+        )
 
 def _opq_meta(
     r_cols: list[list[float]], codebooks: list[list[list[float]]]
@@ -1035,6 +1056,7 @@ def append_opq_index(
         opq_encode,
     )
 
+    _reject_stream_codes_store(path)
     _check_store_meta(path, _opq_meta(r_cols, codebooks))
     opq_encode(embeddings, r_cols, codebooks, id_col, vec_col).write.mode(
         "append"
@@ -1579,6 +1601,54 @@ def validate_pq_store(spark: SparkSession, path: str) -> None:
             "new-ids contract — dedup (delete_from_pq_index the stale "
             "copies) before serving"
         )
+
+
+def write_codes_stream_base(
+    embeddings: DataFrame,
+    path: str,
+    codebooks: list[list[list[float]]],
+    r_cols: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Base epoch of a STREAM-maintained flat codes store (PQ, or OPQ
+    when ``r_cols`` is given) — the flat twin of
+    :func:`write_ivfpq_stream_base`: the same artifact as
+    :func:`write_pq_index` / :func:`write_opq_index` with an
+    ``ingest_batch`` partition level on top, so each stream micro-batch
+    owns its partition directory and a replayed epoch OVERWRITES itself
+    instead of appending duplicates. The quantizer (and rotation) stay
+    pinned in the sidecar; every epoch encodes with it, never a
+    retrained one — the codec ships offline, the stream only extends
+    its coverage."""
+    if r_cols is not None:
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.opq import (
+            opq_encode,
+        )
+
+        encoded = opq_encode(embeddings, r_cols, codebooks, id_col, vec_col)
+        meta = _opq_meta(r_cols, codebooks)
+    else:
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+            pq_encode,
+        )
+
+        encoded = pq_encode(embeddings, codebooks, id_col, vec_col)
+        meta = {
+            "kind": "pq",
+            "codebooks": [
+                [[float(x) for x in code] for code in book]
+                for book in codebooks
+            ],
+        }
+    (
+        encoded.withColumn("ingest_batch", F.lit(BASE_INGEST_BATCH))
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(path)
+    )
+    meta["batch_partitioned"] = True
+    _write_store_meta(path, meta)
 
 
 # ---------------------------------------------------------------------------
