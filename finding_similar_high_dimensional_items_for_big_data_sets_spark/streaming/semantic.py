@@ -171,32 +171,50 @@ def write_ivfpq_stream_base(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    r_cols: list[list[float]] | None = None,
 ) -> None:
     """Base epoch of the SERVING codes store the ingest loop maintains:
     IVF-PQ codes of the initial corpus under partition
     ``ingest_batch=BASE_INGEST_BATCH / cell=<c>``, quantizers in the
     sidecar (same layout :func:`..operators.ann.ivfpq_topk_store`
     probes — the batch level adds exactly-once replay semantics, the
-    cell level keeps directory pruning)."""
-    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
-        ivfpq_encode,
-    )
+    cell level keeps directory pruning). Pass ``r_cols`` for an
+    IVF-OPQ base instead: rotated-space residual codes with the
+    rotation pinned alongside both quantizers
+    (:func:`..operators.opq.ivfopq_topk_store` layout)."""
     from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        _ivfopq_meta,
         _ivfpq_meta,
         _write_store_meta,
     )
 
-    (
-        ivfpq_encode(
+    if r_cols is not None:
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.opq import (
+            ivfopq_encode,
+        )
+
+        encoded = ivfopq_encode(
+            embeddings.select(id_col, vec_col), r_cols, centroids,
+            codebooks, id_col, vec_col,
+        )
+        meta = _ivfopq_meta(r_cols, centroids, codebooks)
+    else:
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+            ivfpq_encode,
+        )
+
+        encoded = ivfpq_encode(
             embeddings.select(id_col, vec_col), centroids, codebooks,
             id_col, vec_col,
         )
-        .withColumn("ingest_batch", F.lit(BASE_INGEST_BATCH))
+        meta = _ivfpq_meta(centroids, codebooks)
+    (
+        encoded.withColumn("ingest_batch", F.lit(BASE_INGEST_BATCH))
         .write.mode("overwrite")
         .partitionBy("ingest_batch", "cell")
         .parquet(codes_path)
     )
-    _write_store_meta(codes_path, _ivfpq_meta(centroids, codebooks))
+    _write_store_meta(codes_path, meta)
 
 
 def stream_semantic_ingest(
@@ -211,6 +229,7 @@ def stream_semantic_ingest(
     trigger_kwargs: dict | None = None,
     pq_codebooks: list[list[list[float]]] | None = None,
     codes_path: str | None = None,
+    pq_r_cols: list[list[float]] | None = None,
 ):
     """Start the semantic ingest-dedup stream. Survivors (id, vec,
     cell) land under ``out_path`` partitioned by ``ingest_batch``;
@@ -233,12 +252,18 @@ def stream_semantic_ingest(
     ⇒ same cell; residual argmin is pure), and the epoch's
     ``ingest_batch`` partition is dynamically overwritten, so the
     codes store converges under replay exactly like the other two
-    writes.
+    writes. With ``pq_r_cols`` the serving index is IVF-OPQ instead
+    (base laid down by :func:`write_ivfpq_stream_base` with
+    ``r_cols``): each epoch's survivors are rotated with the pinned
+    rotation before the residual encode — the rotation never retrains
+    mid-stream, same contract as :mod:`.codes`.
     """
     if (pq_codebooks is None) != (codes_path is None):
         raise ValueError(
             "pq_codebooks and codes_path must be passed together"
         )
+    if pq_r_cols is not None and pq_codebooks is None:
+        raise ValueError("pq_r_cols requires pq_codebooks and codes_path")
     spark = stream_emb.sparkSession
     table_cols = [c.name for c in spark.catalog.listColumns(cell_store_table)]
     if "ingest_batch" not in table_cols:
@@ -278,15 +303,26 @@ def stream_semantic_ingest(
             if codes_path is not None and not _epoch_absorbed(
                 codes_path, batch_id
             ):
-                from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
-                    ivfpq_encode,
-                )
+                if pq_r_cols is not None:
+                    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.opq import (
+                        ivfopq_encode,
+                    )
 
-                (
-                    ivfpq_encode(
+                    epoch_codes = ivfopq_encode(
+                        stamped.select(id_col, vec_col), pq_r_cols,
+                        centroids, pq_codebooks, id_col, vec_col,
+                    )
+                else:
+                    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.ann import (
+                        ivfpq_encode,
+                    )
+
+                    epoch_codes = ivfpq_encode(
                         stamped.select(id_col, vec_col), centroids,
                         pq_codebooks, id_col, vec_col,
                     )
+                (
+                    epoch_codes
                     .withColumn("ingest_batch", F.lit(int(batch_id)))
                     .write.mode("overwrite")
                     .partitionBy("ingest_batch", "cell")

@@ -415,3 +415,71 @@ def test_stream_semantic_codes_store_compaction_and_replay(spark, tmp_path):
         assert 300 in ids and len(ids) == 7
     finally:
         spark.sql("DROP TABLE IF EXISTS t_sem_hist7")
+
+
+def test_stream_semantic_maintains_ivfopq_codes_store(spark, tmp_path):
+    """With pq_r_cols the serving index the loop maintains is IVF-OPQ:
+    each epoch's survivors are rotated with the PINNED sidecar rotation
+    before the residual encode (never retrained mid-stream), streamed
+    codes are bit-equal to a batch ivfopq_encode of the same vectors,
+    and the store answers ivfopq_topk_store probes directly."""
+    import pytest
+
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import opq
+
+    base_dirs, cents = _setup(spark, "t_sem_hist7")
+    rs = np.random.RandomState(61)
+    r_cols, books = opq.opq_train(
+        np.vstack([rs.normal(size=DIM) for _ in range(32)]),
+        m=2, n_codes=4, iters=2, kmeans_iters=3, seed=5,
+    )
+    src = str(tmp_path / "src7")
+    out = str(tmp_path / "out7")
+    ckpt = str(tmp_path / "ckpt7")
+    codes_p = str(tmp_path / "codes7")
+    base_rows = [(i, [float(v) for v in base_dirs[i]]) for i in range(4)]
+    SS.write_ivfpq_stream_base(
+        _corpus(spark, base_rows), codes_p, cents, books, r_cols=r_cols
+    )
+    alpha = _vec(rs, 4.0)
+    first = _corpus(
+        spark, [(100, alpha), (101, [float(v) for v in base_dirs[1]])]
+    )
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    try:
+        with pytest.raises(ValueError, match="requires pq_codebooks"):
+            SS.stream_semantic_ingest(
+                spark.readStream.schema(first.schema).parquet(src),
+                "t_sem_hist7", out, ckpt, cents, pq_r_cols=r_cols,
+            )
+        SS.stream_semantic_ingest(
+            spark.readStream.schema(first.schema).parquet(src),
+            "t_sem_hist7", out, ckpt, cents, threshold=0.99,
+            pq_codebooks=books, codes_path=codes_p, pq_r_cols=r_cols,
+        ).awaitTermination(120)
+        codes = spark.read.parquet(codes_p)
+        # base 4 + survivor 100; 101 deduped against history
+        assert {r["vec_id"] for r in codes.collect()} == {0, 1, 2, 3, 100}
+        # batch parity: streamed codes == one-shot IVF-OPQ encode
+        all_rows = _corpus(spark, base_rows + [(100, alpha)])
+        expect = {
+            r["vec_id"]: (r["cell"], list(r["codes"]))
+            for r in opq.ivfopq_encode(
+                all_rows, r_cols, cents, books
+            ).collect()
+        }
+        got = {
+            r["vec_id"]: (r["cell"], list(r["codes"]))
+            for r in codes.collect()
+        }
+        assert got == expect
+        # the maintained store answers the IVF-OPQ store query, with
+        # exact original-space rerank surfacing the query's own vector
+        top = opq.ivfopq_topk_store(
+            spark, codes_p, alpha, k=3, n_probe=4,
+            shortlist=10, embeddings=all_rows,
+        )
+        first_row = top.first()
+        assert first_row["vec_id"] == 100 and first_row["dist"] == 0.0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sem_hist7")
