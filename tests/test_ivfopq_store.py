@@ -179,3 +179,31 @@ def test_lifecycle_on_ivfopq_store(spark, store):
     got = opq.ivfopq_topk_store(spark, p, q, k=10, n_probe=4).collect()
     assert all(r["vec_id"] < 700000 for r in got)
     validate_ivfpq_store(spark, p)
+
+
+def test_replica_sharding_merges_to_full_index(spark, store):
+    """Cell-subset replicas of an IVF-OPQ store merge to the full-index
+    answer under merge_topk_dist — every replica derives the same
+    rotated probe set from the shared sidecar and answers from the
+    cells it owns (the same scatter-gather law the IVF-PQ tier and the
+    HTTP vector router ride)."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.serving_vector import (
+        merge_topk_dist,
+    )
+
+    emb, r_cols, cents, books, p = store
+    full = ServingVectorIndex.from_store(spark, p)
+    covers = ([0, 1, 2, 3, 4], [5, 6, 7, 8, 9, 10], [11, 12, 13, 14, 15])
+    replicas = [
+        ServingVectorIndex.from_store(spark, p, cells=list(c)) for c in covers
+    ]
+    for qid in (7, 23):
+        q = [
+            float(v)
+            for v in emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        want = full.query(q, k=5, n_probe=6)
+        got = merge_topk_dist(
+            [r.query(q, k=5, n_probe=6) for r in replicas], k=5
+        )
+        assert got == want
