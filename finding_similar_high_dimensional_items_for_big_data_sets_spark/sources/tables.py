@@ -1744,16 +1744,23 @@ def write_postings_index(
     _postings_rows(
         docs, n_doc_shards, n_token_buckets, id_col, text_col
     ).write.mode("overwrite").partitionBy("doc_shard", "token_bucket").parquet(path)
-    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.text import tokenize
-
-    docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(tokenize(F.col(text_col))).alias("dl"),
-    ).write.mode("overwrite").parquet(os.path.join(path, "_doc_lengths"))
-    # df from the store itself (cheaper than re-tokenizing the corpus:
-    # postings are one row per (doc, distinct term))
+    # BOTH sidecars derive from the store itself — posting rows carry
+    # dl, so tokenize runs exactly once per build (the same one-pass
+    # rule the streaming loop follows); zero-token docs have no
+    # posting rows (explode drops them) and are backfilled with dl=0
+    # from the id column, keeping N and sum_dl exact
+    written = spark.read.parquet(path)
+    dl = written.select("doc_id", "dl").distinct()
+    zero = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(dl.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("dl", F.lit(0).cast("int"))
+    )
+    dl.unionByName(zero).write.mode("overwrite").parquet(
+        os.path.join(path, "_doc_lengths")
+    )
     (
-        spark.read.parquet(path)
+        written
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
         .write.mode("overwrite")
