@@ -607,6 +607,85 @@ def main():
     # serving answer, and it recovers 1.0 at a 5% shortlist.
     quality["ivfpq_recall_at_k"] = round(batch_recall(adc_rows), 4)
     quality["ivfpq_rerank_recall_at_k"] = round(batch_recall(rr_rows), 4)
+
+    # IVF-OPQ recall rows (round 8): the composed OPQ,IVF,PQ codec in
+    # the SAME 20-query regime as the ivfpq rows above — the honest
+    # comparison is ivfpq_recall_at_k (same budget, no rotation).
+    # Rotation + books trained driver-side on a fixed residual sample
+    # (the shipped-artifact pattern); coarse centroids move to the
+    # ROTATED space (orthonormal R preserves L2, so cell geometry and
+    # assignments are unchanged); rerank recovers in original space.
+    import numpy as _np2
+
+    res_sample = _np2.asarray(
+        [r["embedding"] for r in res_df.limit(2048).collect()],
+        dtype=_np2.float64,
+    )
+    t, (r_res, books_rot) = timed(
+        lambda: opq.opq_train(
+            res_sample, m=8, n_codes=16, iters=3, kmeans_iters=3, seed=44
+        ),
+        reps=1,
+    )
+    timings["ivfopq_train"] = t
+    cents_rot = [
+        opq.rotate_py([float(v) for v in c], r_res) for c in cents32
+    ]
+    iopq_codes = opq.ivfopq_encode(
+        emb_cl, r_res, cents_rot, books_rot
+    ).cache()
+    iopq_codes.count()
+    t, io_adc = timed(
+        lambda: opq.ivfopq_topk_batch(
+            None, qcl, k=K, n_probe=8,
+            r_cols=r_res, centroids=cents_rot, codebooks=books_rot,
+            codes=iopq_codes,
+        ).collect()
+    )
+    timings["ivfopq_batch_20"] = t
+    quality["ivfopq_recall_at_k"] = round(batch_recall(io_adc), 4)
+
+    # rerank: rotated-space ADC shortlist (the batch probe rotates the
+    # queries driver-side), exact L2 in the ORIGINAL space — the same
+    # two-shuffle shape as ann.ivfpq_topk_batch_rerank, split here
+    # because the probe needs rotated queries and the rerank originals
+    from pyspark.sql import Window as _W
+
+    def io_rerank():
+        short = opq.ivfopq_topk_batch(
+            None, qcl, k=max(K, n_emb_cl // 20), n_probe=8,
+            r_cols=r_res, centroids=cents_rot, codebooks=books_rot,
+            codes=iopq_codes,
+        ).select("query_id", "vec_id")
+        scored = (
+            emb_cl.select("vec_id", "embedding")
+            .join(F.broadcast(short), "vec_id")
+            .join(F.broadcast(qcl), "query_id")
+            .select(
+                "query_id", "vec_id",
+                F.round(
+                    F.sqrt(F.aggregate(
+                        F.zip_with(
+                            "embedding", "query_vec",
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0), lambda a, x: a + x,
+                    )), 6,
+                ).alias("dist"),
+            )
+        )
+        w = _W.partitionBy("query_id").orderBy(
+            F.col("dist").asc(), F.col("vec_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= K).collect()
+        )
+
+    t, io_rr = timed(io_rerank)
+    timings["ivfopq_rerank_batch_20"] = t
+    quality["ivfopq_rerank_recall_at_k"] = round(batch_recall(io_rr), 4)
+    iopq_codes.unpersist()
     scanned_pq = 0
     for _, qv in qlist:
         cd = [
@@ -755,6 +834,12 @@ def main():
     pack()
     t, _ = timed(pack)
     timings["pack_chunks_full"] = t
+    # DSIR importance resampling (round 8): train the hashed-ngram
+    # ratio model (one bounded agg) + score + Gumbel-top-k select —
+    # the full data-selection pass over the corpus
+    Q.q_dsir_select(spark, sf_dir).collect()
+    t, _ = timed(lambda: Q.q_dsir_select(spark, sf_dir).collect())
+    timings["dsir_select_full"] = t
     Q.q_lineitem_pricing(spark, sf_dir).collect()
     t, _ = timed(lambda: Q.q_lineitem_pricing(spark, sf_dir).collect())
     timings["lineitem_pricing"] = t
@@ -1492,7 +1577,8 @@ def main():
         "ivfpq_batch_20", "ivfpq_rerank_batch_20", "pq_point_store",
         "sq_point_store", "corpus_clean_full", "dedup_lsh_pairs",
         "incremental_dedup_full", "decontaminate_indexed",
-        "lm_quality_full", "pack_chunks_full", "events_hourly",
+        "lm_quality_full", "pack_chunks_full", "dsir_select_full",
+        "events_hourly",
         "lineitem_pricing", "bm25_batch_20",
     )
     quality_keys = (
@@ -1501,6 +1587,7 @@ def main():
         "lsh_recall_at_k", "lsh_mrr", "ann_multiprobe_recall_at_k",
         "ann_targeted_recall_at_k", "ivf_budget_recall_at_k",
         "ivfpq_recall_at_k", "ivfpq_rerank_recall_at_k",
+        "ivfopq_recall_at_k", "ivfopq_rerank_recall_at_k",
         "sq_recall_at_k", "sq_rerank_recall_at_k", "pq_rerank_recall_at_k",
         "pq_trained_recall_at_k", "opq_recall_at_k", "opq_rerank_recall_at_k",
         "bm25_recall_at_k", "bm25_mrr", "hybrid_recall_at_k", "hybrid_mrr",

@@ -97,6 +97,15 @@ SPAN_REMOVE_MIN_DF = 2
 # held-out test split, the rest train the model.
 NB_TEST_MOD = 5
 
+# DSIR importance resampling (Xie et al., NeurIPS 2023): docs with
+# id % DSIR_TARGET_MOD == 0 stand in for the target-domain sample, the
+# rest form the raw pool; hashed unigram+bigram features land in
+# DSIR_BUCKETS buckets; DSIR_SELECT_N raw docs are kept by
+# deterministic Gumbel-top-k over the importance weights.
+DSIR_TARGET_MOD = 10
+DSIR_BUCKETS = 1024
+DSIR_SELECT_N = 50
+
 # Winnowing fingerprints (MOSS): char k-gram length, window size (any
 # shared substring >= WINNOW_K + WINNOW_W - 1 chars is guaranteed a
 # common fingerprint), plus the shared_ngram_spans-style df cap and

@@ -1092,3 +1092,180 @@ def temperature_mixture_sample(
             for g, t in totals.items()
         }
     return _threshold_sample(counted, thresholds, scale, seed, group_col, id_col)
+
+
+def _dsir_feature_buckets(text_col, n_buckets: int):
+    """Hashed unigram + bigram occurrence buckets for one document —
+    NON-distinct: DSIR weights are bag-of-ngrams likelihood ratios, so
+    every occurrence counts. Pure row-local higher-order expressions
+    (tokenize, one slice/join pass for bigrams, the portable md5 hash
+    mod n_buckets), no UDFs, engine-portable bit-for-bit."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.text import tokenize
+
+    toks = tokenize(text_col)
+    # guard: F.sequence steps DOWN when start > stop, so the bigram
+    # index list must only be built for >= 2 tokens
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        F.concat(toks, bigrams),
+        lambda g: F.pmod(portable_hash64(g), F.lit(n_buckets)),
+    )
+
+
+def dsir_feature_log_ratios(
+    docs: DataFrame,
+    target_mod: int = 10,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[float]:
+    """Train the DSIR importance model: per-bucket log likelihood
+    ratios ``ln p_target(f) - ln p_raw(f)`` over hashed n-gram
+    features, add-one smoothed (Xie et al., NeurIPS 2023, "Data
+    Selection for Language Models via Importance Resampling"). Docs
+    with ``id % target_mod == 0`` are the target-domain sample (the
+    paper's Wikipedia/books side), the rest the raw pool.
+
+    Scale shape: ONE map-side-combined aggregation from the corpus to
+    <= n_buckets rows (the whole point of feature hashing — the model
+    is bounded however big the corpus), collected driver-side like the
+    other bounded artifacts (IVF centroids, OPQ rotation). Every ln()
+    argument is an exact integer, so the returned floats are
+    reproducible from the counts by any libm.
+    """
+    import math
+
+    b = _dsir_feature_buckets(F.col(text_col), n_buckets)
+    is_t = F.pmod(F.col(id_col), F.lit(target_mod)) == 0
+    rows = (
+        docs.select(is_t.alias("is_t"), F.explode(b).alias("f"))
+        .groupBy("f")
+        .agg(
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+            F.sum(F.when(~F.col("is_t"), 1).otherwise(0)).alias("cr"),
+        )
+        .collect()
+    )
+    ct = {r["f"]: r["ct"] for r in rows}
+    cr = {r["f"]: r["cr"] for r in rows}
+    t_tot, r_tot = sum(ct.values()), sum(cr.values())
+    if t_tot == 0 or r_tot == 0:
+        raise ValueError(
+            f"empty DSIR split: target features={t_tot}, raw features={r_tot}"
+        )
+    ln_t_den = math.log(t_tot + n_buckets)
+    ln_r_den = math.log(r_tot + n_buckets)
+    return [
+        math.log(ct.get(f, 0) + 1)
+        - ln_t_den
+        - math.log(cr.get(f, 0) + 1)
+        + ln_r_den
+        for f in range(n_buckets)
+    ]
+
+
+def _dsir_log_weight(lam: list[float], text_col, n_buckets: int):
+    """Per-row DSIR log importance weight: fold the trained per-bucket
+    ratios over the doc's feature occurrences in ascending-bucket order
+    (a deterministic float summation order the oracle mirrors). Pure
+    map — the model rides the plan as a literal array, so scoring a
+    100 TB corpus is shuffle-free."""
+    lam_lit = F.array(*[F.lit(float(x)) for x in lam])
+    bkts = F.array_sort(_dsir_feature_buckets(text_col, n_buckets))
+    return F.aggregate(
+        bkts,
+        F.lit(0.0),
+        lambda acc, f: acc
+        + F.element_at(lam_lit, (f + F.lit(1)).cast("int")),
+    )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_mod: int = 10,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR log importance weights for every raw-pool doc: how much
+    more target-like than raw-like its hashed n-gram bag is. The
+    trainable domain-relevance filter of real pretraining pipelines
+    (the DoReMi/DSIR family), next to the rule-based Gopher filters
+    and the NB classifier.
+
+    Output: (doc_id, log_weight DOUBLE rounded-6).
+    """
+    lam = dsir_feature_log_ratios(
+        docs, target_mod=target_mod, n_buckets=n_buckets,
+        id_col=id_col, text_col=text_col,
+    )
+    lw = _dsir_log_weight(lam, F.col(text_col), n_buckets)
+    return docs.filter(
+        F.pmod(F.col(id_col), F.lit(target_mod)) != 0
+    ).select(
+        F.col(id_col).alias("doc_id"), F.round(lw, 6).alias("log_weight")
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    n_select: int = 50,
+    target_mod: int = 10,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    u_scale: int = 1 << 20,
+) -> DataFrame:
+    """DSIR selection: keep ``n_select`` raw docs by Gumbel-top-k over
+    the importance weights — sampling WITHOUT replacement proportional
+    to the importance weight, the paper's resampling step. The Gumbel
+    noise is derived from a salted portable hash of the stable id
+    (``u = (h mod u_scale + 0.5) / u_scale`` is exact in binary64 for a
+    power-of-two scale, then ``g = -ln(-ln(u))``), so the draw is
+    deterministic, content-independent, and engine-portable — the same
+    discipline as :func:`hash_split`.
+
+    Scale shape: model training is the bounded aggregation of
+    :func:`dsir_feature_log_ratios`; scoring + keying are shuffle-free
+    row-local expressions; selection is orderBy+limit —
+    TakeOrderedAndProject, per-partition partial top-k, never a global
+    sort. The rank window runs over the <= n_select survivors only.
+
+    Output: (doc_id, log_weight, sel_key DOUBLE rounded-6, sel_rank INT).
+    """
+    if n_select < 1:
+        raise ValueError(f"n_select must be >= 1, got {n_select}")
+    lam = dsir_feature_log_ratios(
+        docs, target_mod=target_mod, n_buckets=n_buckets,
+        id_col=id_col, text_col=text_col,
+    )
+    lw = _dsir_log_weight(lam, F.col(text_col), n_buckets)
+    h = F.pmod(
+        portable_hash64(F.concat(F.col(id_col).cast("string"), F.lit(":dsir"))),
+        F.lit(u_scale),
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(u_scale))
+    gumbel = -F.log(-F.log(u))
+    top = (
+        docs.filter(F.pmod(F.col(id_col), F.lit(target_mod)) != 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            lw.alias("lw"),
+            (lw + gumbel).alias("key"),
+        )
+        .orderBy(F.round(F.col("key"), 10).desc(), F.col("doc_id").asc())
+        .limit(n_select)
+    )
+    w = Window.orderBy(F.round(F.col("key"), 10).desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id",
+        F.round(F.col("lw"), 6).alias("log_weight"),
+        F.round(F.col("key"), 6).alias("sel_key"),
+        F.row_number().over(w).alias("sel_rank"),
+    )

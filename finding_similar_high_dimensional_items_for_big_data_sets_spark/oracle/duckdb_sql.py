@@ -3127,6 +3127,92 @@ HAVING count(*) >= {ms}
 """
 
 
+
+def _dsir_raw_cte() -> str:
+    """Shared DSIR CTE body: per-raw-doc log importance weight.
+    Mirrors prep.dsir_importance_weights exactly — same hashed
+    unigram+bigram occurrence buckets (portable md5 family), same
+    add-one-smoothed per-bucket log ratios over exact integer counts,
+    same ascending-bucket float summation order (ties between equal
+    buckets carry equal lambda, so the fold sequence is identical).
+    The engine computes the ratios driver-side with Python math.log
+    and this twin uses DuckDB ln() — both libm doubles, inside the
+    round(6) like the NB priors."""
+    b, m = C.DSIR_BUCKETS, C.DSIR_TARGET_MOD
+    h = H("g")
+    return f"""
+d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+feats AS (
+  SELECT doc_id,
+    list_transform(
+      list_concat(t,
+        CASE WHEN len(t) >= 2
+             THEN list_transform(range(1, len(t)),
+                    i -> t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)])
+             ELSE CAST([] AS VARCHAR[]) END),
+      g -> {h} % {b}) AS f
+  FROM d),
+occ AS MATERIALIZED (SELECT doc_id, unnest(f) AS f FROM feats),
+cnt AS (
+  SELECT f,
+         sum(CASE WHEN doc_id % {m} = 0 THEN 1 ELSE 0 END) AS ctt,
+         sum(CASE WHEN doc_id % {m} != 0 THEN 1 ELSE 0 END) AS crr
+  FROM occ GROUP BY 1),
+lam AS MATERIALIZED (
+  SELECT f,
+         ln(CAST(ctt + 1 AS DOUBLE))
+           - ln(CAST((SELECT sum(ctt) FROM cnt) + {b} AS DOUBLE))
+           - ln(CAST(crr + 1 AS DOUBLE))
+           + ln(CAST((SELECT sum(crr) FROM cnt) + {b} AS DOUBLE)) AS lam
+  FROM cnt),
+folds AS (
+  SELECT o.doc_id,
+    list_reduce(list_prepend(0.0, list(l.lam ORDER BY o.f)),
+                (a, x) -> a + x) AS log_w
+  FROM occ o JOIN lam l USING (f)
+  WHERE o.doc_id % {m} != 0
+  GROUP BY 1),
+raw AS (
+  SELECT d.doc_id, coalesce(f.log_w, 0.0) AS log_w
+  FROM d LEFT JOIN folds f USING (doc_id)
+  WHERE d.doc_id % {m} != 0)"""
+
+
+def sql_dsir_weights() -> str:
+    """Mirrors prep.dsir_importance_weights (see _dsir_raw_cte)."""
+    return f"""
+WITH {_dsir_raw_cte()}
+SELECT doc_id, round(log_w, 6) AS log_weight FROM raw
+"""
+
+
+def sql_dsir_select() -> str:
+    """Mirrors prep.dsir_select: deterministic Gumbel-top-k over the
+    DSIR weights. u = (salted-hash mod 2^20 + 0.5) / 2^20 is exact in
+    binary64 both engines; the rank orders by round(key, 10) desc with
+    id tiebreak, the NB argmax discipline."""
+    n, scale = C.DSIR_SELECT_N, 1 << 20
+    h = H("CAST(doc_id AS VARCHAR) || ':dsir'")
+    return f"""
+WITH {_dsir_raw_cte()},
+keyed AS (
+  SELECT doc_id, log_w,
+         log_w + (-ln(-ln((({h} % {scale}) + 0.5) / {scale}.0))) AS sel_key
+  FROM raw),
+rk AS (
+  SELECT doc_id, log_w, sel_key,
+         CAST(row_number() OVER (
+           ORDER BY round(sel_key, 10) DESC, doc_id ASC) AS INT) AS sel_rank
+  FROM keyed)
+SELECT doc_id, round(log_w, 6) AS log_weight,
+       round(sel_key, 6) AS sel_key, sel_rank
+FROM rk WHERE sel_rank <= {n}
+"""
+
+
 def sql_bm25_topk(query: str | None = None) -> str:
     """Mirrors retrieval.bm25_topk: same Lucene-variant idf over exact
     integer df/N (+0.5 halves are exact in binary), same operation
@@ -3270,6 +3356,8 @@ def registry() -> dict[str, str]:
         "winnow_pairs": sql_winnow_pairs(),
         "remove_duplicate_spans": sql_remove_duplicate_spans(),
         "nb_classify": sql_nb_classify(),
+        "dsir_weights": sql_dsir_weights(),
+        "dsir_select": sql_dsir_select(),
         "source_quota": sql_source_quota(),
         "knn_label_vote": sql_knn_label_vote(),
         "dedup_group_sizes": sql_dedup_group_sizes(),

@@ -2280,9 +2280,40 @@ def q_containment_pairs(spark, sf_dir):
     return dedup.containment_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR log importance weights (Xie et al. 2023) for every
+    raw-pool doc: hashed unigram+bigram likelihood ratio between the
+    id-mod target sample and the raw pool — the trainable
+    domain-relevance score of pretraining data selection."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import prep
+
+    return prep.dsir_importance_weights(
+        _docs(spark, sf_dir),
+        target_mod=C.DSIR_TARGET_MOD,
+        n_buckets=C.DSIR_BUCKETS,
+    )
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR resampling: the raw docs kept by deterministic
+    Gumbel-top-k over the importance weights — sampling without
+    replacement proportional to target-likeness, the paper's
+    selection step as one engine query."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import prep
+
+    return prep.dsir_select(
+        _docs(spark, sf_dir),
+        n_select=C.DSIR_SELECT_N,
+        target_mod=C.DSIR_TARGET_MOD,
+        n_buckets=C.DSIR_BUCKETS,
+    )
+
+
 REGISTRY = {
     "remove_duplicate_spans": q_remove_duplicate_spans,
     "nb_classify": q_nb_classify,
+    "dsir_weights": q_dsir_weights,
+    "dsir_select": q_dsir_select,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_pairs": q_winnow_pairs,
     "bm25_topk": q_bm25_topk,

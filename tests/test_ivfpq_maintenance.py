@@ -81,7 +81,7 @@ def test_delete_from_ivfpq_rejects_non_ivfpq_store(spark, tmp_path):
     bad = str(tmp_path / "not_ivfpq")
     _emb(spark).limit(1).write.parquet(bad)
     _write_store_meta(bad, {"kind": "pq"})
-    with pytest.raises(ValueError, match="not an IVF-PQ store"):
+    with pytest.raises(ValueError, match="is not one of"):
         delete_from_ivfpq_index(spark, [1], bad)
 
 
