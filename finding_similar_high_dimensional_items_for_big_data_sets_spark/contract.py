@@ -106,6 +106,9 @@ DSIR_TARGET_MOD = 10
 DSIR_BUCKETS = 1024
 DSIR_SELECT_N = 50
 
+# Deterministic epoch shuffle: the contract query's epoch number.
+SHUFFLE_EPOCH = 1
+
 # Winnowing fingerprints (MOSS): char k-gram length, window size (any
 # shared substring >= WINNOW_K + WINNOW_W - 1 chars is guaranteed a
 # common fingerprint), plus the shared_ngram_spans-style df cap and

@@ -1269,3 +1269,74 @@ def dsir_select(
         F.round(F.col("key"), 6).alias("sel_key"),
         F.row_number().over(w).alias("sel_rank"),
     )
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global epoch shuffle: every training run reads
+    the corpus in a fresh pseudo-random order, and that order must be
+    reproducible (resumable jobs, bitwise-identical reruns) and cheap
+    at 100 TB. Each row's position is its rank under ``(salted stable-
+    id hash, id)`` — content-independent, a different permutation per
+    ``epoch``, identical across engines (the portable md5 family).
+
+    The global rank is the same trap as :func:`pack_chunks`'s prefix
+    sum: ``row_number() OVER (ORDER BY key)`` runs on ONE partition.
+    Same cure: range-partition by the sort key (materialized once so
+    both jobs see identical assignment), count rows per partition
+    (<= #partitions rows to the driver), broadcast exclusive offsets,
+    number WITHIN each sorted partition — every stage parallel, no row
+    leaves its range partition.
+
+    Output: (id_col, shuffle_pos LONG) — a permutation of 0..n-1.
+    """
+    import pandas as pd
+
+    if epoch < 0:
+        raise ValueError(f"epoch must be >= 0, got {epoch}")
+    spark = docs.sparkSession
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    key = portable_hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":shuffle:{epoch}"))
+    )
+    ranged = (
+        docs.select(F.col(id_col), key.alias("skey"))
+        .repartitionByRange(n_parts, F.col("skey"), F.col(id_col))
+        .localCheckpoint()
+    )
+    counts = {
+        r["pid"]: r["n"]
+        for r in ranged.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in range(n_parts):
+        offsets[pid] = acc
+        acc += int(counts.get(pid, 0) or 0)
+    bc = spark.sparkContext.broadcast(offsets)
+
+    def number(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        running = int(bc.value.get(pid, 0))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "shuffle_pos": range(running, running + len(pdf)),
+                }
+            )
+            running += len(pdf)
+
+    return ranged.sortWithinPartitions("skey", id_col).mapInPandas(
+        number, schema=f"{id_col} long, shuffle_pos long"
+    )

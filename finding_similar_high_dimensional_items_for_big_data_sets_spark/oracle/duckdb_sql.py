@@ -3213,6 +3213,21 @@ FROM rk WHERE sel_rank <= {n}
 """
 
 
+
+def sql_epoch_shuffle() -> str:
+    """Mirrors prep.epoch_shuffle: global 0-based rank under the
+    salted portable-hash key with id tiebreak. The oracle states the
+    law directly as one window; the engine computes the identical
+    permutation with the distributed prefix count."""
+    h = H(f"CAST(doc_id AS VARCHAR) || ':shuffle:{C.SHUFFLE_EPOCH}'")
+    return f"""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY {h}, doc_id) - 1 AS BIGINT)
+         AS shuffle_pos
+FROM documents
+"""
+
+
 def sql_bm25_topk(query: str | None = None) -> str:
     """Mirrors retrieval.bm25_topk: same Lucene-variant idf over exact
     integer df/N (+0.5 halves are exact in binary), same operation
@@ -3358,6 +3373,7 @@ def registry() -> dict[str, str]:
         "nb_classify": sql_nb_classify(),
         "dsir_weights": sql_dsir_weights(),
         "dsir_select": sql_dsir_select(),
+        "epoch_shuffle": sql_epoch_shuffle(),
         "source_quota": sql_source_quota(),
         "knn_label_vote": sql_knn_label_vote(),
         "dedup_group_sizes": sql_dedup_group_sizes(),

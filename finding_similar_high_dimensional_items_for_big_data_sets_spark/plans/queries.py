@@ -2309,11 +2309,22 @@ def q_dsir_select(spark, sf_dir):
     )
 
 
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic global epoch shuffle: each doc's reading position
+    for epoch SHUFFLE_EPOCH — rank under (salted stable-id hash, id)
+    computed with the two-phase distributed prefix count instead of a
+    single-partition global window."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import prep
+
+    return prep.epoch_shuffle(_docs(spark, sf_dir), epoch=C.SHUFFLE_EPOCH)
+
+
 REGISTRY = {
     "remove_duplicate_spans": q_remove_duplicate_spans,
     "nb_classify": q_nb_classify,
     "dsir_weights": q_dsir_weights,
     "dsir_select": q_dsir_select,
+    "epoch_shuffle": q_epoch_shuffle,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_pairs": q_winnow_pairs,
     "bm25_topk": q_bm25_topk,
