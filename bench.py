@@ -618,7 +618,20 @@ def main():
     import numpy as _np2
 
     res_sample = _np2.asarray(
-        [r["embedding"] for r in res_df.limit(2048).collect()],
+        [
+            r["res"]
+            for r in assigned32.select(
+                "vec_id",
+                F.zip_with(
+                    "embedding",
+                    F.element_at(cents_lit32, F.col("cell") + 1),
+                    lambda x, c: x.cast("double") - c,
+                ).alias("res"),
+            )
+            .orderBy("vec_id")
+            .limit(2048)
+            .collect()
+        ],
         dtype=_np2.float64,
     )
     t, (r_res, books_rot) = timed(

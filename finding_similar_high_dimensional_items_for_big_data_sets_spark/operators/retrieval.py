@@ -267,6 +267,75 @@ def rrf_fuse(
     )
 
 
+def rrf_fuse_batch(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    rank_a_col: str = "rank",
+    rank_b_col: str = "rank",
+) -> DataFrame:
+    """Batch Reciprocal Rank Fusion: :func:`rrf_fuse`'s law applied
+    per query — full outer join on (query_id, doc_id), 1/(c+rank)
+    summed lex-first, per-query ranking on round(rrf, 10) desc with
+    the doc_id tiebreak. Each query's fused output is identical to
+    fusing its two point lists with :func:`rrf_fuse`.
+
+    Both inputs are per-query top-k lists, so the join input is
+    bounded by k * n_queries rows however large the corpus; the rank
+    window partitions by query_id — parallel across queries, never a
+    single global sort.
+
+    Output: (query_id, doc_id, rank_lex, rank_vec,
+    rrf_score DOUBLE rounded-6, rank INT).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if c < 1:
+        raise ValueError(f"c must be >= 1, got {c}")
+    a = ranked_a.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("doc_id"),
+        F.col(rank_a_col).cast("int").alias("rank_lex"),
+    )
+    bt = ranked_b.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("doc_id"),
+        F.col(rank_b_col).cast("int").alias("rank_vec"),
+    )
+    fused = a.join(bt, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "rank_lex",
+        "rank_vec",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(c) + F.col("rank_lex")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(c) + F.col("rank_vec")), F.lit(0.0)
+            )
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("rrf_score"), 10).desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank_lex",
+            "rank_vec",
+            F.round(F.col("rrf_score"), 6).alias("rrf_score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def _postings_dict(pdf) -> dict:
     """(doc_id, dl, token, tf) pandas rows -> {token: (ids, tf, dl)}
     numpy postings, doc-sorted per token — one builder for the table and

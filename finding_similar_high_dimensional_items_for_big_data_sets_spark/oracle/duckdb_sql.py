@@ -3355,6 +3355,40 @@ FROM rk WHERE rank <= {k}
 """
 
 
+def sql_hybrid_rrf_topk_batch() -> str:
+    """Mirrors q_hybrid_rrf_topk_batch: the batch BM25 and per-query
+    cosine top-k statements as MATERIALIZED CTEs (each query's vector
+    is its own document's embedding), full-outer fusion per (query_id,
+    doc_id), per-query ranking on round(rrf, 10) desc / doc_id asc."""
+    c, k = C.RRF_C, C.BM25_K
+    qids = ", ".join(str(qid) for qid, _ in C.BM25_BATCH_QUERIES)
+    cos = _topk_emb(
+        f"{_dot('e.embedding', 'q.qv', C.EMB_DIM)} / ({_norm('e.embedding', C.EMB_DIM)} * {_norm('q.qv', C.EMB_DIM)})",
+        "cos_sim", "DESC", k, f"vec_id IN ({qids})",
+    )
+    return f"""
+WITH lexb AS MATERIALIZED ({sql_bm25_topk_batch()}),
+vecb AS MATERIALIZED ({cos}),
+fused AS (
+  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         coalesce(l.doc_id, v.vec_id) AS doc_id,
+         CAST(l.rank AS INT) AS rank_lex,
+         CAST(v.rank AS INT) AS rank_vec,
+         coalesce(1.0 / ({c} + l.rank), 0.0)
+           + coalesce(1.0 / ({c} + v.rank), 0.0) AS rrf_score
+  FROM lexb l FULL OUTER JOIN vecb v
+    ON l.query_id = v.query_id AND l.doc_id = v.vec_id),
+rk AS (
+  SELECT query_id, doc_id, rank_lex, rank_vec, rrf_score,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY round(rrf_score, 10) DESC, doc_id ASC) AS INT) AS rank
+  FROM fused)
+SELECT query_id, doc_id, rank_lex, rank_vec,
+       round(rrf_score, 6) AS rrf_score, rank
+FROM rk WHERE rank <= {k}
+"""
+
+
 def registry() -> dict[str, str]:
     """name -> DuckDB SQL, for every oracle-checkable query."""
     return {
@@ -3363,6 +3397,7 @@ def registry() -> dict[str, str]:
         "bm25_topk_batch": sql_bm25_topk_batch(),
         "bm25_topk_batch_store": sql_bm25_topk_batch(),
         "hybrid_rrf_topk": sql_hybrid_rrf_topk(),
+        "hybrid_rrf_topk_batch": sql_hybrid_rrf_topk_batch(),
         "containment_pairs": sql_containment_pairs(),
         "containment_pairs_exact": sql_containment_pairs_exact(),
         "source_overlap_winnow": sql_source_overlap_winnow(),

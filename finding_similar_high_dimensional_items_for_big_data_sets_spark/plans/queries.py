@@ -2319,6 +2319,26 @@ def q_epoch_shuffle(spark, sf_dir):
     return prep.epoch_shuffle(_docs(spark, sf_dir), epoch=C.SHUFFLE_EPOCH)
 
 
+def q_hybrid_rrf_topk_batch(spark, sf_dir):
+    """Batch hybrid search: the whole BM25 batch-query set fused with
+    per-query exact cosine top-k (each query's vector is its own
+    document's embedding — the aligned id space) via per-query RRF.
+    Each query's fused list is identical to fusing its point lists."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import retrieval
+
+    lex = q_bm25_topk_batch(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    qids = [qid for qid, _ in C.BM25_BATCH_QUERIES]
+    qs = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    vec = bruteforce.cosine_topk(emb, qs, k=C.BM25_K).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return retrieval.rrf_fuse_batch(lex, vec, k=C.BM25_K, c=C.RRF_C)
+
+
 REGISTRY = {
     "remove_duplicate_spans": q_remove_duplicate_spans,
     "nb_classify": q_nb_classify,
@@ -2332,6 +2352,7 @@ REGISTRY = {
     "bm25_topk_batch": q_bm25_topk_batch,
     "bm25_topk_batch_store": q_bm25_topk_batch_store,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
+    "hybrid_rrf_topk_batch": q_hybrid_rrf_topk_batch,
     "containment_pairs": q_containment_pairs,
     "containment_pairs_exact": q_containment_pairs_exact,
     "source_overlap_winnow": q_source_overlap_winnow,
