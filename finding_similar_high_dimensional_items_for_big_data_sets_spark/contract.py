@@ -105,6 +105,7 @@ NB_TEST_MOD = 5
 DSIR_TARGET_MOD = 10
 DSIR_BUCKETS = 1024
 DSIR_SELECT_N = 50
+DSIR_TOKEN_BUDGET = 2000
 
 # Deterministic epoch shuffle: the contract query's epoch number.
 SHUFFLE_EPOCH = 1

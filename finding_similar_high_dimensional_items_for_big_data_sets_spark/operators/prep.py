@@ -1241,6 +1241,32 @@ def dsir_select(
     """
     if n_select < 1:
         raise ValueError(f"n_select must be >= 1, got {n_select}")
+    top = (
+        _dsir_keyed(docs, target_mod, n_buckets, id_col, text_col, u_scale)
+        .orderBy(F.round(F.col("key"), 10).desc(), F.col("doc_id").asc())
+        .limit(n_select)
+    )
+    w = Window.orderBy(F.round(F.col("key"), 10).desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id",
+        F.round(F.col("lw"), 6).alias("log_weight"),
+        F.round(F.col("key"), 6).alias("sel_key"),
+        F.row_number().over(w).alias("sel_rank"),
+    )
+
+
+def _dsir_keyed(
+    docs: DataFrame,
+    target_mod: int,
+    n_buckets: int,
+    id_col: str,
+    text_col: str,
+    u_scale: int,
+) -> DataFrame:
+    """Shared DSIR selection head: the raw pool with (doc_id, lw, key)
+    where key = log weight + deterministic Gumbel. One expression tree
+    for the count-budget and token-budget selectors so their keys
+    cannot drift."""
     lam = dsir_feature_log_ratios(
         docs, target_mod=target_mod, n_buckets=n_buckets,
         id_col=id_col, text_col=text_col,
@@ -1252,22 +1278,110 @@ def dsir_select(
     )
     u = (h.cast("double") + F.lit(0.5)) / F.lit(float(u_scale))
     gumbel = -F.log(-F.log(u))
-    top = (
-        docs.filter(F.pmod(F.col(id_col), F.lit(target_mod)) != 0)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            lw.alias("lw"),
-            (lw + gumbel).alias("key"),
-        )
-        .orderBy(F.round(F.col("key"), 10).desc(), F.col("doc_id").asc())
-        .limit(n_select)
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.text import tokenize
+
+    return docs.filter(
+        F.pmod(F.col(id_col), F.lit(target_mod)) != 0
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        lw.alias("lw"),
+        (lw + gumbel).alias("key"),
+        F.size(tokenize(F.col(text_col))).alias("n_tokens"),
     )
-    w = Window.orderBy(F.round(F.col("key"), 10).desc(), F.col("doc_id").asc())
-    return top.select(
+
+
+def dsir_select_tokens(
+    docs: DataFrame,
+    token_budget: int,
+    target_mod: int = 10,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    u_scale: int = 1 << 20,
+    partitions: int | None = None,
+) -> DataFrame:
+    """DSIR selection at a TOKEN budget — the form production data
+    selection actually runs ("give me the most target-like N-token
+    subset"): walk the raw pool in descending Gumbel-key order and
+    keep docs while the running token total stays within the budget.
+
+    The running total over the key order is the same global prefix sum
+    as :func:`pack_chunks` / :func:`epoch_shuffle`, computed the same
+    way: range-partition on the sort key (negated rounded key, so the
+    ascending range order IS the selection order; negation is exact in
+    binary64), materialize once, per-partition token totals to the
+    driver, broadcast exclusive offsets, scan within sorted partitions.
+    No global window, no single-partition stage.
+
+    Output: (doc_id, log_weight, sel_key DOUBLE rounded-6,
+    n_tokens INT, cum_tokens LONG) for the kept docs —
+    cum_tokens includes the doc's own tokens and is <= token_budget.
+    """
+    import pandas as pd
+
+    if token_budget < 1:
+        raise ValueError(f"token_budget must be >= 1, got {token_budget}")
+    spark = docs.sparkSession
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    # rounding happens in Spark expressions (HALF_UP, the oracle's
+    # rule) — pandas .round is half-even and must not touch values
+    keyed = _dsir_keyed(
+        docs, target_mod, n_buckets, id_col, text_col, u_scale
+    ).select(
         "doc_id",
-        F.round(F.col("lw"), 6).alias("log_weight"),
-        F.round(F.col("key"), 6).alias("sel_key"),
-        F.row_number().over(w).alias("sel_rank"),
+        F.round(F.col("lw"), 6).alias("lw"),
+        F.round(F.col("key"), 6).alias("key"),
+        (-F.round(F.col("key"), 10)).alias("nkey"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+    )
+    ranged = keyed.repartitionByRange(
+        n_parts, F.col("nkey"), F.col("doc_id")
+    ).localCheckpoint()
+    totals = {
+        r["pid"]: r["tot"]
+        for r in ranged.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.sum("n_tokens").alias("tot"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in range(n_parts):
+        offsets[pid] = acc
+        acc += int(totals.get(pid, 0) or 0)
+    bc = spark.sparkContext.broadcast(offsets)
+    budget = int(token_budget)
+
+    def scan(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        running = int(bc.value.get(pid, 0))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            counts = pdf["n_tokens"].astype("int64")
+            ends = running + counts.cumsum()
+            running = int(ends.iloc[-1])
+            keep = ends <= budget
+            if not keep.any():
+                continue
+            out = pdf.loc[keep]
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "log_weight": out["lw"],
+                    "sel_key": out["key"],
+                    "n_tokens": out["n_tokens"],
+                    "cum_tokens": ends[keep],
+                }
+            )
+
+    return ranged.sortWithinPartitions("nkey", "doc_id").mapInPandas(
+        scan,
+        schema=(
+            "doc_id long, log_weight double, sel_key double,"
+            " n_tokens int, cum_tokens long"
+        ),
     )
 
 

@@ -3389,6 +3389,34 @@ FROM rk WHERE rank <= {k}
 """
 
 
+def sql_dsir_select_tokens() -> str:
+    """Mirrors prep.dsir_select_tokens: greedy prefix of the raw pool
+    in (round(sel_key, 10) desc, doc_id asc) order while the running
+    token total (including the doc) stays within the budget. The
+    oracle states the law as one running-sum window; the engine
+    computes the identical prefix with the distributed scan."""
+    budget, scale = C.DSIR_TOKEN_BUDGET, 1 << 20
+    h = H("CAST(doc_id AS VARCHAR) || ':dsir'")
+    return f"""
+WITH {_dsir_raw_cte()},
+keyed AS (
+  SELECT doc_id, log_w,
+         log_w + (-ln(-ln((({h} % {scale}) + 0.5) / {scale}.0))) AS sel_key
+  FROM raw),
+ordered AS (
+  SELECT k.doc_id, k.log_w, k.sel_key,
+         CAST(len(d.t) AS INT) AS n_tokens,
+         sum(len(d.t)) OVER (
+           ORDER BY round(k.sel_key, 10) DESC, k.doc_id ASC
+           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM keyed k JOIN d USING (doc_id))
+SELECT doc_id, round(log_w, 6) AS log_weight,
+       round(sel_key, 6) AS sel_key, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM ordered WHERE cum_tokens <= {budget}
+"""
+
+
 def registry() -> dict[str, str]:
     """name -> DuckDB SQL, for every oracle-checkable query."""
     return {
@@ -3408,6 +3436,7 @@ def registry() -> dict[str, str]:
         "nb_classify": sql_nb_classify(),
         "dsir_weights": sql_dsir_weights(),
         "dsir_select": sql_dsir_select(),
+        "dsir_select_tokens": sql_dsir_select_tokens(),
         "epoch_shuffle": sql_epoch_shuffle(),
         "source_quota": sql_source_quota(),
         "knn_label_vote": sql_knn_label_vote(),

@@ -2339,11 +2339,27 @@ def q_hybrid_rrf_topk_batch(spark, sf_dir):
     return retrieval.rrf_fuse_batch(lex, vec, k=C.BM25_K, c=C.RRF_C)
 
 
+def q_dsir_select_tokens(spark, sf_dir):
+    """DSIR selection at a token budget: the most target-like docs in
+    descending Gumbel-key order until DSIR_TOKEN_BUDGET tokens — the
+    running total computed with the distributed prefix scan, never a
+    global window."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import prep
+
+    return prep.dsir_select_tokens(
+        _docs(spark, sf_dir),
+        token_budget=C.DSIR_TOKEN_BUDGET,
+        target_mod=C.DSIR_TARGET_MOD,
+        n_buckets=C.DSIR_BUCKETS,
+    )
+
+
 REGISTRY = {
     "remove_duplicate_spans": q_remove_duplicate_spans,
     "nb_classify": q_nb_classify,
     "dsir_weights": q_dsir_weights,
     "dsir_select": q_dsir_select,
+    "dsir_select_tokens": q_dsir_select_tokens,
     "epoch_shuffle": q_epoch_shuffle,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_pairs": q_winnow_pairs,

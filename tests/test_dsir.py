@@ -136,3 +136,46 @@ def test_plans_scoring_shuffle_free_selection_take_ordered(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in ps
     assert "Exchange" not in ps  # rank window runs over <= n survivors
+
+
+def test_select_tokens_budget_law_and_prefix_consistency(spark):
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.prep import (
+        dsir_select_tokens,
+    )
+
+    docs = _docs(spark)
+    got = sorted(
+        dsir_select_tokens(docs, token_budget=18, n_buckets=B,
+                           partitions=3).collect(),
+        key=lambda r: r["cum_tokens"],
+    )
+    assert got, "budget of 18 tokens fits at least one 6-token doc"
+    # running total includes each doc and never exceeds the budget
+    run = 0
+    for r in got:
+        run += r["n_tokens"]
+        assert r["cum_tokens"] == run
+    assert run <= 18
+    # greedy maximality + prefix consistency: the kept docs are exactly
+    # the first |kept| of the count-budget selection (same key order)
+    ranked = dsir_select(docs, n_select=4, n_buckets=B).collect()
+    kept_ids = [r["doc_id"] for r in got]
+    assert kept_ids == [r["doc_id"] for r in ranked[: len(got)]]
+    nxt = ranked[len(got)]["doc_id"]
+    nxt_tokens = {
+        r["doc_id"]: len([t for t in r["text"].split(" ") if t])
+        for r in docs.collect()
+    }[nxt]
+    assert run + nxt_tokens > 18  # the next doc would not have fit
+
+
+def test_select_tokens_plan_has_no_global_window(spark):
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.prep import (
+        dsir_select_tokens,
+    )
+
+    df = dsir_select_tokens(_docs(spark), token_budget=18, n_buckets=B,
+                            partitions=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
