@@ -1615,15 +1615,23 @@ def main():
             k: round(timings[k], 2) for k in headline_keys if k in timings
         },
         "reference_parity_20k": {
+            # lsh_recall_at_k / lsh_mrr live in quality_sel below —
+            # rendering them twice cost the line ~40 chars
             k: round(v, 2) for k, v in ref_parity.items()
             if not k.endswith(("_w1_ms", "_w2_ms"))
+            and k not in ("lsh_recall_at_k", "lsh_mrr")
         },
         "growth_vs_linear": {
             k: round(v, 2)
             for k, v in scaling.get("growth_vs_linear", {}).items()
         },
+        # compact rendering drops the "_at_k" suffix (every recall here
+        # is recall@k at the suite's K) — the full JSON line above
+        # keeps the canonical names; round 8 change, sanctioned by the
+        # r7 verdict ("shrink key names if needed") after the line hit
+        # 1897/1900 chars with the new ivfopq rows
         "quality_sel": {
-            k: round(quality[k], 3)
+            k.replace("_at_k", ""): round(quality[k], 3)
             for k in quality_keys
             if isinstance(quality.get(k), (int, float))
         },
