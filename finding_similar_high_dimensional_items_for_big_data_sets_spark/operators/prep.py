@@ -1454,3 +1454,89 @@ def epoch_shuffle(
     return ranged.sortWithinPartitions("skey", id_col).mapInPandas(
         number, schema=f"{id_col} long, shuffle_pos long"
     )
+
+
+def dsir_divergence(
+    docs: DataFrame,
+    target_mod: int = 10,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Divergence report for the DSIR model: KL(target || raw) and
+    KL(raw || target) over the add-one-smoothed hashed-feature
+    distributions — the monitoring number a DSIR/DoReMi-style
+    selection pipeline tracks (how far the raw pool sits from the
+    target domain; selection is pointless at ~0 and unreliable when
+    the distributions barely overlap). Both smoothed distributions
+    are proper (they sum to 1 over all n_buckets buckets), so both
+    KLs are >= 0.
+
+    Computed entirely in-engine: one map-side-combined aggregation to
+    <= n_buckets (f, ct, cr) rows, a broadcast 1-row totals join, and
+    the per-bucket terms folded in ascending-bucket order (collect to
+    ONE bounded row — the counts table is <= n_buckets rows by
+    construction) plus the closed-form contribution of the
+    (n_buckets - active) buckets unseen in either pool.
+
+    Output: 1 row (active_buckets INT, kl_target_raw DOUBLE rounded-6,
+    kl_raw_target DOUBLE rounded-6).
+    """
+    feats = _dsir_feature_buckets(F.col(text_col), n_buckets)
+    is_t = F.pmod(F.col(id_col), F.lit(target_mod)) == 0
+    cnt = (
+        docs.select(is_t.alias("is_t"), F.explode(feats).alias("f"))
+        .groupBy("f")
+        .agg(
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+            F.sum(F.when(~F.col("is_t"), 1).otherwise(0)).alias("cr"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("ct").alias("tt"),
+        F.sum("cr").alias("rt"),
+        F.count(F.lit(1)).alias("nf"),
+    )
+    ttb = (F.col("tt") + F.lit(n_buckets)).cast("double")
+    rtb = (F.col("rt") + F.lit(n_buckets)).cast("double")
+    lam = (
+        F.log((F.col("ct") + 1).cast("double"))
+        - F.log(ttb)
+        - F.log((F.col("cr") + 1).cast("double"))
+        + F.log(rtb)
+    )
+    pt = (F.col("ct") + 1).cast("double") / ttb
+    pr = (F.col("cr") + 1).cast("double") / rtb
+    terms = cnt.crossJoin(F.broadcast(tot)).select(
+        "f",
+        "tt",
+        "rt",
+        "nf",
+        (pt * lam).alias("t_term"),
+        (pr * (-lam)).alias("r_term"),
+    )
+    folded = terms.groupBy("tt", "rt", "nf").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("f", "t_term"))),
+            F.lit(0.0),
+            lambda a, s: a + s["t_term"],
+        ).alias("fold_t"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("f", "r_term"))),
+            F.lit(0.0),
+            lambda a, s: a + s["r_term"],
+        ).alias("fold_r"),
+    )
+    unseen = (F.lit(n_buckets) - F.col("nf")).cast("double")
+    lam0 = -F.log(ttb) + F.log(rtb)
+    return folded.select(
+        F.col("nf").cast("int").alias("active_buckets"),
+        F.round(
+            F.col("fold_t") + unseen * (F.lit(1.0) / ttb) * lam0, 6
+        ).alias("kl_target_raw"),
+        F.round(
+            F.col("fold_r")
+            + unseen * (F.lit(1.0) / rtb) * (F.log(ttb) - F.log(rtb)),
+            6,
+        ).alias("kl_raw_target"),
+    )

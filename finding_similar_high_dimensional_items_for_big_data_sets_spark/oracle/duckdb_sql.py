@@ -3417,6 +3417,75 @@ FROM ordered WHERE cum_tokens <= {budget}
 """
 
 
+def sql_dsir_divergence() -> str:
+    """Mirrors prep.dsir_divergence: KL(target||raw) and KL(raw||
+    target) over the add-one-smoothed hashed-feature distributions —
+    per-active-bucket terms folded in ascending-bucket order plus the
+    closed-form unseen-bucket contribution, every expression shape
+    identical to the engine's (same division operands, same ln
+    sequence, same left-associative products)."""
+    b, m = C.DSIR_BUCKETS, C.DSIR_TARGET_MOD
+    h = H("g")
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+feats AS (
+  SELECT doc_id,
+    list_transform(
+      list_concat(t,
+        CASE WHEN len(t) >= 2
+             THEN list_transform(range(1, len(t)),
+                    i -> t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)])
+             ELSE CAST([] AS VARCHAR[]) END),
+      g -> {h} % {b}) AS f
+  FROM d),
+occ AS (SELECT doc_id, unnest(f) AS f FROM feats),
+cnt AS MATERIALIZED (
+  SELECT f,
+         sum(CASE WHEN doc_id % {m} = 0 THEN 1 ELSE 0 END) AS ctt,
+         sum(CASE WHEN doc_id % {m} != 0 THEN 1 ELSE 0 END) AS crr
+  FROM occ GROUP BY 1),
+tot AS MATERIALIZED (
+  SELECT sum(ctt) AS tt, sum(crr) AS rt, count(*) AS nf FROM cnt),
+terms AS (
+  SELECT f,
+    (CAST(ctt + 1 AS DOUBLE) / CAST((SELECT tt FROM tot) + {b} AS DOUBLE))
+      * (ln(CAST(ctt + 1 AS DOUBLE))
+         - ln(CAST((SELECT tt FROM tot) + {b} AS DOUBLE))
+         - ln(CAST(crr + 1 AS DOUBLE))
+         + ln(CAST((SELECT rt FROM tot) + {b} AS DOUBLE))) AS t_term,
+    (CAST(crr + 1 AS DOUBLE) / CAST((SELECT rt FROM tot) + {b} AS DOUBLE))
+      * (-(ln(CAST(ctt + 1 AS DOUBLE))
+           - ln(CAST((SELECT tt FROM tot) + {b} AS DOUBLE))
+           - ln(CAST(crr + 1 AS DOUBLE))
+           + ln(CAST((SELECT rt FROM tot) + {b} AS DOUBLE)))) AS r_term
+  FROM cnt),
+folded AS (
+  SELECT
+    list_reduce(list_prepend(0.0, list(t_term ORDER BY f)),
+                (a, x) -> a + x) AS fold_t,
+    list_reduce(list_prepend(0.0, list(r_term ORDER BY f)),
+                (a, x) -> a + x) AS fold_r
+  FROM terms)
+SELECT CAST((SELECT nf FROM tot) AS INT) AS active_buckets,
+  round(fold_t
+    + CAST({b} - (SELECT nf FROM tot) AS DOUBLE)
+      * (1.0 / CAST((SELECT tt FROM tot) + {b} AS DOUBLE))
+      * (-ln(CAST((SELECT tt FROM tot) + {b} AS DOUBLE))
+         + ln(CAST((SELECT rt FROM tot) + {b} AS DOUBLE))), 6)
+    AS kl_target_raw,
+  round(fold_r
+    + CAST({b} - (SELECT nf FROM tot) AS DOUBLE)
+      * (1.0 / CAST((SELECT rt FROM tot) + {b} AS DOUBLE))
+      * (ln(CAST((SELECT tt FROM tot) + {b} AS DOUBLE))
+         - ln(CAST((SELECT rt FROM tot) + {b} AS DOUBLE))), 6)
+    AS kl_raw_target
+FROM folded
+"""
+
+
 def registry() -> dict[str, str]:
     """name -> DuckDB SQL, for every oracle-checkable query."""
     return {
@@ -3437,6 +3506,7 @@ def registry() -> dict[str, str]:
         "dsir_weights": sql_dsir_weights(),
         "dsir_select": sql_dsir_select(),
         "dsir_select_tokens": sql_dsir_select_tokens(),
+        "dsir_divergence": sql_dsir_divergence(),
         "epoch_shuffle": sql_epoch_shuffle(),
         "source_quota": sql_source_quota(),
         "knn_label_vote": sql_knn_label_vote(),

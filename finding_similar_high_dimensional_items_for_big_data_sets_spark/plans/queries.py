@@ -2354,12 +2354,27 @@ def q_dsir_select_tokens(spark, sf_dir):
     )
 
 
+def q_dsir_divergence(spark, sf_dir):
+    """DSIR divergence report: KL(target || raw) and KL(raw || target)
+    over the smoothed hashed-feature distributions — the drift number
+    a data-selection pipeline monitors, computed in one bounded
+    aggregation."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import prep
+
+    return prep.dsir_divergence(
+        _docs(spark, sf_dir),
+        target_mod=C.DSIR_TARGET_MOD,
+        n_buckets=C.DSIR_BUCKETS,
+    )
+
+
 REGISTRY = {
     "remove_duplicate_spans": q_remove_duplicate_spans,
     "nb_classify": q_nb_classify,
     "dsir_weights": q_dsir_weights,
     "dsir_select": q_dsir_select,
     "dsir_select_tokens": q_dsir_select_tokens,
+    "dsir_divergence": q_dsir_divergence,
     "epoch_shuffle": q_epoch_shuffle,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_pairs": q_winnow_pairs,

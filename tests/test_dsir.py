@@ -179,3 +179,27 @@ def test_select_tokens_plan_has_no_global_window(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert "Window" not in plan
+
+
+def test_divergence_orders_distribution_distance(spark):
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.prep import (
+        dsir_divergence,
+    )
+
+    a = "alpha beta gamma delta alpha beta"
+    b_txt = "omega sigma tau kappa omega sigma"
+    same = spark.createDataFrame(
+        [(0, a), (10, a), (1, a), (2, a)], "doc_id long, text string"
+    )
+    far = spark.createDataFrame(
+        [(0, a), (10, a), (1, b_txt), (2, b_txt)], "doc_id long, text string"
+    )
+    r_same = dsir_divergence(same, n_buckets=B).collect()[0]
+    r_far = dsir_divergence(far, n_buckets=B).collect()[0]
+    # smoothed distributions are proper: both KLs are non-negative
+    for r in (r_same, r_far):
+        assert r["kl_target_raw"] >= 0.0 and r["kl_raw_target"] >= 0.0
+    # disjoint vocabularies diverge far more than identical ones
+    assert r_far["kl_target_raw"] > 10 * r_same["kl_target_raw"]
+    assert r_far["kl_raw_target"] > 10 * r_same["kl_raw_target"]
+    assert 0 < r_same["active_buckets"] <= B
