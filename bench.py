@@ -658,42 +658,15 @@ def main():
     timings["ivfopq_batch_20"] = t
     quality["ivfopq_recall_at_k"] = round(batch_recall(io_adc), 4)
 
-    # rerank: rotated-space ADC shortlist (the batch probe rotates the
-    # queries driver-side), exact L2 in the ORIGINAL space — the same
-    # two-shuffle shape as ann.ivfpq_topk_batch_rerank, split here
-    # because the probe needs rotated queries and the rerank originals
-    from pyspark.sql import Window as _W
-
+    # rerank: rotated-space ADC shortlist, exact L2 in the ORIGINAL
+    # space — the library's batch serving kernel (shares l2_distance
+    # with the IVF-PQ path, so distances are bit-identical to it)
     def io_rerank():
-        short = opq.ivfopq_topk_batch(
-            None, qcl, k=max(K, n_emb_cl // 20), n_probe=8,
+        return opq.ivfopq_topk_batch_rerank(
+            emb_cl, qcl, k=K, shortlist=max(K, n_emb_cl // 20), n_probe=8,
             r_cols=r_res, centroids=cents_rot, codebooks=books_rot,
             codes=iopq_codes,
-        ).select("query_id", "vec_id")
-        scored = (
-            emb_cl.select("vec_id", "embedding")
-            .join(F.broadcast(short), "vec_id")
-            .join(F.broadcast(qcl), "query_id")
-            .select(
-                "query_id", "vec_id",
-                F.round(
-                    F.sqrt(F.aggregate(
-                        F.zip_with(
-                            "embedding", "query_vec",
-                            lambda x, y: (x - y) * (x - y),
-                        ),
-                        F.lit(0.0), lambda a, x: a + x,
-                    )), 6,
-                ).alias("dist"),
-            )
-        )
-        w = _W.partitionBy("query_id").orderBy(
-            F.col("dist").asc(), F.col("vec_id").asc()
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= K).collect()
-        )
+        ).collect()
 
     t, io_rr = timed(io_rerank)
     timings["ivfopq_rerank_batch_20"] = t
@@ -1615,11 +1588,11 @@ def main():
             k: round(timings[k], 2) for k in headline_keys if k in timings
         },
         "reference_parity_20k": {
-            # lsh_recall_at_k / lsh_mrr live in quality_sel below —
-            # rendering them twice cost the line ~40 chars
+            # NOTE: this block's lsh_recall_at_k/lsh_mrr are measured
+            # on the 20k PARITY corpus — a different number from
+            # quality_sel's fixture-corpus lsh_recall; both stay
             k: round(v, 2) for k, v in ref_parity.items()
             if not k.endswith(("_w1_ms", "_w2_ms"))
-            and k not in ("lsh_recall_at_k", "lsh_mrr")
         },
         "growth_vs_linear": {
             k: round(v, 2)

@@ -459,6 +459,62 @@ def ivfopq_topk_batch(
     )
 
 
+def ivfopq_topk_batch_rerank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = C.PQ_SHORTLIST,
+    n_probe: int = 4,
+    r_cols: list[list[float]] | None = None,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Batch IVF-OPQ serving: per-query ADC shortlists from ONE
+    rotated-space batch probe (:func:`ivfopq_topk_batch` rotates the
+    queries driver-side), then one exact-L2 rerank of the fetched
+    shortlist vectors in the ORIGINAL space with the ORIGINAL query
+    vectors — the two passes need different query coordinates, which
+    is why this is not a plain :func:`ann.ivfpq_topk_batch_rerank`
+    call. Same two-shuffle shape and the same :func:`l2_distance`
+    expression as that kernel, so rerank distances are bit-identical
+    to the IVF-PQ serving path's.
+
+    Output: (query_id, vec_id, dist, rank<=k), dist the EXACT L2."""
+    short = ivfopq_topk_batch(
+        embeddings, queries, k=shortlist, n_probe=n_probe,
+        r_cols=r_cols, centroids=centroids, codebooks=codebooks,
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        codes=codes,
+    ).select(query_id_col, id_col)
+    qv = queries.select(query_id_col, query_vec_col)
+    scored = (
+        embeddings.select(id_col, vec_col)
+        .join(F.broadcast(short), id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                l2_distance(F.col(vec_col), F.col(query_vec_col)), 6
+            ).alias("dist"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "dist", "rank")
+    )
+
+
 def opq_topk_store(
     spark,
     path: str,

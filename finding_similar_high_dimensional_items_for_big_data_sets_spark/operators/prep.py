@@ -1102,7 +1102,10 @@ def _dsir_feature_buckets(text_col, n_buckets: int):
     mod n_buckets), no UDFs, engine-portable bit-for-bit."""
     from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.text import tokenize
 
-    toks = tokenize(text_col)
+    # NULL text folds to the empty feature list (weight 0.0), matching
+    # the oracle's zero-occurrence-rows + coalesce(0.0) semantics —
+    # without this, tokenize(NULL) nulls the whole fold
+    toks = tokenize(F.coalesce(text_col, F.lit("")))
     # guard: F.sequence steps DOWN when start > stop, so the bigram
     # index list must only be built for >= 2 tokens
     bigrams = F.when(
@@ -1286,7 +1289,9 @@ def _dsir_keyed(
         F.col(id_col).alias("doc_id"),
         lw.alias("lw"),
         (lw + gumbel).alias("key"),
-        F.size(tokenize(F.col(text_col))).alias("n_tokens"),
+        F.size(
+            tokenize(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("n_tokens"),
     )
 
 

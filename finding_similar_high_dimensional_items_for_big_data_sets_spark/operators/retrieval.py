@@ -225,46 +225,21 @@ def rrf_fuse(
 
     Output: (doc_id, rank_lex INT nullable, rank_vec INT nullable,
     rrf_score DOUBLE rounded-6, rank INT) — ties broken by doc_id.
+
+    Delegates to :func:`rrf_fuse_batch` under a constant query id, so
+    the point and batch paths share one expression tree and cannot
+    drift (the batch-twin law holds by construction, not by test).
     """
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
-    if c < 1:
-        raise ValueError(f"c must be >= 1, got {c}")
-    a = ranked_a.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(rank_a_col).cast("int").alias("rank_lex"),
-    )
-    bt = ranked_b.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(rank_b_col).cast("int").alias("rank_vec"),
-    )
-    fused = a.join(bt, "doc_id", "full_outer").select(
-        "doc_id",
-        "rank_lex",
-        "rank_vec",
-        (
-            F.coalesce(
-                F.lit(1.0) / (F.lit(c) + F.col("rank_lex")), F.lit(0.0)
-            )
-            + F.coalesce(
-                F.lit(1.0) / (F.lit(c) + F.col("rank_vec")), F.lit(0.0)
-            )
-        ).alias("rrf_score"),
-    )
-    w = Window.orderBy(
-        F.round(F.col("rrf_score"), 10).desc(), F.col("doc_id").asc()
-    ).partitionBy(F.pmod(F.col("doc_id"), F.lit(1)))
-    return (
-        fused.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "doc_id",
-            "rank_lex",
-            "rank_vec",
-            F.round(F.col("rrf_score"), 6).alias("rrf_score"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return rrf_fuse_batch(
+        ranked_a.withColumn("_qid", F.lit(0)),
+        ranked_b.withColumn("_qid", F.lit(0)),
+        k=k,
+        c=c,
+        id_col=id_col,
+        query_id_col="_qid",
+        rank_a_col=rank_a_col,
+        rank_b_col=rank_b_col,
+    ).select("doc_id", "rank_lex", "rank_vec", "rrf_score", "rank")
 
 
 def rrf_fuse_batch(

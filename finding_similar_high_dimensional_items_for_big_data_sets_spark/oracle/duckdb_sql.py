@@ -3128,22 +3128,19 @@ HAVING count(*) >= {ms}
 
 
 
-def _dsir_raw_cte() -> str:
-    """Shared DSIR CTE body: per-raw-doc log importance weight.
-    Mirrors prep.dsir_importance_weights exactly — same hashed
-    unigram+bigram occurrence buckets (portable md5 family), same
-    add-one-smoothed per-bucket log ratios over exact integer counts,
-    same ascending-bucket float summation order (ties between equal
-    buckets carry equal lambda, so the fold sequence is identical).
-    The engine computes the ratios driver-side with Python math.log
-    and this twin uses DuckDB ln() — both libm doubles, inside the
-    round(6) like the NB priors."""
+def _dsir_cnt_cte() -> str:
+    """Shared DSIR feature-count prefix (d/feats/occ/cnt): hashed
+    unigram+bigram occurrence buckets (portable md5 family, NULL text
+    folded to the empty list) and the per-bucket target/raw counts.
+    ONE copy consumed by every DSIR twin — the weight family via
+    :func:`_dsir_raw_cte` and the divergence report — so the feature
+    definition cannot drift between them."""
     b, m = C.DSIR_BUCKETS, C.DSIR_TARGET_MOD
     h = H("g")
     return f"""
 d AS (
   SELECT doc_id,
-         list_filter(string_split(text, ' '), x -> x <> '') AS t
+         list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS t
   FROM documents),
 feats AS (
   SELECT doc_id,
@@ -3160,7 +3157,21 @@ cnt AS (
   SELECT f,
          sum(CASE WHEN doc_id % {m} = 0 THEN 1 ELSE 0 END) AS ctt,
          sum(CASE WHEN doc_id % {m} != 0 THEN 1 ELSE 0 END) AS crr
-  FROM occ GROUP BY 1),
+  FROM occ GROUP BY 1)"""
+
+
+def _dsir_raw_cte() -> str:
+    """Shared DSIR CTE body: per-raw-doc log importance weight.
+    Mirrors prep.dsir_importance_weights exactly — same hashed
+    unigram+bigram occurrence buckets (portable md5 family), same
+    add-one-smoothed per-bucket log ratios over exact integer counts,
+    same ascending-bucket float summation order (ties between equal
+    buckets carry equal lambda, so the fold sequence is identical).
+    The engine computes the ratios driver-side with Python math.log
+    and this twin uses DuckDB ln() — both libm doubles, inside the
+    round(6) like the NB priors."""
+    b, m = C.DSIR_BUCKETS, C.DSIR_TARGET_MOD
+    return f"""{_dsir_cnt_cte()},
 lam AS MATERIALIZED (
   SELECT f,
          ln(CAST(ctt + 1 AS DOUBLE))
@@ -3181,6 +3192,19 @@ raw AS (
   WHERE d.doc_id % {m} != 0)"""
 
 
+def _dsir_keyed_cte() -> str:
+    """Shared Gumbel-key CTE over the raw pool: one copy of the
+    u = (salted-hash mod 2^20 + 0.5) / 2^20 draw for both the
+    count-budget and token-budget selectors."""
+    scale = 1 << 20
+    h = H("CAST(doc_id AS VARCHAR) || ':dsir'")
+    return f"""
+keyed AS (
+  SELECT doc_id, log_w,
+         log_w + (-ln(-ln((({h} % {scale}) + 0.5) / {scale}.0))) AS sel_key
+  FROM raw)"""
+
+
 def sql_dsir_weights() -> str:
     """Mirrors prep.dsir_importance_weights (see _dsir_raw_cte)."""
     return f"""
@@ -3194,14 +3218,9 @@ def sql_dsir_select() -> str:
     DSIR weights. u = (salted-hash mod 2^20 + 0.5) / 2^20 is exact in
     binary64 both engines; the rank orders by round(key, 10) desc with
     id tiebreak, the NB argmax discipline."""
-    n, scale = C.DSIR_SELECT_N, 1 << 20
-    h = H("CAST(doc_id AS VARCHAR) || ':dsir'")
+    n = C.DSIR_SELECT_N
     return f"""
-WITH {_dsir_raw_cte()},
-keyed AS (
-  SELECT doc_id, log_w,
-         log_w + (-ln(-ln((({h} % {scale}) + 0.5) / {scale}.0))) AS sel_key
-  FROM raw),
+WITH {_dsir_raw_cte()},{_dsir_keyed_cte()},
 rk AS (
   SELECT doc_id, log_w, sel_key,
          CAST(row_number() OVER (
@@ -3395,14 +3414,9 @@ def sql_dsir_select_tokens() -> str:
     token total (including the doc) stays within the budget. The
     oracle states the law as one running-sum window; the engine
     computes the identical prefix with the distributed scan."""
-    budget, scale = C.DSIR_TOKEN_BUDGET, 1 << 20
-    h = H("CAST(doc_id AS VARCHAR) || ':dsir'")
+    budget = C.DSIR_TOKEN_BUDGET
     return f"""
-WITH {_dsir_raw_cte()},
-keyed AS (
-  SELECT doc_id, log_w,
-         log_w + (-ln(-ln((({h} % {scale}) + 0.5) / {scale}.0))) AS sel_key
-  FROM raw),
+WITH {_dsir_raw_cte()},{_dsir_keyed_cte()},
 ordered AS (
   SELECT k.doc_id, k.log_w, k.sel_key,
          CAST(len(d.t) AS INT) AS n_tokens,
@@ -3424,29 +3438,9 @@ def sql_dsir_divergence() -> str:
     closed-form unseen-bucket contribution, every expression shape
     identical to the engine's (same division operands, same ln
     sequence, same left-associative products)."""
-    b, m = C.DSIR_BUCKETS, C.DSIR_TARGET_MOD
-    h = H("g")
+    b = C.DSIR_BUCKETS
     return f"""
-WITH d AS (
-  SELECT doc_id,
-         list_filter(string_split(text, ' '), x -> x <> '') AS t
-  FROM documents),
-feats AS (
-  SELECT doc_id,
-    list_transform(
-      list_concat(t,
-        CASE WHEN len(t) >= 2
-             THEN list_transform(range(1, len(t)),
-                    i -> t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)])
-             ELSE CAST([] AS VARCHAR[]) END),
-      g -> {h} % {b}) AS f
-  FROM d),
-occ AS (SELECT doc_id, unnest(f) AS f FROM feats),
-cnt AS MATERIALIZED (
-  SELECT f,
-         sum(CASE WHEN doc_id % {m} = 0 THEN 1 ELSE 0 END) AS ctt,
-         sum(CASE WHEN doc_id % {m} != 0 THEN 1 ELSE 0 END) AS crr
-  FROM occ GROUP BY 1),
+WITH {_dsir_cnt_cte()},
 tot AS MATERIALIZED (
   SELECT sum(ctt) AS tt, sum(crr) AS rt, count(*) AS nf FROM cnt),
 terms AS (

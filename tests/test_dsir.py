@@ -203,3 +203,22 @@ def test_divergence_orders_distribution_distance(spark):
     assert r_far["kl_target_raw"] > 10 * r_same["kl_target_raw"]
     assert r_far["kl_raw_target"] > 10 * r_same["kl_raw_target"]
     assert 0 < r_same["active_buckets"] <= B
+
+
+def test_null_text_scores_like_empty(spark):
+    a = "alpha beta gamma delta alpha beta"
+    docs = spark.createDataFrame(
+        [(0, a), (10, a), (1, a), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_importance_weights(docs, n_buckets=B).collect()
+    }
+    # NULL text must fold like the empty doc (0.0), matching the
+    # oracle's zero-occurrence + coalesce semantics — not a NULL that
+    # poisons the fold and silently drops the doc from selection
+    assert w[2] == 0.0 == w[3]
+    sel = dsir_select(docs, n_select=3, n_buckets=B).collect()
+    assert {r["doc_id"] for r in sel} == {1, 2, 3}
+    assert all(r["sel_key"] is not None for r in sel)

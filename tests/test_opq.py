@@ -193,6 +193,45 @@ def test_ivfopq_batch_identical_to_point(spark, sample, artifact):
         assert sorted(got[qid]) == sorted(want), qid
 
 
+def test_ivfopq_batch_rerank_identical_to_point_rerank(spark, sample, artifact):
+    """The batch serving kernel (rotated-space ADC shortlist, exact
+    original-space L2 rerank) must answer per query exactly what the
+    point rerank answers — and with full shortlist coverage it must
+    equal exact brute-force L2."""
+    ids, X = sample
+    r_cols, _ = artifact
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = opq.ivfopq_topk_batch_rerank(
+        emb, qs, k=5, shortlist=10, n_probe=4, r_cols=r_cols
+    )
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["dist"], r["rank"]))
+    for qid in range(3):
+        q = [float(v) for v in X[int(np.where(ids == qid)[0][0])]]
+        want = [
+            (r["vec_id"], r["dist"], r["rank"])
+            for r in opq.ivfopq_topk_rerank(
+                emb, q, k=5, shortlist=10, n_probe=4, r_cols=r_cols
+            ).collect()
+        ]
+        assert got[qid] == want, qid
+    # full coverage: every cell probed + corpus-wide shortlist => exact
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import bruteforce
+
+    full = opq.ivfopq_topk_batch_rerank(
+        emb, qs, k=5, shortlist=n, n_probe=16, r_cols=r_cols
+    )
+    exact = bruteforce.l2_topk(emb, qs, k=5)
+    lhs = sorted(map(tuple, full.collect()))
+    rhs = sorted(map(tuple, exact.collect()))
+    assert lhs == rhs
+
+
 def test_store_roundtrip_append_and_guards(spark, sample, artifact, tmp_path):
     """Store lifecycle at parity with the PQ store: from-store answers
     identical to in-memory, incremental append encodes only the new
