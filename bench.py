@@ -985,6 +985,16 @@ def main():
             ingest_once()
             block["incremental_dedup"] = timed_min(ingest_once, max(2, reps - 1))
 
+            # deterministic epoch shuffle: the distributed prefix
+            # count's scale claim — one range shuffle + a bounded
+            # per-partition count job, growth must hold ~linear or
+            # below however big the corpus
+            def shuffle_once():
+                prep_ops.epoch_shuffle(docs_s, epoch=1).count()
+
+            shuffle_once()
+            block["epoch_shuffle"] = timed_min(shuffle_once, max(2, reps - 1))
+
             # SemDeDup pairs at corpus-scaled cell counts (~N/256 cells
             # keeps the within-cell quadratic bounded). Flat argmin
             # assignment against n_cells ∝ N centroids is O(N²) total —
@@ -1224,6 +1234,7 @@ def main():
                 "ivfpq_probe_batch_20_onejob",
                 "postings_build",
                 "bm25_store_probe",
+                "epoch_shuffle",
             )
         }
         # The encode pass is O(N * tree_depth) by construction (greedy
