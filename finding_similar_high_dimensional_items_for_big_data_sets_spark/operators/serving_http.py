@@ -430,6 +430,21 @@ class RouterService:
         self.timeout = timeout
 
     # -- transport ---------------------------------------------------------
+    @staticmethod
+    def _parse_body(raw: bytes, status: int) -> dict:
+        """Replica bodies are normalized to dicts here, so every later
+        access (body.get, the candidates check) is total — an
+        unparseable or non-object body from a replica (or a proxy in
+        front of it) must become a routed error, never an exception
+        that drops the client connection."""
+        try:
+            body = json.loads(raw)
+        except (ValueError, json.JSONDecodeError):
+            return {"error": f"replica returned an unparseable HTTP {status} body"}
+        if not isinstance(body, dict):
+            return {"error": f"replica returned a non-object HTTP {status} body"}
+        return body
+
     def _post(self, url: str, payload: dict) -> tuple[int, dict]:
         import urllib.error
         import urllib.request
@@ -442,12 +457,9 @@ class RouterService:
         )
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-                return resp.status, json.loads(resp.read())
+                return resp.status, self._parse_body(resp.read(), resp.status)
         except urllib.error.HTTPError as e:
-            try:
-                return e.code, json.loads(e.read())
-            except (ValueError, json.JSONDecodeError):
-                return e.code, {"error": f"replica returned HTTP {e.code}"}
+            return e.code, self._parse_body(e.read(), e.code)
         except (urllib.error.URLError, OSError) as e:
             return 503, {"error": f"replica unreachable: {e}"}
 
@@ -462,26 +474,16 @@ class RouterService:
     def _gather(self, urls: list[str], payload: dict):
         """(error_response | None, per-replica candidate lists)."""
         results = self._fan(urls, payload)
+        # one pass, replica order: envelope rejection, replica error,
+        # or a 200 without a candidate list (a replica failure too —
+        # 502 like any other incomplete cover, never a KeyError that
+        # drops the connection). Bodies are dicts by _parse_body.
         for url, (status, body) in zip(urls, results):
             if status == 400:
                 # envelope rejection — every replica validates alike;
                 # surface the replica's own message to the caller
                 return (400, body), None
-            if status != 200:
-                return (
-                    502,
-                    {
-                        "error": "replica failed; partial answers are not "
-                        "served (merge is only exact over a complete cover)",
-                        "replica": url,
-                        "detail": body.get("error"),
-                    },
-                ), None
-        # a 200 with a malformed body (no candidate list) is a replica
-        # failure too — 502 like any other incomplete cover, not a
-        # KeyError that drops the connection
-        for url, (_s, body) in zip(urls, results):
-            if not isinstance(body, dict) or not isinstance(
+            if status != 200 or not isinstance(
                 body.get("candidates"), list
             ):
                 return (
@@ -490,7 +492,11 @@ class RouterService:
                         "error": "replica failed; partial answers are not "
                         "served (merge is only exact over a complete cover)",
                         "replica": url,
-                        "detail": "200 response without a candidates list",
+                        "detail": (
+                            body.get("error")
+                            if status != 200
+                            else "200 response without a candidates list"
+                        ),
                     },
                 ), None
         return None, [body["candidates"] for _s, body in results]

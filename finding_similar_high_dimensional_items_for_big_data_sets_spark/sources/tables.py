@@ -928,15 +928,7 @@ def write_pq_index(
     pq_encode(embeddings, codebooks, id_col, vec_col).write.mode(
         "overwrite"
     ).parquet(path)
-    _write_store_meta(
-        path,
-        {
-            "kind": "pq",
-            "codebooks": [
-                [[float(x) for x in code] for code in book] for book in codebooks
-            ],
-        },
-    )
+    _write_store_meta(path, _pq_meta(codebooks))
 
 
 def read_pq_index(spark, path: str):
@@ -964,15 +956,7 @@ def append_pq_index(
     )
 
     _reject_stream_codes_store(path)
-    _check_store_meta(
-        path,
-        {
-            "kind": "pq",
-            "codebooks": [
-                [[float(x) for x in code] for code in book] for book in codebooks
-            ],
-        },
-    )
+    _check_store_meta(path, _pq_meta(codebooks))
     pq_encode(embeddings, codebooks, id_col, vec_col).write.mode("append").parquet(
         path
     )
@@ -980,11 +964,14 @@ def append_pq_index(
 
 def _reject_stream_codes_store(path: str) -> None:
     """Plain appends refuse a stream-maintained (batch-partitioned)
-    codes store: new vectors must land through the epoch loop
-    (:func:`..streaming.codes.stream_codes_ingest`) whose per-epoch
-    partitions stay replay-idempotent — a plain append would not, and
-    would also write rows without the ``ingest_batch`` column the
-    layout requires. Same contract as :func:`append_postings_index`."""
+    store: new vectors must land through the store's epoch loop
+    (:func:`..streaming.codes.stream_codes_ingest` for flat codes,
+    the :func:`..streaming.semantic.stream_semantic_ingest` codes
+    feed for the cell stores) whose per-epoch partitions stay
+    replay-idempotent — a plain append would not, and would also
+    write rows without the ``ingest_batch`` partition column, leaving
+    the directory tree at two conflicting depths (unreadable). Same
+    contract as :func:`append_postings_index`."""
     try:
         meta = read_store_meta(path)
     except FileNotFoundError:
@@ -996,6 +983,19 @@ def _reject_stream_codes_store(path: str) -> None:
             "per-epoch partitions stay replay-idempotent; a plain "
             "append would not"
         )
+
+def _pq_meta(codebooks: list[list[list[float]]]) -> dict:
+    """Flat-PQ sidecar dict — ONE builder for the base write, the
+    append guard's expectation, and the stream base, so the
+    field-by-field _check_store_meta comparison can never drift
+    between copies of the literal."""
+    return {
+        "kind": "pq",
+        "codebooks": [
+            [[float(x) for x in code] for code in book] for book in codebooks
+        ],
+    }
+
 
 def _opq_meta(
     r_cols: list[list[float]], codebooks: list[list[list[float]]]
@@ -1147,6 +1147,7 @@ def append_ivfpq_index(
         ivfpq_encode,
     )
 
+    _reject_stream_codes_store(path)
     _check_store_meta(path, _ivfpq_meta(centroids, codebooks))
     ivfpq_encode(embeddings, centroids, codebooks, id_col, vec_col).write.mode(
         "append"
@@ -1240,6 +1241,7 @@ def append_ivfopq_index(
         ivfopq_encode,
     )
 
+    _reject_stream_codes_store(path)
     _check_store_meta(path, _ivfopq_meta(r_cols, centroids, codebooks))
     ivfopq_encode(
         embeddings, r_cols, centroids, codebooks, id_col, vec_col
@@ -1265,6 +1267,18 @@ def read_absorbed_watermark(path: str) -> int | None:
         return None
     with open(f) as fh:
         return int(json.load(fh)["max_absorbed_epoch"])
+
+
+def epoch_absorbed(store_path: str, batch_id: int) -> bool:
+    """True iff this stream epoch was already folded into the store's
+    base partition by a compaction — a checkpoint-loss replay of an
+    absorbed epoch must NOT re-land it as a fresh partition (its rows
+    would then exist twice: in the base and in the replayed
+    partition). ONE implementation for every exactly-once loop
+    (MinHash, IVF-PQ/IVF-OPQ, lexical, flat codes) so replay
+    semantics cannot diverge between them."""
+    wm = read_absorbed_watermark(store_path)
+    return wm is not None and int(batch_id) <= wm
 
 
 def write_absorbed_watermark(path: str, epoch: int) -> None:
@@ -1634,13 +1648,7 @@ def write_codes_stream_base(
         )
 
         encoded = pq_encode(embeddings, codebooks, id_col, vec_col)
-        meta = {
-            "kind": "pq",
-            "codebooks": [
-                [[float(x) for x in code] for code in book]
-                for book in codebooks
-            ],
-        }
+        meta = _pq_meta(codebooks)
     (
         encoded.withColumn("ingest_batch", F.lit(BASE_INGEST_BATCH))
         .write.mode("overwrite")

@@ -26,17 +26,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
-    read_absorbed_watermark,
     read_store_meta,
 )
 
 
 def _epoch_absorbed(store_path: str, batch_id: int) -> bool:
-    """True iff this epoch was already folded into the store's base
-    partition by a compaction — a checkpoint-loss replay must not
-    re-land it as a fresh partition (its rows would then exist twice)."""
-    wm = read_absorbed_watermark(store_path)
-    return wm is not None and int(batch_id) <= wm
+    """Delegates to the one shared implementation in sources.tables —
+    replay semantics must be identical across every epoch loop."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        epoch_absorbed,
+    )
+
+    return epoch_absorbed(store_path, batch_id)
 
 
 def stream_codes_ingest(

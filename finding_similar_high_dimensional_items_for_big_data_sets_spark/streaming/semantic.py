@@ -151,17 +151,13 @@ def semantic_new_rows(
 
 
 def _epoch_absorbed(codes_path: str, batch_id: int) -> bool:
-    """True iff this epoch was already folded into the codes store's
-    base partition by :func:`..sources.tables.compact_ivfpq_index` —
-    a checkpoint-loss replay of an absorbed epoch must NOT re-land it
-    as a fresh ``ingest_batch`` partition (its rows would then exist
-    twice: in the base and in the replayed partition)."""
+    """Delegates to the one shared implementation in sources.tables —
+    replay semantics must be identical across every epoch loop."""
     from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
-        read_absorbed_watermark,
+        epoch_absorbed,
     )
 
-    wm = read_absorbed_watermark(codes_path)
-    return wm is not None and int(batch_id) <= wm
+    return epoch_absorbed(codes_path, batch_id)
 
 
 def write_ivfpq_stream_base(
@@ -208,6 +204,10 @@ def write_ivfpq_stream_base(
             id_col, vec_col,
         )
         meta = _ivfpq_meta(centroids, codebooks)
+    # mark the store stream-maintained: plain append_ivfpq_index /
+    # append_ivfopq_index refuse it (they write at cell-only depth,
+    # which would leave the directory tree unreadable)
+    meta["batch_partitioned"] = True
     (
         encoded.withColumn("ingest_batch", F.lit(BASE_INGEST_BATCH))
         .write.mode("overwrite")
@@ -264,6 +264,25 @@ def stream_semantic_ingest(
         )
     if pq_r_cols is not None and pq_codebooks is None:
         raise ValueError("pq_r_cols requires pq_codebooks and codes_path")
+    if codes_path is not None:
+        # the codes store's sidecar pins the codec; a stream started
+        # with a different rotation/centroids/codebooks would land
+        # codes the store's own query path cannot read (garbage ADC
+        # distances, silently) — refuse up front, like the append guard
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+            _check_store_meta,
+            _ivfopq_meta,
+            _ivfpq_meta,
+        )
+
+        if pq_r_cols is not None:
+            _check_store_meta(
+                codes_path, _ivfopq_meta(pq_r_cols, centroids, pq_codebooks)
+            )
+        else:
+            _check_store_meta(
+                codes_path, _ivfpq_meta(centroids, pq_codebooks)
+            )
     spark = stream_emb.sparkSession
     table_cols = [c.name for c in spark.catalog.listColumns(cell_store_table)]
     if "ingest_batch" not in table_cols:

@@ -324,3 +324,48 @@ def test_router_rejects_malformed_200_body(spark, corpus):
         assert "candidates" in detail["detail"]
     finally:
         _stop([(router, rt), (server, st), (bad, bt)])
+
+
+def test_router_rejects_unparseable_200_body(spark, corpus):
+    """A replica (or a proxy in front of it) answering 200 with a
+    NON-JSON body must route to the same 502 — json parsing happens
+    inside _post's normalizer, never as an exception that drops the
+    client connection."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    import threading
+
+    docs, _ = corpus
+    sigs = minhash.signatures(docs.limit(50), PARAMS).cache()
+    bands = lsh.bands_table(sigs, PARAMS)
+    idx = ServingIndex.from_dataframes(sigs, bands, PARAMS)
+    server, st = serving_http.start_server(idx)
+
+    class HtmlHandler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            data = b"<html>gateway speaking html</html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, fmt, *args):
+            pass
+
+    bad = ThreadingHTTPServer(("127.0.0.1", 0), HtmlHandler)
+    bt = threading.Thread(target=bad.serve_forever, daemon=True)
+    bt.start()
+    bad_url = f"http://{bad.server_address[0]}:{bad.server_address[1]}"
+
+    router, rt = serving_http.start_router_server(
+        "lsh", [_url(server), bad_url]
+    )
+    try:
+        qsig = [int(v) for v in sigs.first()["sig"]]
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(_url(router), "/query", {"vector": qsig, "k": 5})
+        assert ei.value.code == 502
+        detail = json.loads(ei.value.read())
+        assert detail["replica"] == bad_url
+    finally:
+        _stop([(router, rt), (server, st), (bad, bt)])

@@ -483,3 +483,81 @@ def test_stream_semantic_maintains_ivfopq_codes_store(spark, tmp_path):
         assert first_row["vec_id"] == 100 and first_row["dist"] == 0.0
     finally:
         spark.sql("DROP TABLE IF EXISTS t_sem_hist7")
+
+
+def test_plain_appends_reject_stream_maintained_cell_store(spark, tmp_path):
+    """write_ivfpq_stream_base lays the store out at ingest_batch/cell
+    depth; a plain append writes at cell-only depth, which would leave
+    the directory tree unreadable — both cell-store appends must
+    refuse up front (the cell-store twin of the flat-codes guard)."""
+    import pytest
+
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import opq
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        append_ivfopq_index,
+        append_ivfpq_index,
+    )
+
+    base_dirs, cents = _setup(spark, "t_sem_guard1")
+    rs = np.random.RandomState(77)
+    books = ann.random_codebooks(DIM, 2, 4, seed=9)
+    rows = [(i, [float(v) for v in base_dirs[i]]) for i in range(4)]
+    p1 = str(tmp_path / "stream_ivfpq")
+    SS.write_ivfpq_stream_base(_corpus(spark, rows), p1, cents, books)
+    newbie = _corpus(spark, [(50, _vec(rs))])
+    with pytest.raises(ValueError, match="stream-maintained"):
+        append_ivfpq_index(newbie, p1, cents, books)
+
+    r_cols, obooks = opq.opq_train(
+        np.vstack([rs.normal(size=DIM) for _ in range(32)]),
+        m=2, n_codes=4, iters=2, kmeans_iters=3, seed=5,
+    )
+    p2 = str(tmp_path / "stream_ivfopq")
+    SS.write_ivfpq_stream_base(
+        _corpus(spark, rows), p2, cents, obooks, r_cols=r_cols
+    )
+    with pytest.raises(ValueError, match="stream-maintained"):
+        append_ivfopq_index(newbie, p2, r_cols, cents, obooks)
+
+
+def test_stream_semantic_rejects_mismatched_codec(spark, tmp_path):
+    """The codes store's sidecar pins the codec; starting the stream
+    with a different rotation or codebooks must refuse up front —
+    otherwise streamed epochs land codes the store's own query path
+    reads with garbage ADC distances, silently."""
+    import pytest
+
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import opq
+
+    base_dirs, cents = _setup(spark, "t_sem_guard2")
+    rs = np.random.RandomState(78)
+    r_cols, books = opq.opq_train(
+        np.vstack([rs.normal(size=DIM) for _ in range(32)]),
+        m=2, n_codes=4, iters=2, kmeans_iters=3, seed=5,
+    )
+    other_r, other_books = opq.opq_train(
+        np.vstack([rs.normal(size=DIM) for _ in range(32)]),
+        m=2, n_codes=4, iters=2, kmeans_iters=3, seed=6,
+    )
+    rows = [(i, [float(v) for v in base_dirs[i]]) for i in range(4)]
+    codes_p = str(tmp_path / "codes_guard")
+    SS.write_ivfpq_stream_base(
+        _corpus(spark, rows), codes_p, cents, books, r_cols=r_cols
+    )
+    src = str(tmp_path / "src_guard")
+    _corpus(spark, [(100, _vec(rs))]).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(src)
+    with pytest.raises(ValueError, match="different quantizer config"):
+        SS.stream_semantic_ingest(
+            stream, "t_sem_guard2", str(tmp_path / "o"),
+            str(tmp_path / "c"), cents,
+            pq_codebooks=books, codes_path=codes_p, pq_r_cols=other_r,
+        )
+    with pytest.raises(ValueError, match="different quantizer config"):
+        SS.stream_semantic_ingest(
+            stream, "t_sem_guard2", str(tmp_path / "o"),
+            str(tmp_path / "c"), cents,
+            pq_codebooks=other_books, codes_path=codes_p, pq_r_cols=r_cols,
+        )
