@@ -1245,7 +1245,10 @@ def dsir_select(
     if n_select < 1:
         raise ValueError(f"n_select must be >= 1, got {n_select}")
     top = (
-        _dsir_keyed(docs, target_mod, n_buckets, id_col, text_col, u_scale)
+        _dsir_keyed(
+            docs, target_mod, n_buckets, id_col, text_col, u_scale,
+            with_tokens=False,
+        )
         .orderBy(F.round(F.col("key"), 10).desc(), F.col("doc_id").asc())
         .limit(n_select)
     )
@@ -1265,11 +1268,15 @@ def _dsir_keyed(
     id_col: str,
     text_col: str,
     u_scale: int,
+    with_tokens: bool = True,
 ) -> DataFrame:
     """Shared DSIR selection head: the raw pool with (doc_id, lw, key)
     where key = log weight + deterministic Gumbel. One expression tree
     for the count-budget and token-budget selectors so their keys
-    cannot drift."""
+    cannot drift. ``with_tokens=False`` drops the ``n_tokens`` column
+    (a full second tokenize pass per row) for the count-budget
+    selector, which never reads it — the shared-tree goal is the KEY
+    expression, not the token count."""
     lam = dsir_feature_log_ratios(
         docs, target_mod=target_mod, n_buckets=n_buckets,
         id_col=id_col, text_col=text_col,
@@ -1283,16 +1290,20 @@ def _dsir_keyed(
     gumbel = -F.log(-F.log(u))
     from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.text import tokenize
 
-    return docs.filter(
-        F.pmod(F.col(id_col), F.lit(target_mod)) != 0
-    ).select(
+    cols = [
         F.col(id_col).alias("doc_id"),
         lw.alias("lw"),
         (lw + gumbel).alias("key"),
-        F.size(
-            tokenize(F.coalesce(F.col(text_col), F.lit("")))
-        ).alias("n_tokens"),
-    )
+    ]
+    if with_tokens:
+        cols.append(
+            F.size(
+                tokenize(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("n_tokens")
+        )
+    return docs.filter(
+        F.pmod(F.col(id_col), F.lit(target_mod)) != 0
+    ).select(*cols)
 
 
 def dsir_select_tokens(

@@ -962,24 +962,36 @@ def append_pq_index(
     )
 
 
-def _reject_stream_codes_store(path: str) -> None:
+def _reject_stream_codes_store(
+    path: str, ingest_hint: str = "stream_codes_ingest"
+) -> None:
     """Plain appends refuse a stream-maintained (batch-partitioned)
     store: new vectors must land through the store's epoch loop
     (:func:`..streaming.codes.stream_codes_ingest` for flat codes,
     the :func:`..streaming.semantic.stream_semantic_ingest` codes
-    feed for the cell stores) whose per-epoch partitions stay
+    feed for the cell stores — ``ingest_hint`` names the right one in
+    the raised message) whose per-epoch partitions stay
     replay-idempotent — a plain append would not, and would also
     write rows without the ``ingest_batch`` partition column, leaving
     the directory tree at two conflicting depths (unreadable). Same
-    contract as :func:`append_postings_index`."""
+    contract as :func:`append_postings_index`.
+
+    A store is stream-maintained if its sidecar says so OR if its
+    directory tree carries ``ingest_batch=`` partitions — bases
+    written before the sidecar grew the ``batch_partitioned`` flag
+    lack it, and the layout itself is the ground truth the append
+    would corrupt."""
     try:
         meta = read_store_meta(path)
     except FileNotFoundError:
         return
-    if meta.get("batch_partitioned"):
+    batch_partitioned = meta.get("batch_partitioned") or any(
+        name.startswith("ingest_batch=") for name in os.listdir(path)
+    )
+    if batch_partitioned:
         raise ValueError(
             f"{path} is a stream-maintained (batch-partitioned) store — "
-            "land new vectors through stream_codes_ingest, whose "
+            f"land new vectors through {ingest_hint}, whose "
             "per-epoch partitions stay replay-idempotent; a plain "
             "append would not"
         )
@@ -1147,7 +1159,7 @@ def append_ivfpq_index(
         ivfpq_encode,
     )
 
-    _reject_stream_codes_store(path)
+    _reject_stream_codes_store(path, "the stream_semantic_ingest codes feed")
     _check_store_meta(path, _ivfpq_meta(centroids, codebooks))
     ivfpq_encode(embeddings, centroids, codebooks, id_col, vec_col).write.mode(
         "append"
@@ -1241,7 +1253,7 @@ def append_ivfopq_index(
         ivfopq_encode,
     )
 
-    _reject_stream_codes_store(path)
+    _reject_stream_codes_store(path, "the stream_semantic_ingest codes feed")
     _check_store_meta(path, _ivfopq_meta(r_cols, centroids, codebooks))
     ivfopq_encode(
         embeddings, r_cols, centroids, codebooks, id_col, vec_col
