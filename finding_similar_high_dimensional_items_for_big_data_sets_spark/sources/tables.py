@@ -629,6 +629,189 @@ def synthetic_documents(
     )
 
 
+# ---------------------------------------------------------------------------
+# Shared store-swap core: ONE implementation of the crash-safe
+# rename-aside / rename-in / drop-old protocol (and its recovery) for every
+# persisted index family — LSH (bands table + signature directory), IVF-PQ,
+# IVF-OPQ, lexical postings, flat PQ/OPQ codes, and the CMS/HLL sketch
+# stores. The protocol is parameterized by its four primitives (exists /
+# rename / drop / sync), instantiated once for directory stores
+# (os.rename + shutil.rmtree; sync is a no-op) and once for the bucketed
+# catalog table (ALTER TABLE RENAME + partition-metadata sync), so the
+# crash-window semantics every maintenance test pins cannot diverge
+# between families. Prepare (build the complete sibling copy) and commit
+# (swap it in) are separate phases so a multi-store transaction can
+# prepare every store before swapping any (retention.delete_docs_everywhere).
+# ---------------------------------------------------------------------------
+
+
+def _swap_names(path: str, suffix: str = "__compact") -> tuple[str, str]:
+    """(tmp, old) sibling names for a store's swap window."""
+    return path.rstrip("/") + suffix + "_tmp", path.rstrip("/") + suffix + "_old"
+
+
+def _swap_in_protocol(live, tmp, old, rename, drop, sync=lambda name: None):
+    """rename-aside / rename-in / drop-old: a complete copy exists under
+    SOME name at every instant; an in-process failure restores the live
+    name before re-raising; a process death inside the window is healed
+    by :func:`_swap_recover_protocol`. ``sync`` re-points catalog
+    partition metadata after each rename (tables only — a renamed
+    partitioned managed table keeps per-partition locations at the old
+    absolute paths, which the final drop would otherwise delete out
+    from under the new copy)."""
+    rename(live, old)
+    sync(old)
+    try:
+        rename(tmp, live)
+    except Exception:
+        rename(old, live)
+        sync(live)
+        raise
+    sync(live)
+    drop(old)
+
+
+def _swap_recover_protocol(
+    live,
+    tmp,
+    old,
+    *,
+    exists,
+    rename,
+    drop,
+    sync=lambda name: None,
+    tmp_complete=lambda: True,
+    healthy_drops=("tmp", "old"),
+    label: str = "store",
+    detail: str = "restore from backup",
+) -> bool:
+    """Startup recovery for a death anywhere inside
+    :func:`_swap_in_protocol`: if the live name survives, clear the
+    configured leftovers; otherwise re-install whichever complete copy
+    survives (the rewritten tmp if ``tmp_complete()``, else the
+    set-aside original). Every sync runs BEFORE the rename/drop that
+    needs it so a leftover's stale partition locations can never alias
+    (and then delete) the live copy's directories. Returns True if any
+    action was taken; raises only if no copy survives."""
+    by_name = {"tmp": tmp, "old": old}
+    if exists(live):
+        acted = False
+        for name in healthy_drops:
+            left = by_name[name]
+            if exists(left):
+                sync(left)
+                drop(left)
+                acted = True
+        if acted:
+            sync(live)
+        return acted
+    if exists(tmp) and tmp_complete():
+        if exists(old):
+            sync(old)
+        rename(tmp, live)
+        sync(live)
+        if exists(old):
+            drop(old)
+        return True
+    if exists(old):
+        if exists(tmp):
+            # incomplete rewrite: the set-aside original is the truth
+            sync(tmp)
+        rename(old, live)
+        sync(live)
+        if exists(tmp):
+            drop(tmp)
+        return True
+    raise ValueError(
+        f"no surviving copy of {label} {live} (neither the live copy, a "
+        f"complete tmp, nor the set-aside old exists) — {detail}"
+    )
+
+
+def _prepare_dir_swap(path: str, suffix: str = "__compact") -> str:
+    """Phase 1 for a directory store: clear stale leftovers and return
+    the sibling tmp path the caller writes the COMPLETE replacement
+    store into (data + sidecars + watermark). Phase 2 is
+    :func:`_commit_dir_swap`."""
+    import shutil
+
+    tmp, old = _swap_names(path, suffix)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    return tmp
+
+
+def _commit_dir_swap(path: str, suffix: str = "__compact") -> None:
+    """Phase 2 for a directory store: swap the prepared tmp in via the
+    shared protocol (plain renames — atomic on one filesystem; on HDFS
+    they map to ``FileSystem.rename``; object stores without atomic
+    rename should hold the store under a table format instead)."""
+    import shutil
+
+    tmp, old = _swap_names(path, suffix)
+    _swap_in_protocol(path, tmp, old, os.rename, shutil.rmtree)
+
+
+def _recover_dir_swap(
+    path: str,
+    markers: tuple[str, ...] = ("_SUCCESS",),
+    suffix: str = "__compact",
+    label: str = "store",
+) -> bool:
+    """Directory-store recovery: ``markers`` are the files whose joint
+    presence inside tmp means its rewrite completed (data ``_SUCCESS``
+    plus whichever sidecars the family writes after it)."""
+    import shutil
+
+    tmp, old = _swap_names(path, suffix)
+    return _swap_recover_protocol(
+        path,
+        tmp,
+        old,
+        exists=os.path.exists,
+        rename=os.rename,
+        drop=shutil.rmtree,
+        tmp_complete=lambda: all(
+            os.path.exists(os.path.join(tmp, m)) for m in markers
+        ),
+        label=label,
+    )
+
+
+def _carry_swap_sidecars(
+    src: str, tmp: str, new_watermark: int | None = None, copy_meta: bool = True
+) -> None:
+    """Carry a store's non-parquet artifacts into the rewritten tmp:
+    the absorbed-epoch watermark, rolled forward to cover any epochs
+    this rewrite folds into the base, then the quantizer/meta sidecar
+    (copied verbatim — a rewrite never changes the codec). Sidecars
+    land AFTER the data write, and the meta copy lands LAST in this
+    ordering: its presence next to ``_SUCCESS`` is what the recover
+    markers treat as "tmp is complete", so a crash before the
+    watermark write can never leave a complete-looking tmp whose
+    replay protection was lost."""
+    import shutil
+
+    wm = read_absorbed_watermark(src)
+    if new_watermark is not None:
+        wm = new_watermark if wm is None else max(wm, new_watermark)
+    if wm is not None:
+        write_absorbed_watermark(tmp, wm)
+    if copy_meta:
+        shutil.copy2(
+            os.path.join(src, "_index_meta.json"),
+            os.path.join(tmp, "_index_meta.json"),
+        )
+
+
+def _fold_watermark(path: str) -> int | None:
+    """The watermark a compaction must carry: the max real epoch
+    partition it is about to fold into the base (None if the store has
+    no epoch partitions)."""
+    epochs = _store_epoch_partitions(path)
+    return max(epochs) if epochs else None
+
+
 def compact_index(
     spark: SparkSession,
     bands_table: str,
@@ -688,15 +871,28 @@ def compact_index(
     _rewrite_bands_swapped(spark, bands_table, fold_history)
 
 
-def _rewrite_bands_swapped(spark: SparkSession, bands_table: str, transform) -> None:
-    """Crash-safe full rewrite of the bucketed bands table:
-    ``transform(current_df, part_cols)`` produces the replacement rows,
-    which are written under the SAME bucket/partition spec to a tmp
-    table, then swapped in via rename-aside / rename-in / drop-old —
-    a servable copy exists under some name at every instant, an
-    in-process failure restores the original name, and a process death
-    is healed by :func:`recover_compact_swap`. Shared by
-    :func:`compact_index` and :func:`delete_from_index`."""
+def _table_swap_primitives(spark: SparkSession):
+    """The shared swap protocol's primitives for the catalog-table
+    medium: ALTER TABLE RENAME (the rename), DROP TABLE (the drop),
+    and :func:`_sync_partitions` (the sync — CRITICAL for partitioned
+    tables, whose rename moves the directory but leaves per-partition
+    catalog locations at the old absolute paths; left stale, the final
+    DROP would delete the new table's partition directories out from
+    under it)."""
+    return dict(
+        exists=lambda t: spark.catalog.tableExists(t),
+        rename=lambda src, dst: spark.sql(f"ALTER TABLE {src} RENAME TO {dst}"),
+        drop=lambda t: spark.sql(f"DROP TABLE {t}"),
+        sync=lambda t: _sync_partitions(spark, t),
+    )
+
+
+def _prepare_bands_rewrite(spark: SparkSession, bands_table: str, transform) -> str:
+    """Phase 1 of the bands-table rewrite: ``transform(current_df,
+    part_cols)`` produces the replacement rows, written under the SAME
+    bucket/partition spec to the sibling tmp table (stale leftovers
+    cleared first). Returns the tmp table name; phase 2 is
+    :func:`_commit_bands_swap`."""
     num_buckets = _table_num_buckets(spark, bands_table)
     part_cols = _table_partition_columns(spark, bands_table)
     tmp = f"{bands_table}__compact_tmp"
@@ -713,23 +909,32 @@ def _rewrite_bands_swapped(spark: SparkSession, bands_table: str, transform) -> 
         .format("parquet")
         .saveAsTable(tmp)
     )
-    # rename-aside / rename-in / drop-old: both full copies exist until
-    # the new one is in place; restore the original name on failure.
-    spark.sql(f"ALTER TABLE {bands_table} RENAME TO {old}")
-    # CRITICAL for partitioned tables: a rename moves the directory but
-    # leaves per-partition catalog locations at the old absolute paths
-    # — which are about to become the NEW table's directory. Re-sync
-    # old's metadata NOW, or the final DROP deletes the new table's
-    # partition directories out from under it.
-    _sync_partitions(spark, old)
-    try:
-        spark.sql(f"ALTER TABLE {tmp} RENAME TO {bands_table}")
-    except Exception:
-        spark.sql(f"ALTER TABLE {old} RENAME TO {bands_table}")
-        _sync_partitions(spark, bands_table)
-        raise
-    _sync_partitions(spark, bands_table)
-    spark.sql(f"DROP TABLE {old}")
+    return tmp
+
+
+def _commit_bands_swap(spark: SparkSession, bands_table: str) -> None:
+    """Phase 2: swap the prepared tmp table in via the shared protocol
+    under the catalog primitives."""
+    ops = _table_swap_primitives(spark)
+    _swap_in_protocol(
+        bands_table,
+        f"{bands_table}__compact_tmp",
+        f"{bands_table}__compact_old",
+        ops["rename"],
+        ops["drop"],
+        ops["sync"],
+    )
+
+
+def _rewrite_bands_swapped(spark: SparkSession, bands_table: str, transform) -> None:
+    """Crash-safe full rewrite of the bucketed bands table: prepare the
+    replacement under the sibling tmp name, then swap it in — a
+    servable copy exists under some name at every instant, an
+    in-process failure restores the original name, and a process death
+    is healed by :func:`recover_compact_swap`. Shared by
+    :func:`compact_index` and :func:`delete_from_index`."""
+    _prepare_bands_rewrite(spark, bands_table, transform)
+    _commit_bands_swap(spark, bands_table)
 
 
 def _table_partition_columns(spark: SparkSession, table: str) -> list[str]:
@@ -765,45 +970,28 @@ def recover_compact_swap(spark: SparkSession, bands_table: str) -> bool:
     The signature-store twin is :func:`recover_sigs_swap` — run BOTH
     at startup when operating a full index (bands table + sig path).
     """
-    tmp = f"{bands_table}__compact_tmp"
-    old = f"{bands_table}__compact_old"
-    if spark.catalog.tableExists(bands_table):
-        if spark.catalog.tableExists(old):
-            # death between the tmp rename-in and the final DROP: the
-            # set-aside copy lingers. Its partition locations were
-            # synced right after the rename-aside in the normal flow,
-            # but re-sync defensively before dropping — a DROP through
-            # stale per-partition locations that alias the live table's
-            # directory would silently delete live partitions.
-            _sync_partitions(spark, old)
-            spark.sql(f"DROP TABLE {old}")
-            _sync_partitions(spark, bands_table)
-            return True
-        return False
-    for cand in (tmp, old):
-        if spark.catalog.tableExists(cand):
-            # sync the OTHER leftover before any rename: a death
-            # between the rename-aside and its _sync_partitions leaves
-            # __compact_old's per-partition locations pointing at the
-            # original table path — exactly where the survivor is about
-            # to be renamed. Left stale, the next rewrite's DROP TABLE
-            # __compact_old would delete the live table's partition
-            # directories (silent data loss in the recovery path).
-            other = old if cand == tmp else tmp
-            if spark.catalog.tableExists(other):
-                _sync_partitions(spark, other)
-            spark.sql(f"ALTER TABLE {cand} RENAME TO {bands_table}")
-            _sync_partitions(spark, bands_table)
-            if spark.catalog.tableExists(other):
-                # cand == tmp: the compacted copy is live, so the
-                # set-aside original is superseded — drop it now (its
-                # locations are synced above) to complete the swap.
-                spark.sql(f"DROP TABLE {other}")
-            return True
-    raise ValueError(
-        f"no surviving copy of {bands_table} found (neither __compact_tmp "
-        "nor __compact_old exists) — this state is unreachable from "
-        "compact_index; restore from your table backup"
+    # Catalog registration IS tmp-completeness for tables: an
+    # interrupted saveAsTable never registers, so an existing tmp table
+    # is always a complete copy. Healthy-case leftovers clear only the
+    # set-aside old (a lingering tmp is dropped by the next rewrite's
+    # DROP IF EXISTS); every sync runs before the rename/drop that
+    # needs it — a death between the rename-aside and its sync leaves
+    # __compact_old's per-partition locations pointing at the original
+    # table path, exactly where the survivor is about to be renamed,
+    # and a drop through those stale locations would silently delete
+    # live partitions.
+    ops = _table_swap_primitives(spark)
+    return _swap_recover_protocol(
+        bands_table,
+        f"{bands_table}__compact_tmp",
+        f"{bands_table}__compact_old",
+        healthy_drops=("old",),
+        label="bands table",
+        detail=(
+            "this state is unreachable from compact_index; restore from "
+            "your table backup"
+        ),
+        **ops,
     )
 
 
@@ -836,8 +1024,6 @@ def delete_from_index(
     ``FileSystem.rename``; object stores without atomic rename should
     keep the index under a table format instead.
     """
-    import shutil
-
     if not isinstance(delete_ids, DataFrame):
         delete_ids = spark.createDataFrame(
             [(int(i),) for i in delete_ids], "doc_id bigint"
@@ -848,43 +1034,36 @@ def delete_from_index(
         spark, bands_table, lambda cur, _parts: cur.join(ids, "doc_id", "left_anti")
     )
 
+    _prepare_sigs_delete(spark, ids, sigs_path)
+    _commit_dir_swap(sigs_path, suffix="__delete")
+
+
+def _prepare_sigs_delete(spark: SparkSession, ids, sigs_path: str) -> str:
+    """Phase 1 of the signature-directory delete: write the filtered
+    copy to the sibling ``__delete_tmp`` (partition layout preserved)
+    and return it; phase 2 is ``_commit_dir_swap(sigs_path,
+    suffix="__delete")``."""
     sigs = spark.read.parquet(sigs_path)
     part_cols = [c for c in ("ingest_batch",) if c in sigs.columns]
     kept = sigs.join(ids, "doc_id", "left_anti")
-    tmp = sigs_path.rstrip("/") + "__delete_tmp"
-    old = sigs_path.rstrip("/") + "__delete_old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    tmp = _prepare_dir_swap(sigs_path, suffix="__delete")
     writer = kept.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(tmp)
-    os.rename(sigs_path, old)
-    try:
-        os.rename(tmp, sigs_path)
-    except Exception:
-        os.rename(old, sigs_path)
-        raise
-    shutil.rmtree(old)
+    return tmp
 
 
 def recover_sigs_swap(sigs_path: str) -> bool:
     """Startup recovery after a process death inside
     :func:`delete_from_index`'s signature-directory swap: if the live
     path is missing, rename the surviving copy back — the filtered
-    ``__delete_tmp`` if its write completed, else the set-aside
-    ``__delete_old``. Returns True if a recovery rename happened,
-    False if the store was already healthy."""
-    if os.path.exists(sigs_path):
-        return False
-    for cand in (sigs_path.rstrip("/") + "__delete_tmp",
-                 sigs_path.rstrip("/") + "__delete_old"):
-        if os.path.exists(cand):
-            os.rename(cand, sigs_path)
-            return True
-    raise ValueError(
-        f"no surviving copy of {sigs_path} found (neither __delete_tmp "
-        "nor __delete_old exists) — restore from backup"
+    ``__delete_tmp`` if its write completed (``_SUCCESS`` present),
+    else the set-aside ``__delete_old``. Returns True if any recovery
+    action happened (including clearing leftovers next to a healthy
+    store), False otherwise."""
+    return _recover_dir_swap(
+        sigs_path, suffix="__delete", label="signature store"
     )
 
 
@@ -1311,25 +1490,41 @@ def _store_epoch_partitions(path: str) -> list[int]:
     return sorted(out)
 
 
-def _replace_dir(path: str, tmp: str) -> None:
-    """Rename-aside / rename-in / delete-old directory swap: a complete
-    copy exists under some name at every instant; an in-process failure
-    restores the original; a process death inside the window is healed
-    by the matching recover function."""
-    import shutil
-
-    old = path.rstrip("/") + "__compact_old"
-    os.rename(path, old)
-    try:
-        os.rename(tmp, path)
-    except Exception:
-        os.rename(old, path)
-        raise
-    shutil.rmtree(old)
-
-
 CELL_STORE_KINDS = ("ivfpq", "ivfpq_hkm", "ivfopq", "ivfopq_hkm")
 FLAT_CODES_KINDS = ("pq", "opq")
+
+CODES_SWAP_MARKERS = ("_SUCCESS", "_index_meta.json")
+
+
+def _prepare_ivfpq_rewrite(
+    spark: SparkSession,
+    path: str,
+    transform,
+    kinds: tuple = CELL_STORE_KINDS,
+) -> str:
+    """Phase 1 of a codes-store rewrite: ``transform(current_df,
+    part_cols)`` produces the replacement rows, written to the sibling
+    tmp directory under the SAME partition layout with the quantizer
+    sidecar (and any absorbed-epoch watermark, rolled forward by the
+    transform's ``new_watermark``) carried over. Returns the tmp path;
+    phase 2 is :func:`_commit_dir_swap`."""
+    meta = read_store_meta(path)
+    if meta.get("kind") not in kinds:
+        raise ValueError(
+            f"{path} is not one of {kinds} (kind={meta.get('kind')!r})"
+        )
+    codes = spark.read.parquet(path)
+    part_cols = [c for c in ("ingest_batch", "cell") if c in codes.columns]
+    tmp = _prepare_dir_swap(path)
+    replacement = transform(codes, part_cols)
+    writer = replacement.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(tmp)
+    _carry_swap_sidecars(
+        path, tmp, new_watermark=getattr(transform, "new_watermark", None)
+    )
+    return tmp
 
 
 def _rewrite_ivfpq_swapped(
@@ -1338,44 +1533,12 @@ def _rewrite_ivfpq_swapped(
     transform,
     kinds: tuple = CELL_STORE_KINDS,
 ) -> None:
-    """Crash-safe full rewrite of a codes store: ``transform(
-    current_df, part_cols)`` produces the replacement rows, written to
-    a sibling tmp directory under the SAME partition layout with the
-    quantizer sidecar (and any absorbed-epoch watermark) carried over,
-    then swapped in by directory rename. Shared by the cell-partitioned
-    (IVF-PQ, IVF-OPQ) and flat (PQ, OPQ) lifecycles — the flat stores
-    simply have no ``cell`` partition column to restate."""
-    import shutil
-
-    meta = read_store_meta(path)
-    if meta.get("kind") not in kinds:
-        raise ValueError(
-            f"{path} is not one of {kinds} (kind={meta.get('kind')!r})"
-        )
-    codes = spark.read.parquet(path)
-    part_cols = [c for c in ("ingest_batch", "cell") if c in codes.columns]
-    tmp = path.rstrip("/") + "__compact_tmp"
-    old = path.rstrip("/") + "__compact_old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
-    replacement = transform(codes, part_cols)
-    writer = replacement.write.mode("overwrite")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
-    writer.parquet(tmp)
-    # sidecars AFTER the data write: their presence next to _SUCCESS is
-    # what recover_ivfpq_swap treats as "tmp is complete"
-    shutil.copy2(
-        os.path.join(path, "_index_meta.json"),
-        os.path.join(tmp, "_index_meta.json"),
-    )
-    wm = read_absorbed_watermark(path)
-    new_wm = getattr(transform, "new_watermark", None)
-    if new_wm is not None:
-        wm = new_wm if wm is None else max(wm, new_wm)
-    if wm is not None:
-        write_absorbed_watermark(tmp, wm)
-    _replace_dir(path, tmp)
+    """Crash-safe full rewrite of a codes store through the shared
+    prepare + swap core. Shared by the cell-partitioned (IVF-PQ,
+    IVF-OPQ) and flat (PQ, OPQ) lifecycles — the flat stores simply
+    have no ``cell`` partition column to restate."""
+    _prepare_ivfpq_rewrite(spark, path, transform, kinds)
+    _commit_dir_swap(path)
 
 
 def compact_ivfpq_index(spark: SparkSession, path: str) -> None:
@@ -1400,8 +1563,7 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> None:
             )
         return codes
 
-    epochs = _store_epoch_partitions(path)
-    fold.new_watermark = max(epochs) if epochs else None
+    fold.new_watermark = _fold_watermark(path)
     _rewrite_ivfpq_swapped(spark, path, fold)
 
 
@@ -1432,39 +1594,12 @@ def delete_from_ivfpq_index(
 
 
 def recover_ivfpq_swap(path: str) -> bool:
-    """Startup recovery after a process death inside an IVF-PQ store
+    """Startup recovery after a process death inside a codes-store
     rewrite's swap: re-install whichever complete copy survives under
     ``path`` (the rewritten tmp if its data AND sidecar landed, else
     the set-aside original) and clear leftovers. Returns True if any
     action was taken; raises only if no copy survives."""
-    import shutil
-
-    tmp = path.rstrip("/") + "__compact_tmp"
-    old = path.rstrip("/") + "__compact_old"
-    acted = False
-    if os.path.exists(path):
-        for left in (tmp, old):
-            if os.path.exists(left):
-                shutil.rmtree(left)
-                acted = True
-        return acted
-    tmp_complete = os.path.exists(os.path.join(tmp, "_SUCCESS")) and os.path.exists(
-        os.path.join(tmp, "_index_meta.json")
-    )
-    if tmp_complete:
-        os.rename(tmp, path)
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        return True
-    if os.path.exists(old):
-        os.rename(old, path)
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        return True
-    raise ValueError(
-        f"no surviving copy of IVF-PQ store {path} (neither the store, a "
-        "complete __compact_tmp, nor __compact_old exists)"
-    )
+    return _recover_dir_swap(path, CODES_SWAP_MARKERS, label="codes store")
 
 
 def validate_ivfpq_store(spark: SparkSession, path: str) -> None:
@@ -1552,8 +1687,7 @@ def compact_pq_index(spark: SparkSession, path: str) -> None:
             )
         return codes.coalesce(max(1, codes.rdd.getNumPartitions() // 8))
 
-    epochs = _store_epoch_partitions(path)
-    fold.new_watermark = max(epochs) if epochs else None
+    fold.new_watermark = _fold_watermark(path)
     _rewrite_ivfpq_swapped(spark, path, fold, kinds=FLAT_CODES_KINDS)
 
 
@@ -1979,18 +2113,19 @@ def _refresh_term_stats(spark: SparkSession, path: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
-def _rewrite_postings_swapped(spark: SparkSession, path: str, transform) -> None:
-    """Crash-safe full rewrite of a lexical postings store:
-    ``transform(postings, doc_lengths)`` returns the replacement
-    (postings, doc_lengths) pair, written to a sibling tmp directory
-    under the same partition layout (including the ``ingest_batch``
-    level of a stream-maintained store) with the term-df sidecar
-    recomputed from the surviving postings, the meta and any
-    absorbed-epoch watermark carried over, then swapped in by
-    directory rename (shared law with :func:`_rewrite_ivfpq_swapped`;
-    :func:`recover_postings_swap` heals a mid-swap death)."""
-    import shutil
+POSTINGS_SWAP_MARKERS = ("_SUCCESS", "_term_stats", "_index_meta.json")
 
+
+def _prepare_postings_rewrite(spark: SparkSession, path: str, transform) -> str:
+    """Phase 1 of a lexical-store rewrite: ``transform(postings,
+    doc_lengths)`` returns the replacement (postings, doc_lengths)
+    pair, written to the sibling tmp directory under the same partition
+    layout (including the ``ingest_batch`` level of a stream-maintained
+    store) with the term-df sidecar recomputed from the surviving
+    postings and the meta + any absorbed-epoch watermark carried over.
+    Returns the tmp path; phase 2 is :func:`_commit_dir_swap` (shared
+    law with :func:`_prepare_ivfpq_rewrite`; :func:`recover_postings_swap`
+    heals a mid-swap death)."""
     meta = read_store_meta(path)
     if meta.get("kind") != "postings":
         raise ValueError(
@@ -2004,10 +2139,7 @@ def _rewrite_postings_swapped(spark: SparkSession, path: str, transform) -> None
         if c in postings.columns
     ]
     dl_part_cols = [c for c in ("ingest_batch",) if c in doc_lengths.columns]
-    tmp = path.rstrip("/") + "__compact_tmp"
-    old = path.rstrip("/") + "__compact_old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    tmp = _prepare_dir_swap(path)
     new_posts, new_dls = transform(postings, doc_lengths)
     new_posts.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
     dl_writer = new_dls.write.mode("overwrite")
@@ -2030,19 +2162,17 @@ def _rewrite_postings_swapped(spark: SparkSession, path: str, transform) -> None
             .write.mode("overwrite")
             .parquet(os.path.join(tmp, "_term_stats"))
         )
-    wm = read_absorbed_watermark(path)
-    new_wm = getattr(transform, "new_watermark", None)
-    if new_wm is not None:
-        wm = new_wm if wm is None else max(wm, new_wm)
-    if wm is not None:
-        write_absorbed_watermark(tmp, wm)
-    # meta LAST: its presence next to _SUCCESS + _term_stats is what
-    # recover_postings_swap treats as "tmp is complete"
-    shutil.copy2(
-        os.path.join(path, "_index_meta.json"),
-        os.path.join(tmp, "_index_meta.json"),
+    _carry_swap_sidecars(
+        path, tmp, new_watermark=getattr(transform, "new_watermark", None)
     )
-    _replace_dir(path, tmp)
+    return tmp
+
+
+def _rewrite_postings_swapped(spark: SparkSession, path: str, transform) -> None:
+    """Crash-safe full rewrite of a lexical postings store through the
+    shared prepare + swap core."""
+    _prepare_postings_rewrite(spark, path, transform)
+    _commit_dir_swap(path)
 
 
 def compact_postings_index(spark: SparkSession, path: str) -> None:
@@ -2065,8 +2195,7 @@ def compact_postings_index(spark: SparkSession, path: str) -> None:
             dls = dls.withColumn("ingest_batch", F.lit(BASE_INGEST_BATCH))
         return posts, dls
 
-    epochs = _store_epoch_partitions(path)
-    fold.new_watermark = max(epochs) if epochs else None
+    fold.new_watermark = _fold_watermark(path)
     _rewrite_postings_swapped(spark, path, fold)
 
 
@@ -2107,35 +2236,8 @@ def recover_postings_swap(path: str) -> bool:
     rewritten tmp if its data AND sidecars landed, else the set-aside
     original) and clear leftovers. Returns True if any action was
     taken; raises only if no copy survives."""
-    import shutil
-
-    tmp = path.rstrip("/") + "__compact_tmp"
-    old = path.rstrip("/") + "__compact_old"
-    acted = False
-    if os.path.exists(path):
-        for left in (tmp, old):
-            if os.path.exists(left):
-                shutil.rmtree(left)
-                acted = True
-        return acted
-    tmp_complete = (
-        os.path.exists(os.path.join(tmp, "_SUCCESS"))
-        and os.path.exists(os.path.join(tmp, "_index_meta.json"))
-        and os.path.exists(os.path.join(tmp, "_term_stats"))
-    )
-    if tmp_complete:
-        os.rename(tmp, path)
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        return True
-    if os.path.exists(old):
-        os.rename(old, path)
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        return True
-    raise ValueError(
-        f"no surviving copy of postings store {path} (neither the store, "
-        "a complete __compact_tmp, nor __compact_old exists)"
+    return _recover_dir_swap(
+        path, POSTINGS_SWAP_MARKERS, label="postings store"
     )
 
 

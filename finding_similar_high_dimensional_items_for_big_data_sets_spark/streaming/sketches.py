@@ -23,7 +23,6 @@ checkpoint replays of folded epochs no-ops instead of double counts).
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -150,37 +149,25 @@ def compact_sketch_store(spark: SparkSession, path: str, kind: str) -> None:
         merged = read_hll_sketch(spark, path)
     else:
         raise ValueError(f"unknown sketch kind: {kind}")
-    prev_wm = _read_watermark(path)
-    epochs = _store_epochs(path)
-    new_wm = max([e for e in epochs] + ([prev_wm] if prev_wm is not None else []), default=None)
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        _carry_swap_sidecars,
+        _commit_dir_swap,
+        _prepare_dir_swap,
+    )
+
+    new_wm = max(_store_epochs(path), default=None)
     # materialize before touching the directory the plan reads
     rows = merged.localCheckpoint(eager=True)
-    tmp = path.rstrip("/") + "__compact_tmp"
-    old = path.rstrip("/") + "__compact_old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    tmp = _prepare_dir_swap(path)
     (
         rows.withColumn("ingest_batch", F.lit(BASE_SKETCH_BATCH))
         .write.mode("overwrite")
         .partitionBy("ingest_batch")
         .parquet(tmp)
     )
-    if new_wm is not None:
-        from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
-            write_absorbed_watermark,
-        )
-
-        write_absorbed_watermark(tmp, new_wm)
-    # rename-aside / rename-in / delete-old: plain directory renames
-    # (atomic on one filesystem); recover_sketch_compact heals a death
-    # at any point between them.
-    os.rename(path, old)
-    try:
-        os.rename(tmp, path)
-    except Exception:
-        os.rename(old, path)
-        raise
-    shutil.rmtree(old)
+    # sketch stores carry no quantizer sidecar — only the watermark
+    _carry_swap_sidecars(path, tmp, new_watermark=new_wm, copy_meta=False)
+    _commit_dir_swap(path)
 
 
 def recover_sketch_compact(path: str) -> bool:
@@ -188,29 +175,11 @@ def recover_sketch_compact(path: str) -> bool:
     :func:`compact_sketch_store`'s swap: re-install whichever complete
     copy survives under ``path`` (the compacted tmp if its write
     finished — ``_SUCCESS`` present — else the set-aside original) and
-    clear leftovers. Returns True if any action was taken."""
-    tmp = path.rstrip("/") + "__compact_tmp"
-    old = path.rstrip("/") + "__compact_old"
-    acted = False
-    if os.path.exists(path):
-        # store is live; stale leftovers from an interrupted (or
-        # pre-swap-crashed) compaction just need clearing
-        for left in (tmp, old):
-            if os.path.exists(left):
-                shutil.rmtree(left)
-                acted = True
-        return acted
-    if os.path.exists(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
-        os.rename(tmp, path)
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        return True
-    if os.path.exists(old):
-        os.rename(old, path)
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        return True
-    raise ValueError(
-        f"no surviving copy of sketch store {path} (neither the store, a "
-        "complete __compact_tmp, nor __compact_old exists)"
+    clear leftovers. Returns True if any action was taken. One shared
+    implementation with every other store family
+    (``sources.tables._recover_dir_swap``)."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        _recover_dir_swap,
     )
+
+    return _recover_dir_swap(path, label="sketch store")
