@@ -471,13 +471,15 @@ class RouterService:
                 ex.map(lambda u: self._post(u + "/query", payload), urls)
             )
 
-    def _gather(self, urls: list[str], payload: dict):
-        """(error_response | None, per-replica candidate lists)."""
-        results = self._fan(urls, payload)
-        # one pass, replica order: envelope rejection, replica error,
-        # or a 200 without a candidate list (a replica failure too —
-        # 502 like any other incomplete cover, never a KeyError that
-        # drops the connection). Bodies are dicts by _parse_body.
+    @staticmethod
+    def _check_cover(urls: list[str], results):
+        """(error_response | None, per-replica candidate lists) from one
+        query's fan-out results — one pass, replica order: envelope
+        rejection, replica error, or a 200 without a candidate list (a
+        replica failure too — 502 like any other incomplete cover,
+        never a KeyError that drops the connection). Bodies are dicts
+        by _parse_body. ONE implementation for the point and batch
+        endpoints so the failure law cannot diverge between them."""
         for url, (status, body) in zip(urls, results):
             if status == 400:
                 # envelope rejection — every replica validates alike;
@@ -501,6 +503,10 @@ class RouterService:
                 ), None
         return None, [body["candidates"] for _s, body in results]
 
+    def _gather(self, urls: list[str], payload: dict):
+        """(error_response | None, per-replica candidate lists)."""
+        return self._check_cover(urls, self._fan(urls, payload))
+
     # -- endpoints ----------------------------------------------------------
     def handle_query(self, payload) -> tuple[int, dict]:
         if not isinstance(payload, dict):
@@ -512,6 +518,13 @@ class RouterService:
         err, cand_lists = self._gather(self.replicas, payload)
         if err is not None:
             return err
+        return 200, {"candidates": self._merge_tier(cand_lists, k)}
+
+    def _merge_tier(self, cand_lists, k: int) -> list[dict]:
+        """Merge per-replica candidate lists under THIS tier's exact
+        law, in the tier's own response shape — one implementation for
+        the point and batch endpoints, so a batch entry's answer is
+        identical to posting that query alone."""
         if self.tier == "lsh":
             from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.serving import (
                 merge_topk,
@@ -529,16 +542,14 @@ class RouterService:
                 ],
                 k=k,
             )
-            return 200, {
-                "candidates": [
-                    {
-                        "id": d,
-                        "score": s,
-                        "vector_preview": previews[d],
-                    }
-                    for (d, s, _r) in merged
-                ]
-            }
+            return [
+                {
+                    "id": d,
+                    "score": s,
+                    "vector_preview": previews[d],
+                }
+                for (d, s, _r) in merged
+            ]
         if self.tier == "vector":
             from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.serving_vector import (
                 merge_topk_dist,
@@ -551,11 +562,9 @@ class RouterService:
                 ],
                 k=k,
             )
-            return 200, {
-                "candidates": [
-                    {"id": v, "dist": d, "rank": r} for (v, d, r) in merged
-                ]
-            }
+            return [
+                {"id": v, "dist": d, "rank": r} for (v, d, r) in merged
+            ]
         from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.retrieval import (
             merge_topk_scores,
         )
@@ -567,11 +576,74 @@ class RouterService:
             ],
             k=k,
         )
-        return 200, {
-            "candidates": [
-                {"id": d, "score": s, "rank": r} for (d, s, r) in merged
-            ]
-        }
+        return [
+            {"id": d, "score": s, "rank": r} for (d, s, r) in merged
+        ]
+
+    def handle_query_batch(self, payload) -> tuple[int, dict]:
+        """``POST /query_batch``: fan a query SET across the replica
+        cover and merge PER QUERY with the tier's exact law —
+        ``results[i]`` is identical to posting ``queries[i]`` to
+        ``POST /query`` alone (e2e-asserted in ``test_router.py``).
+
+        Envelope: ``{"queries": [<per-query envelope>, ...], "k"?:
+        int}`` — a query without its own ``k`` inherits the batch
+        ``k``. Answer: ``{"results": [{"candidates": [...]}, ...]}``
+        in query order.
+
+        Scale shape: ONE thread-pool sweep over all (query, replica)
+        pairs — a Q-query batch against R replicas costs
+        ceil(Q*R/pool) round-trip times, not Q sequential fan-outs;
+        per-replica timeouts apply to every pair independently.
+
+        Failure law: the batch is all-or-nothing, like the point
+        endpoint's complete-cover rule — any replica failure on any
+        query fails the request (502), and an envelope rejection
+        surfaces the replica's own 400 with the offending query index
+        (serving a batch with silently-missing entries would read as
+        complete)."""
+        if not isinstance(payload, dict):
+            return 400, {"error": "body must be a JSON object"}
+        queries = payload.get("queries")
+        if not isinstance(queries, list) or not queries:
+            return 400, {"error": "queries must be a non-empty list"}
+        batch_k = payload.get("k", DEFAULT_K)
+        if not isinstance(batch_k, int) or isinstance(batch_k, bool):
+            return 400, {"error": "k must be an integer"}
+        prepared = []
+        for i, q in enumerate(queries):
+            if not isinstance(q, dict):
+                return 400, {"error": f"queries[{i}] must be a JSON object"}
+            q = dict(q)
+            q.setdefault("k", batch_k)
+            if not isinstance(q["k"], int) or isinstance(q["k"], bool):
+                return 400, {"error": f"queries[{i}].k must be an integer"}
+            prepared.append(q)
+        from concurrent.futures import ThreadPoolExecutor
+
+        pairs = [
+            (qi, url) for qi in range(len(prepared)) for url in self.replicas
+        ]
+        with ThreadPoolExecutor(max_workers=min(16, len(pairs))) as ex:
+            flat = list(
+                ex.map(
+                    lambda p: self._post(p[1] + "/query", prepared[p[0]]),
+                    pairs,
+                )
+            )
+        n_rep = len(self.replicas)
+        results = []
+        for qi, q in enumerate(prepared):
+            err, cand_lists = self._check_cover(
+                self.replicas, flat[qi * n_rep : (qi + 1) * n_rep]
+            )
+            if err is not None:
+                status, body = err
+                return status, {**body, "query_index": qi}
+            results.append(
+                {"candidates": self._merge_tier(cand_lists, max(1, q["k"]))}
+            )
+        return 200, {"results": results}
 
     def handle_hybrid(self, payload) -> tuple[int, dict]:
         from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.retrieval import (
@@ -663,10 +735,11 @@ def start_router_server(
     timeout: float = 10.0,
 ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Bind a scatter-gather router over replica servers: ``POST
-    /query`` fans out and merges by tier law; a lexical router with
-    ``vector_replicas`` also serves ``POST /hybrid``; ``GET /health``
-    aggregates replica health. Same start/stop contract as
-    :func:`start_server`."""
+    /query`` fans out and merges by tier law; ``POST /query_batch``
+    fans a query SET in one sweep and merges per query with the same
+    law; a lexical router with ``vector_replicas`` also serves ``POST
+    /hybrid``; ``GET /health`` aggregates replica health. Same
+    start/stop contract as :func:`start_server`."""
     service = RouterService(tier, replicas, vector_replicas, timeout)
 
     class Handler(BaseHTTPRequestHandler):
@@ -674,6 +747,8 @@ def start_router_server(
             path = self.path.rstrip("/")
             if path == "/query":
                 handle = service.handle_query
+            elif path == "/query_batch":
+                handle = service.handle_query_batch
             elif path == "/hybrid":
                 handle = service.handle_hybrid
             else:

@@ -186,6 +186,103 @@ def test_lexical_router_and_hybrid_identical_to_full(spark, corpus, tmp_path):
         _stop(lex_servers + vec_servers + [(router, rt)])
 
 
+def test_router_batch_identical_to_point_queries(spark, corpus, tmp_path):
+    """POST /query_batch merges each entry with the same law as POST
+    /query: results[i] == the point answer for queries[i], across the
+    LSH and vector tiers; per-query k overrides the batch k; batch
+    envelope guards reject malformed entries with the query index."""
+    docs, emb = corpus
+    sigs = minhash.signatures(docs.limit(200), PARAMS).cache()
+    bands = lsh.bands_table(sigs, PARAMS).cache()
+    replicas = [
+        ServingIndex.from_dataframes(*shard_dataframes(sigs, bands, 3, s), PARAMS)
+        for s in range(3)
+    ]
+    servers = [serving_http.start_server(r) for r in replicas]
+    router, rt = serving_http.start_router_server(
+        "lsh", [_url(s) for s, _ in servers]
+    )
+    try:
+        qsigs = [
+            [int(v) for v in sigs.filter(F.col("doc_id") == d).first()["sig"]]
+            for d in (13, 57, 101)
+        ]
+        point = [
+            _post(_url(router), "/query", {"vector": q, "k": 5})[1]["candidates"]
+            for q in qsigs
+        ]
+        status, body = _post(
+            _url(router),
+            "/query_batch",
+            {"queries": [{"vector": q} for q in qsigs], "k": 5},
+        )
+        assert status == 200
+        assert [r["candidates"] for r in body["results"]] == point
+        # per-query k overrides the batch k
+        status, body = _post(
+            _url(router),
+            "/query_batch",
+            {"queries": [{"vector": qsigs[0], "k": 2}], "k": 5},
+        )
+        assert status == 200
+        assert len(body["results"][0]["candidates"]) == 2
+        # envelope guards carry the offending index
+        for bad, msg in (
+            ({"queries": []}, "non-empty"),
+            ({"queries": [{"vector": qsigs[0]}, 7]}, "queries[1]"),
+        ):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post(_url(router), "/query_batch", bad)
+            assert ei.value.code == 400
+            assert msg in json.loads(ei.value.read())["error"]
+        # a replica's 400 rejection surfaces with the query index
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(
+                _url(router),
+                "/query_batch",
+                {"queries": [{"vector": qsigs[0]}, {"vector": [1, 2, 3]}]},
+            )
+        assert ei.value.code == 400
+        detail = json.loads(ei.value.read())
+        assert detail["query_index"] == 1 and "num_perm" in detail["error"]
+    finally:
+        _stop(servers + [(router, rt)])
+
+    # vector tier: batch == point through the dist-asc merge law
+    cents = ann.random_centroids(DIM, 8, seed=43)
+    books = ann.random_codebooks(DIM, M, CODES, seed=44)
+    p = str(tmp_path / "ivfpq_batch")
+    write_ivfpq_index(emb, p, cents, books)
+    vec_replicas = [
+        ServingVectorIndex.from_store(spark, p, cells=cells)
+        for cells in ([0, 1, 2, 3], [4, 5, 6, 7])
+    ]
+    vec_servers = [serving_http.start_vector_server(r) for r in vec_replicas]
+    vrouter, vrt = serving_http.start_router_server(
+        "vector", [_url(s) for s, _ in vec_servers]
+    )
+    try:
+        qvs = [
+            [float(v) for v in emb.filter(F.col("vec_id") == i).first()["embedding"]]
+            for i in (0, 41)
+        ]
+        point = [
+            _post(
+                _url(vrouter), "/query", {"vector": q, "k": 10, "n_probe": 8}
+            )[1]["candidates"]
+            for q in qvs
+        ]
+        status, body = _post(
+            _url(vrouter),
+            "/query_batch",
+            {"queries": [{"vector": q, "n_probe": 8} for q in qvs], "k": 10},
+        )
+        assert status == 200
+        assert [r["candidates"] for r in body["results"]] == point
+    finally:
+        _stop(vec_servers + [(vrouter, vrt)])
+
+
 def test_router_failure_law_and_guards(spark, corpus):
     """A dead replica fails the request (no silent partial corpus); a
     replica's 400 envelope rejection passes through; bad tier configs
