@@ -60,6 +60,7 @@ from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tabl
     _prepare_ivfpq_rewrite,
     _prepare_postings_rewrite,
     _prepare_sigs_delete,
+    _prepare_table_rewrite,
     _recover_dir_swap,
     _swap_names,
     read_store_meta,
@@ -93,6 +94,7 @@ def delete_docs_everywhere(
     lsh: tuple[str, str] | None = None,
     vector_stores: list[str] | tuple[str, ...] = (),
     postings_stores: list[str] | tuple[str, ...] = (),
+    content_hash_tables: list[str] | tuple[str, ...] = (),
     sketch_stores: list[str] | tuple[str, ...] = (),
 ) -> None:
     """Remove ``delete_ids`` from every given persisted artifact,
@@ -109,9 +111,13 @@ def delete_docs_everywhere(
     codes stores (the kind is read from each store's own sidecar).
     ``postings_stores``: lexical store paths (postings + doc-length +
     term-df sidecars all rewritten, so BM25 statistics reflect the
-    post-delete corpus exactly). ``manifest_path``: a directory the
-    transaction manifest lives under while the commit fan-out runs —
-    run :func:`recover_retention` on it at startup.
+    post-delete corpus exactly). ``content_hash_tables``: bucketed
+    exact-dedup history tables (:func:`~.tables.
+    write_content_hashes_bucketed`) — a deleted doc's (doc_id,
+    content_hash) row would otherwise keep flagging future re-ingests
+    of its content as duplicates of a forgotten id. ``manifest_path``:
+    a directory the transaction manifest lives under while the commit
+    fan-out runs — run :func:`recover_retention` on it at startup.
 
     ``sketch_stores``: always raises — see the module docstring. CMS and
     HLL cannot unlearn; rebuild them from the surviving corpus with
@@ -166,6 +172,14 @@ def delete_docs_everywhere(
             {"medium": "dir", "path": path, "suffix": "__compact",
              "markers": list(CODES_SWAP_MARKERS)}
         )
+    for table in content_hash_tables:
+        _prepare_table_rewrite(
+            spark,
+            table,
+            lambda cur, _parts: cur.join(doc_ids, "doc_id", "left_anti"),
+            ("content_hash",),
+        )
+        stores.append({"medium": "table", "name": table})
     for path in postings_stores:
         _prepare_postings_rewrite(
             spark,

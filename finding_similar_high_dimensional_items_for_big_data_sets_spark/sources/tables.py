@@ -887,29 +887,44 @@ def _table_swap_primitives(spark: SparkSession):
     )
 
 
-def _prepare_bands_rewrite(spark: SparkSession, bands_table: str, transform) -> str:
-    """Phase 1 of the bands-table rewrite: ``transform(current_df,
+def _prepare_table_rewrite(
+    spark: SparkSession,
+    table: str,
+    transform,
+    bucket_cols: tuple[str, ...],
+) -> str:
+    """Phase 1 of a bucketed-table rewrite: ``transform(current_df,
     part_cols)`` produces the replacement rows, written under the SAME
     bucket/partition spec to the sibling tmp table (stale leftovers
     cleared first). Returns the tmp table name; phase 2 is
-    :func:`_commit_bands_swap`."""
-    num_buckets = _table_num_buckets(spark, bands_table)
-    part_cols = _table_partition_columns(spark, bands_table)
-    tmp = f"{bands_table}__compact_tmp"
-    old = f"{bands_table}__compact_old"
+    :func:`_commit_bands_swap`. Shared by the bands table
+    (``band_id, band_hash``) and the content-hash history table
+    (``content_hash``)."""
+    num_buckets = _table_num_buckets(spark, table)
+    part_cols = _table_partition_columns(spark, table)
+    tmp = f"{table}__compact_tmp"
+    old = f"{table}__compact_old"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     spark.sql(f"DROP TABLE IF EXISTS {old}")
-    current = transform(spark.table(bands_table), part_cols)
+    current = transform(spark.table(table), part_cols)
     writer = current.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     (
-        writer.bucketBy(num_buckets, "band_id", "band_hash")
-        .sortBy("band_id", "band_hash")
+        writer.bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
         .format("parquet")
         .saveAsTable(tmp)
     )
     return tmp
+
+
+def _prepare_bands_rewrite(spark: SparkSession, bands_table: str, transform) -> str:
+    """:func:`_prepare_table_rewrite` under the bands table's probe-join
+    bucket spec."""
+    return _prepare_table_rewrite(
+        spark, bands_table, transform, ("band_id", "band_hash")
+    )
 
 
 def _commit_bands_swap(spark: SparkSession, bands_table: str) -> None:

@@ -57,12 +57,30 @@ def _build_all_stores(spark, tmp_path, tag):
     postings_path = str(tmp_path / f"postings_{tag}")
     write_postings_index(docs, postings_path, n_doc_shards=2, n_token_buckets=4)
 
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.hashing import portable_hash64
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.dedup import normalize_text
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        write_content_hashes_bucketed,
+    )
+
+    hash_table = f"retention_hashes_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {hash_table}")
+    write_content_hashes_bucketed(
+        docs.select(
+            "doc_id",
+            portable_hash64(normalize_text(F.col("text"))).alias("content_hash"),
+        ),
+        hash_table,
+        num_buckets=4,
+    )
+
     return dict(
         table=table,
         sigs_path=sigs_path,
         ivfpq_path=ivfpq_path,
         pq_path=pq_path,
         postings_path=postings_path,
+        hash_table=hash_table,
         emb=emb,
         docs=docs,
     )
@@ -83,6 +101,10 @@ def _assert_no_trace(spark, st):
         assert (
             spark.read.parquet(p).filter(F.col("vec_id").isin(*ids)).count() == 0
         )
+    assert (
+        spark.table(st["hash_table"]).filter(F.col("doc_id").isin(*ids)).count()
+        == 0
+    )
     posts = spark.read.parquet(st["postings_path"])
     assert posts.filter(F.col("doc_id").isin(*ids)).count() == 0
     dls = spark.read.parquet(os.path.join(st["postings_path"], "_doc_lengths"))
@@ -120,6 +142,7 @@ def test_delete_docs_everywhere_no_trace(spark, tmp_path):
             lsh=(st["sigs_path"], st["table"]),
             vector_stores=[st["ivfpq_path"], st["pq_path"]],
             postings_stores=[st["postings_path"]],
+            content_hash_tables=[st["hash_table"]],
         )
         _assert_no_trace(spark, st)
         # corpus stats shrink with the corpus: BM25 idf/avgdl reflect
@@ -137,10 +160,12 @@ def test_delete_docs_everywhere_no_trace(spark, tmp_path):
             lsh=(st["sigs_path"], st["table"]),
             vector_stores=[st["ivfpq_path"], st["pq_path"]],
             postings_stores=[st["postings_path"]],
+            content_hash_tables=[st["hash_table"]],
         )
         _assert_no_trace(spark, st)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {st['table']}")
+        spark.sql(f"DROP TABLE IF EXISTS {st['hash_table']}")
 
 
 def test_sketch_stores_raise_rebuild_only(spark, tmp_path):
@@ -181,6 +206,7 @@ def test_recover_retention_rolls_forward_mid_fan(spark, tmp_path, monkeypatch):
                 lsh=(st["sigs_path"], st["table"]),
                 vector_stores=[st["ivfpq_path"], st["pq_path"]],
                 postings_stores=[st["postings_path"]],
+                content_hash_tables=[st["hash_table"]],
             )
         monkeypatch.setattr(retention, "_commit_dir_swap", real_commit)
         # manifest survived the death: the transaction must roll forward
@@ -194,6 +220,7 @@ def test_recover_retention_rolls_forward_mid_fan(spark, tmp_path, monkeypatch):
         assert retention.recover_retention(spark, manifest_dir) is False
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {st['table']}")
+        spark.sql(f"DROP TABLE IF EXISTS {st['hash_table']}")
 
 
 def test_crash_before_manifest_rolls_back(spark, tmp_path, monkeypatch):
@@ -240,3 +267,5 @@ def test_crash_before_manifest_rolls_back(spark, tmp_path, monkeypatch):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {st['table']}")
         spark.sql(f"DROP TABLE IF EXISTS {st['table']}__compact_tmp")
+        spark.sql(f"DROP TABLE IF EXISTS {st['hash_table']}")
+        spark.sql(f"DROP TABLE IF EXISTS {st['hash_table']}__compact_tmp")

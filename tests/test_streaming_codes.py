@@ -171,6 +171,21 @@ def test_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="stream-maintained"):
         append_opq_index(emb.limit(1), opq_stream, r_cols, obooks)
 
+    # pre-flag stream base: a store written before the sidecar grew
+    # batch_partitioned still has ingest_batch= partition directories,
+    # and the guard must read the layout as ground truth (round-9
+    # review fix) — a plain append would leave the tree at two depths
+    import json as _json
+
+    meta_file = os.path.join(stream_store, "_index_meta.json")
+    with open(meta_file) as fh:
+        meta = _json.load(fh)
+    meta.pop("batch_partitioned")
+    with open(meta_file, "w") as fh:
+        _json.dump(meta, fh)
+    with pytest.raises(ValueError, match="stream-maintained"):
+        append_pq_index(emb.limit(1), stream_store, books)
+
     flat = str(tmp_path / "pq_guard_flat")
     write_pq_index(emb.limit(20), flat, books)
     src = str(tmp_path / "src_guard")
