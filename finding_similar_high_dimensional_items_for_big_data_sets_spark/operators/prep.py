@@ -1556,3 +1556,100 @@ def dsir_divergence(
             6,
         ).alias("kl_raw_target"),
     )
+
+
+def collocations_pmi(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_n: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top collocations by pointwise mutual information over adjacent
+    token bigrams — the phrase-mining statistic tokenizer/vocab
+    induction and stopword-phrase filters run over a pretraining
+    corpus (word2vec's phrase pass, NLTK's collocation finders).
+
+    PMI(a,b) = ln( p(a,b) / (p(a) p(b)) ) with p(a,b) over the bigram
+    total and p(·) over the token total, computed as a fixed-order sum
+    of ln's of EXACT integers (each count is exact in binary64), so
+    the score is bit-identical across engines — the same discipline as
+    the DSIR/NB log-ratio operators. ``min_count`` drops the unstable
+    low-frequency tail (classic PMI degeneracy: a 1-occurrence pair of
+    two rare words maxes the score).
+
+    Scale shape: one tokenize pass feeds BOTH aggregations (bigrams by
+    row-local zip of the token array with its tail — no second corpus
+    scan, no join back to docs); each agg is map-side combined; the
+    two grand totals are one broadcast row; selection is
+    orderBy+limit (TakeOrderedAndProject — per-partition top-n, never
+    a global sort) and the rank window runs over exactly ``top_n``
+    rows by construction.
+
+    Output: (left, right, pair_count, pmi DOUBLE rounded-6, rank).
+    """
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.text import tokenize
+
+    toks = docs.select(tokenize(F.col(text_col)).alias("t"))
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            )
+        ).alias("p")
+    ).select(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    big = pairs.groupBy("left", "right").agg(
+        F.count(F.lit(1)).alias("pair_count")
+    )
+    totals = uni.agg(
+        F.sum("wc").alias("n_tok"),
+    ).crossJoin(big.agg(F.sum("pair_count").alias("n_big")))
+    scored = (
+        big.filter(F.col("pair_count") >= min_count)
+        .join(uni.withColumnRenamed("w", "left"), "left")
+        .withColumnRenamed("wc", "c_left")
+        .join(uni.withColumnRenamed("w", "right"), "right")
+        .withColumnRenamed("wc", "c_right")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "left",
+            "right",
+            "pair_count",
+            # fixed left-to-right IEEE order, every ln arg an exact int
+            (
+                F.log(F.col("pair_count").cast("double"))
+                + F.log(F.col("n_tok").cast("double"))
+                + F.log(F.col("n_tok").cast("double"))
+                - F.log(F.col("n_big").cast("double"))
+                - F.log(F.col("c_left").cast("double"))
+                - F.log(F.col("c_right").cast("double"))
+            ).alias("pmi_raw"),
+        )
+    )
+    w = Window.partitionBy(F.pmod(F.length("left"), F.lit(1))).orderBy(
+        F.round(F.col("pmi_raw"), 10).desc(),
+        F.col("left").asc(),
+        F.col("right").asc(),
+    )
+    return (
+        scored.orderBy(
+            F.round(F.col("pmi_raw"), 10).desc(),
+            F.col("left").asc(),
+            F.col("right").asc(),
+        )
+        .limit(top_n)
+        .select(
+            "left",
+            "right",
+            "pair_count",
+            F.round(F.col("pmi_raw"), 6).alias("pmi"),
+            F.row_number().over(w).alias("rank"),
+        )
+    )

@@ -3559,6 +3559,7 @@ def registry() -> dict[str, str]:
         "lm_quality": sql_lm_quality(),
         "lm_quality_bands": sql_lm_quality_bands(),
         "bpe_pair_counts": sql_bpe_pair_counts(),
+        "collocations_pmi": sql_collocations_pmi(),
         "quality_report": sql_quality_report(),
         "chunk_documents": sql_chunk_documents(),
         "snapshot_diff": sql_snapshot_diff(),
@@ -3625,3 +3626,47 @@ def registry() -> dict[str, str]:
         "media_embedding_topk": sql_media_embedding_topk(),
         "media_frames": sql_media_frames(),
     }
+
+
+def sql_collocations_pmi() -> str:
+    """Mirrors prep.collocations_pmi: adjacent-bigram PMI with the
+    SAME fixed left-to-right ln-of-exact-integer sum (each count is
+    exact in binary64, so both engines add identical doubles in
+    identical order), min pair count 5, top 200 by (round-10 pmi desc,
+    left, right)."""
+    return """
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wc
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+pairs AS (
+  SELECT p.l AS "left", p.r AS "right" FROM (
+    SELECT unnest(list_transform(range(1, len(t)), i ->
+             struct_pack(l := t[i], r := t[i + 1]))) AS p
+    FROM toks)),
+big AS (
+  SELECT "left", "right", CAST(count(*) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY 1, 2),
+tot AS (
+  SELECT (SELECT CAST(sum(wc) AS BIGINT) FROM uni) AS n_tok,
+         (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_big),
+scored AS (
+  SELECT b."left", b."right", b.pair_count,
+         ln(CAST(b.pair_count AS DOUBLE)) + ln(CAST(t.n_tok AS DOUBLE))
+         + ln(CAST(t.n_tok AS DOUBLE)) - ln(CAST(t.n_big AS DOUBLE))
+         - ln(CAST(ul.wc AS DOUBLE)) - ln(CAST(ur.wc AS DOUBLE)) AS pmi_raw
+  FROM big b
+  JOIN uni ul ON ul.w = b."left"
+  JOIN uni ur ON ur.w = b."right"
+  CROSS JOIN tot t
+  WHERE b.pair_count >= 5)
+SELECT "left", "right", pair_count, round(pmi_raw, 6) AS pmi,
+       CAST(row_number() OVER (
+         ORDER BY round(pmi_raw, 10) DESC, "left" ASC, "right" ASC
+       ) AS INT) AS rank
+FROM scored
+ORDER BY round(pmi_raw, 10) DESC, "left" ASC, "right" ASC
+LIMIT 200
+"""

@@ -2368,7 +2368,18 @@ def q_dsir_divergence(spark, sf_dir):
     )
 
 
+def q_collocations_pmi(spark, sf_dir):
+    """Top-200 collocations by PMI over adjacent token bigrams — the
+    phrase-mining statistic tokenizer/vocab induction runs over a
+    pretraining corpus. Fixed-order ln-of-exact-integer sum, so the
+    score is bit-identical across engines."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import prep
+
+    return prep.collocations_pmi(_docs(spark, sf_dir))
+
+
 REGISTRY = {
+    "collocations_pmi": q_collocations_pmi,
     "remove_duplicate_spans": q_remove_duplicate_spans,
     "nb_classify": q_nb_classify,
     "dsir_weights": q_dsir_weights,

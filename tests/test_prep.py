@@ -92,3 +92,34 @@ def test_prep_plans_have_no_single_partition_exchange(spark):
         .toString()
     )
     assert "Exchange" not in split_plan
+
+
+def test_collocations_pmi_values_and_plan(spark):
+    """PMI on a hand-computable corpus: 'a b' occurs 3x adjacent among
+    known totals; score must equal the closed form in the same ln
+    order, min_count prunes the singleton pair, and selection plans as
+    TakeOrderedAndProject (per-partition top-n, no global sort)."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b c"),
+            (1, "a b d"),
+            (2, "c d c"),
+        ],
+        "doc_id long, text string",
+    )
+    out = prep.collocations_pmi(docs, min_count=3, top_n=10)
+    rows = {(r["left"], r["right"]): r for r in out.collect()}
+    # tokens: a=3, b=3, c=3, d=2, n_tok=11; bigrams total 8; (a,b)=3
+    assert set(rows) == {("a", "b")}
+    got = rows[("a", "b")]
+    want = (
+        math.log(3.0) + math.log(11.0) + math.log(11.0)
+        - math.log(8.0) - math.log(3.0) - math.log(3.0)
+    )
+    assert got["pair_count"] == 3
+    assert abs(got["pmi"] - round(want, 6)) < 1e-12
+    assert got["rank"] == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
