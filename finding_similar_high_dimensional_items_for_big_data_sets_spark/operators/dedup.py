@@ -1779,3 +1779,66 @@ def containment_pairs_exact(
             | (F.col("containment_ba") >= threshold)
         )
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of the doc's DISTINCT
+    word ``n``-grams whose corpus-FIRST occurrence (minimum doc_id) is
+    this document — the train-set internal-duplication signal of the
+    substring-dedup literature (a low-novelty doc is mostly restating
+    earlier corpus content; Lee et al. measure exactly this overlap
+    before cutting it). The ordering is the stable id order, matching
+    every other first-wins rule in the engine (§4.4 determinism).
+
+    Scale shape: one tokenize pass explodes distinct per-doc grams on
+    the compact 60-bit portable hash (the same 8-byte shuffle key as
+    :func:`shared_ngram_spans`; the oracle joins on the same hash so a
+    collision cannot diverge the two sides); the first-occurrence agg
+    is a map-side-combined min; the join back is co-partitioned with
+    it; the per-doc rollup is one more bounded agg. No per-gram state
+    beyond the single min doc_id — boilerplate mega-grams cost one
+    counter, not a collected list.
+
+    Output: (doc_id, n_grams INT, novel_grams INT, novel_frac DOUBLE
+    rounded-6) for docs with at least one n-gram (< n tokens yields
+    none, matching :func:`~..functions.textstats.word_ngram_multiset`).
+    """
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.textstats import (
+        word_ngram_multiset,
+    )
+
+    toks = tokenize(F.col(text_col))
+    grams = F.array_distinct(word_ngram_multiset(toks, n))
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
+    ).select("doc_id", portable_hash64(F.col("gram")).alias("gram_hash"))
+    first = exploded.groupBy("gram_hash").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    return (
+        exploded.join(first, "gram_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("novel_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "novel_grams",
+            F.round(
+                F.col("novel_grams").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("novel_frac"),
+        )
+    )

@@ -3560,6 +3560,7 @@ def registry() -> dict[str, str]:
         "lm_quality_bands": sql_lm_quality_bands(),
         "bpe_pair_counts": sql_bpe_pair_counts(),
         "collocations_pmi": sql_collocations_pmi(),
+        "ngram_novelty": sql_ngram_novelty(),
         "quality_report": sql_quality_report(),
         "chunk_documents": sql_chunk_documents(),
         "snapshot_diff": sql_snapshot_diff(),
@@ -3669,4 +3670,26 @@ SELECT "left", "right", pair_count, round(pmi_raw, 6) AS pmi,
 FROM scored
 ORDER BY round(pmi_raw, 10) DESC, "left" ASC, "right" ASC
 LIMIT 200
+"""
+
+
+def sql_ngram_novelty() -> str:
+    """Mirrors dedup.ngram_novelty: distinct per-doc 8-grams on the
+    SAME portable hash, corpus-first occurrence by min doc_id, per-doc
+    novel fraction as a double division of two exact ints (round-6)."""
+    n = C.SPAN_NGRAM
+    return f"""
+WITH toks AS ({TOKS}),
+g AS (SELECT doc_id, unnest(list_distinct({_ngram_list(n)})) AS gram FROM toks),
+gh AS (SELECT doc_id, {H('gram')} AS gram_hash FROM g),
+fst AS (SELECT gram_hash, min(doc_id) AS first_doc FROM gh GROUP BY 1)
+SELECT gh.doc_id,
+       CAST(count(*) AS INT) AS n_grams,
+       CAST(sum(CASE WHEN fst.first_doc = gh.doc_id THEN 1 ELSE 0 END) AS INT)
+         AS novel_grams,
+       round(CAST(sum(CASE WHEN fst.first_doc = gh.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS novel_frac
+FROM gh JOIN fst USING (gram_hash)
+GROUP BY 1
 """

@@ -2368,6 +2368,15 @@ def q_dsir_divergence(spark, sf_dir):
     )
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc n-gram novelty: fraction of the doc's distinct 8-grams
+    first seen (min doc_id) in this doc — the internal-duplication
+    signal a substring-dedup pass acts on."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import dedup
+
+    return dedup.ngram_novelty(_docs(spark, sf_dir), n=C.SPAN_NGRAM)
+
+
 def q_collocations_pmi(spark, sf_dir):
     """Top-200 collocations by PMI over adjacent token bigrams — the
     phrase-mining statistic tokenizer/vocab induction runs over a
@@ -2380,6 +2389,7 @@ def q_collocations_pmi(spark, sf_dir):
 
 REGISTRY = {
     "collocations_pmi": q_collocations_pmi,
+    "ngram_novelty": q_ngram_novelty,
     "remove_duplicate_spans": q_remove_duplicate_spans,
     "nb_classify": q_nb_classify,
     "dsir_weights": q_dsir_weights,

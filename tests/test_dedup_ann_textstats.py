@@ -494,3 +494,28 @@ def test_ivf_topk_alpha_full_scan_parity_and_batch(emb):
         for row in ann.ivf_topk_alpha(emb, qv, k=3, alpha=0.15, n_cells=8).collect():
             expect.append((r["query_id"], row["vec_id"], row["dist"], row["rank"]))
     assert got == sorted(expect) and len(got) > 0
+
+
+def test_ngram_novelty_hand_values(spark):
+    """First-occurrence novelty on a hand corpus: doc 0 all-novel,
+    doc 1 restates doc 0's grams (zero novelty), doc 2 half-novel,
+    short docs (< n tokens) absent."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),
+            (1, "a b c"),       # both 2-grams first seen in doc 0
+            (2, "c d x y"),     # (c d) seen; (d x), (x y) novel
+            (3, "z"),           # < n tokens: no grams, no row
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in dedup.ngram_novelty(docs, n=2).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    assert (rows[0]["n_grams"], rows[0]["novel_grams"]) == (3, 3)
+    assert rows[0]["novel_frac"] == 1.0
+    assert (rows[1]["n_grams"], rows[1]["novel_grams"]) == (2, 0)
+    assert rows[1]["novel_frac"] == 0.0
+    assert (rows[2]["n_grams"], rows[2]["novel_grams"]) == (3, 2)
+    assert rows[2]["novel_frac"] == round(2 / 3, 6)
