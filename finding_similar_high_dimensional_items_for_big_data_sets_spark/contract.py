@@ -296,3 +296,9 @@ KNN_VOTE_K = 5
 
 # Cross-source near-dup overlap uses the lsh_pairs threshold
 # (PAIR_THRESHOLD) — no extra knob.
+
+# Matryoshka-style dimension-adaptive retrieval: stage 1 ranks on the
+# first MRL_DIM dims only, stage 2 reranks an MRL_SHORTLIST-deep
+# per-query shortlist with full-dim exact cosine.
+MRL_DIM = 16
+MRL_SHORTLIST = 50

@@ -314,3 +314,65 @@ def knn_label_vote(
             "n_votes",
         )
     )
+
+
+def mrl_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    d_prime: int = 16,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Dimension-adaptive (matryoshka-style) two-stage retrieval:
+    stage 1 ranks the corpus by cosine over the FIRST ``d_prime`` dims
+    only — the prefix an MRL-trained embedding packs its coarse signal
+    into — and keeps a ``shortlist``-deep per-query candidate set;
+    stage 2 re-scores ONLY the shortlist with full-dim exact cosine.
+    The dimension-truncation twin of :func:`..ann.pq_topk_rerank`'s
+    code-shortlist + exact-rerank shape: the expensive full-width
+    fold runs on shortlist * |queries| rows, never the corpus.
+
+    Scale shape: stage 1 is the brute-force scan at d_prime/dim of the
+    flop cost (and, under a column layout that stores the prefix
+    separately, that fraction of the scan bytes too); the shortlist
+    survives as rows already carrying both vectors, so the rerank adds
+    no join. Per-query windows only — no global sort.
+
+    Output: (query_id, vec_id, trunc_sim, cos_sim DOUBLE rounded-6,
+    rank) — rank by full-dim score over the shortlist.
+    """
+    joined = corpus.crossJoin(F.broadcast(queries))
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        F.col(vec_col),
+        F.col(query_vec_col),
+        F.round(
+            cosine_similarity(
+                F.slice(F.col(vec_col), 1, d_prime),
+                F.slice(F.col(query_vec_col), 1, d_prime),
+            ),
+            6,
+        ).alias("trunc_sim"),
+    )
+    short = _per_query_topk(
+        scored,
+        shortlist,
+        [F.col("trunc_sim").desc(), F.col(id_col).asc()],
+        query_id_col,
+    ).drop("rank")
+    reranked = short.select(
+        query_id_col,
+        id_col,
+        "trunc_sim",
+        F.round(
+            cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6
+        ).alias("cos_sim"),
+    )
+    return _per_query_topk(
+        reranked, k, [F.col("cos_sim").desc(), F.col(id_col).asc()], query_id_col
+    ).select(query_id_col, id_col, "trunc_sim", "cos_sim", "rank")

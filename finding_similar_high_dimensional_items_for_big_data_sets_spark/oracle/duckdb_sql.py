@@ -3561,6 +3561,7 @@ def registry() -> dict[str, str]:
         "bpe_pair_counts": sql_bpe_pair_counts(),
         "collocations_pmi": sql_collocations_pmi(),
         "ngram_novelty": sql_ngram_novelty(),
+        "mrl_rerank_topk": sql_mrl_rerank_topk(),
         "quality_report": sql_quality_report(),
         "chunk_documents": sql_chunk_documents(),
         "snapshot_diff": sql_snapshot_diff(),
@@ -3692,4 +3693,40 @@ SELECT gh.doc_id,
              / CAST(count(*) AS DOUBLE), 6) AS novel_frac
 FROM gh JOIN fst USING (gram_hash)
 GROUP BY 1
+"""
+
+
+def sql_mrl_rerank_topk() -> str:
+    """Mirrors bruteforce.mrl_rerank_topk: truncated-prefix cosine
+    shortlist (the _dot/_norm folds over the first MRL_DIM positions —
+    same sequential IEEE order as the engine's sliced aggregate),
+    full-dim exact rerank over the shortlist, both scores round-6."""
+    d, sl, k = C.MRL_DIM, C.MRL_SHORTLIST, C.K_VEC
+    t_expr = (
+        f"{_dot('e.embedding', 'q.qv', d)} / "
+        f"({_norm('e.embedding', d)} * {_norm('q.qv', d)})"
+    )
+    f_expr = (
+        f"{_dot('embedding', 'qv', C.EMB_DIM)} / "
+        f"({_norm('embedding', C.EMB_DIM)} * {_norm('qv', C.EMB_DIM)})"
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {C.BATCH_DOCS}),
+s1 AS (
+  SELECT q.query_id, e.vec_id, e.embedding, q.qv,
+         round({t_expr}, 6) AS trunc_sim
+  FROM embeddings e, q),
+short AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY trunc_sim DESC, vec_id) AS r
+    FROM s1) WHERE r <= {sl}),
+re AS (
+  SELECT query_id, vec_id, trunc_sim, round({f_expr}, 6) AS cos_sim
+  FROM short)
+SELECT query_id, vec_id, trunc_sim, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+  FROM re) WHERE rank <= {k}
 """

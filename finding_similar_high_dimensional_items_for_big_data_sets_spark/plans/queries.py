@@ -2368,6 +2368,19 @@ def q_dsir_divergence(spark, sf_dir):
     )
 
 
+def q_mrl_rerank_topk(spark, sf_dir):
+    """Matryoshka-style adaptive retrieval: first-16-dims cosine
+    shortlist, full-dim exact rerank — the dimension-truncation twin
+    of the PQ shortlist+rerank serving shape, over a query batch."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < C.BATCH_DOCS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return bruteforce.mrl_rerank_topk(
+        emb, qs, k=C.K_VEC, d_prime=C.MRL_DIM, shortlist=C.MRL_SHORTLIST
+    )
+
+
 def q_ngram_novelty(spark, sf_dir):
     """Per-doc n-gram novelty: fraction of the doc's distinct 8-grams
     first seen (min doc_id) in this doc — the internal-duplication
@@ -2390,6 +2403,7 @@ def q_collocations_pmi(spark, sf_dir):
 REGISTRY = {
     "collocations_pmi": q_collocations_pmi,
     "ngram_novelty": q_ngram_novelty,
+    "mrl_rerank_topk": q_mrl_rerank_topk,
     "remove_duplicate_spans": q_remove_duplicate_spans,
     "nb_classify": q_nb_classify,
     "dsir_weights": q_dsir_weights,

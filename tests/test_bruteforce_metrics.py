@@ -117,3 +117,24 @@ def test_cosine_topk_vectorized_empty_query_set(spark, emb):
     out = bruteforce.cosine_topk_vectorized(emb, q, k=5)
     assert out.count() == 0
     assert out.columns == ["query_id", "vec_id", "cos_sim", "rank"]
+
+
+def test_mrl_rerank_exact_when_shortlist_covers_corpus(spark, emb):
+    """Identity law of the two-stage shape: with the shortlist as deep
+    as the corpus, the truncated prefilter prunes nothing and the
+    rerank must equal full exact cosine top-k, column-for-column."""
+    n = emb.count()
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = bruteforce.mrl_rerank_topk(
+        emb, qs, k=5, d_prime=16, shortlist=n
+    ).select("query_id", "vec_id", "cos_sim", "rank")
+    want = bruteforce.cosine_topk(emb, qs, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # a tight shortlist is a genuine prefilter: self stays rank-1 (its
+    # truncated prefix matches itself perfectly, so it always survives)
+    tight = bruteforce.mrl_rerank_topk(emb, qs, k=5, d_prime=16, shortlist=10)
+    top = {r["query_id"]: r["vec_id"] for r in tight.filter("rank = 1").collect()}
+    assert top == {0: 0, 1: 1, 2: 2}
