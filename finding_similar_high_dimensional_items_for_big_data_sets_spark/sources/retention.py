@@ -63,7 +63,6 @@ from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tabl
     _prepare_table_rewrite,
     _recover_dir_swap,
     _swap_names,
-    read_store_meta,
     recover_compact_swap,
 )
 
@@ -156,12 +155,8 @@ def delete_docs_everywhere(
              "markers": ["_SUCCESS"]}
         )
     for path in vector_stores:
-        kind = read_store_meta(path).get("kind")
-        if kind not in _ALL_CODES_KINDS:
-            raise ValueError(
-                f"{path} is not a codes store (kind={kind!r}) — "
-                f"expected one of {_ALL_CODES_KINDS}"
-            )
+        # kind validation happens inside the prepare (it reads the
+        # sidecar anyway and raises on anything outside the kinds set)
         _prepare_ivfpq_rewrite(
             spark,
             path,
@@ -200,7 +195,19 @@ def delete_docs_everywhere(
     tmp_manifest = manifest_file + ".tmp"
     with open(tmp_manifest, "w") as fh:
         json.dump({"stores": stores}, fh)
+        # fsync data BEFORE the rename and the directory AFTER it:
+        # process death is covered by the rename alone, but POWER loss
+        # can persist a rename whose data pages never hit disk (a
+        # zero-length manifest on XFS/older ext4) or lose the rename
+        # entirely — either would break the all-or-nothing promise.
+        fh.flush()
+        os.fsync(fh.fileno())
     os.rename(tmp_manifest, manifest_file)  # atomic: manifest is all-or-nothing
+    dir_fd = os.open(manifest_path, os.O_RDONLY)
+    try:
+        os.fsync(dir_fd)
+    finally:
+        os.close(dir_fd)
 
     # ---- phase 3: swap every prepared copy in ------------------------
     _commit_all(spark, stores)
@@ -248,8 +255,18 @@ def recover_retention(spark: SparkSession, manifest_path: str) -> bool:
     manifest_file = os.path.join(manifest_path, MANIFEST_NAME)
     if not os.path.exists(manifest_file):
         return False
-    with open(manifest_file) as fh:
-        stores = json.load(fh)["stores"]
+    try:
+        with open(manifest_file) as fh:
+            stores = json.load(fh)["stores"]
+    except (ValueError, KeyError):
+        # torn commit point: the rename survived a power loss but the
+        # data pages didn't (pre-fsync kernels / non-POSIX stores).
+        # The transaction never durably committed — clear the husk and
+        # report not-found; re-issuing the SAME delete converges (every
+        # per-store rewrite is idempotent), which is the documented
+        # remediation after a power event.
+        os.remove(manifest_file)
+        return False
     _commit_all(spark, stores)
     os.remove(manifest_file)
     return True

@@ -1174,11 +1174,17 @@ def _reject_stream_codes_store(
     directory tree carries ``ingest_batch=`` partitions — bases
     written before the sidecar grew the ``batch_partitioned`` flag
     lack it, and the layout itself is the ground truth the append
-    would corrupt."""
+    would corrupt. The layout check runs even when the sidecar is
+    MISSING entirely (a store whose meta predates sidecars, or lost
+    it): the meta comparison downstream would skip too, so this guard
+    is the only thing standing between the append and a two-depth
+    directory tree."""
+    if not os.path.isdir(path):
+        return
     try:
         meta = read_store_meta(path)
     except FileNotFoundError:
-        return
+        meta = {}
     batch_partitioned = meta.get("batch_partitioned") or any(
         name.startswith("ingest_batch=") for name in os.listdir(path)
     )

@@ -269,3 +269,15 @@ def test_crash_before_manifest_rolls_back(spark, tmp_path, monkeypatch):
         spark.sql(f"DROP TABLE IF EXISTS {st['table']}__compact_tmp")
         spark.sql(f"DROP TABLE IF EXISTS {st['hash_table']}")
         spark.sql(f"DROP TABLE IF EXISTS {st['hash_table']}__compact_tmp")
+
+
+def test_recover_retention_tolerates_torn_manifest(spark, tmp_path):
+    """A power loss can persist the manifest rename without its data
+    (zero-length file): recovery must treat it as not-committed —
+    clear the husk, return False — rather than crash on json.load."""
+    manifest_dir = tmp_path / "manifest_torn"
+    manifest_dir.mkdir()
+    torn = manifest_dir / retention.MANIFEST_NAME
+    torn.write_bytes(b"")
+    assert retention.recover_retention(spark, str(manifest_dir)) is False
+    assert not torn.exists()

@@ -207,3 +207,17 @@ def test_guards(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not a flat codes store"):
         SC.stream_codes_ingest(stream, ivf, str(tmp_path / "ckpt_g2"))
+
+
+def test_guard_holds_without_sidecar(spark, tmp_path):
+    """A stream store that LOST its sidecar entirely still refuses a
+    plain append: the ingest_batch= directory layout is the ground
+    truth, and with no meta the downstream codec comparison would skip
+    too — this guard is the only thing preventing a two-depth tree."""
+    emb = _emb(spark)
+    books = _books()
+    store = str(tmp_path / "pq_nosidecar")
+    write_codes_stream_base(emb.limit(20), store, books)
+    os.remove(os.path.join(store, "_index_meta.json"))
+    with pytest.raises(ValueError, match="stream-maintained"):
+        append_pq_index(emb.limit(1), store, books)
