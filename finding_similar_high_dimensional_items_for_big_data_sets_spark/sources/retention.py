@@ -2,8 +2,10 @@
 persisted index family.
 
 A real 100 TB training-data pipeline holds one document in MANY derived
-artifacts at once — MinHash signatures + LSH bands, IVF-PQ / IVF-OPQ
-residual codes, flat PQ/OPQ codes, lexical postings with corpus
+artifacts at once — MinHash signatures + LSH bands (and their sharded
+serving exports), IVF-PQ / IVF-OPQ residual codes, flat PQ/OPQ codes,
+the raw-vector ANN / IVF / QED partitioned stores (which hold the
+document's embedding verbatim), lexical postings with corpus
 statistics. A GDPR/right-to-be-forgotten request must remove the
 document from ALL of them, and a crash halfway through the fan-out must
 not leave some stores forgetting and others still serving the id (an
@@ -13,9 +15,14 @@ auditor reading the half-deleted state would call either answer wrong).
 reusing the shared two-phase swap core (``sources.tables``):
 
 1. **Prepare** — every target store's filtered replacement is written
-   to its sibling ``__compact_tmp`` / ``__delete_tmp``. No live store
-   changes. A crash here leaves only stale tmp directories, which the
-   per-store recover functions already clear: implicit rollback.
+   to its sibling ``__retention_tmp``. No live store changes. The
+   suffix is EXCLUSIVE to retention: the per-store lifecycle recovers
+   (``recover_compact_swap`` / ``recover_ivfpq_swap`` /
+   ``recover_postings_swap`` / ``recover_sigs_swap``) only ever touch
+   their own ``__compact`` / ``__delete`` siblings, so a startup that
+   interleaves per-store recovery with :func:`recover_retention` can
+   never mistake a prepared retention copy for stale lifecycle debris
+   and delete it out from under a committed manifest.
 2. **Manifest** — one ``_retention_manifest.json`` records the full
    store list. Its existence is the commit point: before it exists the
    transaction rolls back, after it exists it rolls forward.
@@ -23,10 +30,14 @@ reusing the shared two-phase swap core (``sources.tables``):
    rename protocol, then the manifest is removed.
 
 A process death anywhere is healed by :func:`recover_retention` at
-startup: with no manifest it clears any prepared-but-uncommitted tmps
-(rollback); with a manifest it completes every remaining swap
-(roll-forward — every tmp was verified complete before the manifest was
-written) and then removes the manifest. Re-running a delete converges.
+startup: with no manifest the transaction never committed and the live
+stores were never touched — the function returns False WITHOUT touching
+anything (prepared-but-uncommitted ``__retention`` tmps are inert
+debris; the next retention prepare clears its own leftovers, and
+:func:`vacuum_stores` sweeps them on demand); with a manifest it
+completes every remaining swap (roll-forward — every tmp was verified
+complete before the manifest was written) and then removes the
+manifest. Re-running a delete converges.
 
 Sketch stores (CMS/HLL) are the documented impossibility: a sketch is a
 lossy fold, so it cannot unlearn one key — ``F.count_min_sketch``-style
@@ -45,6 +56,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,6 +66,7 @@ from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tabl
     CODES_SWAP_MARKERS,
     FLAT_CODES_KINDS,
     POSTINGS_SWAP_MARKERS,
+    RAW_VECTOR_KINDS,
     _commit_bands_swap,
     _commit_dir_swap,
     _prepare_bands_rewrite,
@@ -63,12 +76,26 @@ from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tabl
     _prepare_table_rewrite,
     _recover_dir_swap,
     _swap_names,
+    _sync_partitions,
     recover_compact_swap,
 )
 
 MANIFEST_NAME = "_retention_manifest.json"
 
-_ALL_CODES_KINDS = CELL_STORE_KINDS + FLAT_CODES_KINDS
+# The swap-window suffix retention owns EXCLUSIVELY. Per-store lifecycle
+# recovers clear only their own __compact/__delete siblings, so a
+# prepared retention copy survives any interleaving of startup recovery
+# calls until recover_retention itself rolls the manifest forward.
+RETENTION_SUFFIX = "__retention"
+
+# vec_id-addressed partitioned stores the retention fan-out accepts:
+# quantized codes (cell or flat) AND the raw-vector families (hyperplane
+# ANN buckets, IVF cells, QED bins) — the raw stores hold the forgotten
+# doc's embedding verbatim, so skipping them would leak the vector.
+_ALL_VECTOR_KINDS = CELL_STORE_KINDS + FLAT_CODES_KINDS + RAW_VECTOR_KINDS
+
+# every swap-window suffix any store family can leave siblings under
+_ALL_SUFFIXES = ("__compact", "__delete", RETENTION_SUFFIX)
 
 
 def _ids_df(spark: SparkSession, delete_ids, col: str) -> DataFrame:
@@ -91,6 +118,7 @@ def delete_docs_everywhere(
     manifest_path: str,
     *,
     lsh: tuple[str, str] | None = None,
+    lsh_sharded: list[tuple[str, str]] | tuple = (),
     vector_stores: list[str] | tuple[str, ...] = (),
     postings_stores: list[str] | tuple[str, ...] = (),
     content_hash_tables: list[str] | tuple[str, ...] = (),
@@ -106,8 +134,15 @@ def delete_docs_everywhere(
     keep these aligned; pass separate calls if yours diverge).
 
     ``lsh``: ``(sigs_path, bands_table)`` — both halves of the LSH
-    index. ``vector_stores``: paths of IVF-PQ / IVF-OPQ / flat PQ / OPQ
-    codes stores (the kind is read from each store's own sidecar).
+    index. ``lsh_sharded``: ``(sigs_path, bands_table)`` pairs of the
+    shard-partitioned serving exports (:func:`~.tables.write_bands_sharded`
+    / :func:`~.tables.write_sigs_sharded`) — the shard layout is
+    preserved, so replica exports keep pruning to their directories.
+    ``vector_stores``: paths of ANY vec_id-addressed partitioned store —
+    quantized (IVF-PQ / IVF-OPQ / flat PQ / OPQ codes) or raw-vector
+    (hyperplane-bucketed ANN, IVF cell, QED bin stores); the kind is
+    read from each store's own sidecar and the partition layout
+    (cell / bucket / qed_bin / stream ingest_batch) is preserved.
     ``postings_stores``: lexical store paths (postings + doc-length +
     term-df sidecars all rewritten, so BM25 statistics reflect the
     post-delete corpus exactly). ``content_hash_tables``: bucketed
@@ -118,6 +153,11 @@ def delete_docs_everywhere(
     a directory the transaction manifest lives under while the commit
     fan-out runs — run :func:`recover_retention` on it at startup.
 
+    Stream-maintained (``ingest_batch``-partitioned) stores are fair
+    targets: every prepare restates the epoch level and carries the
+    absorbed-epoch watermark, so the maintenance loop resumes with its
+    replay protection intact after the delete.
+
     ``sketch_stores``: always raises — see the module docstring. CMS and
     HLL cannot unlearn; rebuild them from the surviving corpus with
     their batch builders instead.
@@ -127,7 +167,7 @@ def delete_docs_everywhere(
     is immutable, so a delete is O(store rewrite) per store — batch
     deletion requests into maintenance windows). The transaction adds
     no data movement, only the ordering guarantee: every rewrite is
-    staged under its sibling tmp before any store swaps.
+    staged under its sibling ``__retention_tmp`` before any store swaps.
     """
     if sketch_stores:
         raise ValueError(
@@ -136,24 +176,39 @@ def delete_docs_everywhere(
             f"{list(sketch_stores)} from the surviving corpus with "
             "cms_build / hll_registers instead of deleting from them"
         )
+    manifest_file = os.path.join(manifest_path, MANIFEST_NAME)
+    if os.path.exists(manifest_file):
+        raise ValueError(
+            f"a retention manifest already exists at {manifest_file}: an "
+            "earlier delete died after its commit point — run "
+            "recover_retention(spark, manifest_path) to roll it forward "
+            "before issuing a new delete"
+        )
     stores: list[dict] = []
     doc_ids = _ids_df(spark, delete_ids, "doc_id")
     vec_ids = _ids_df(spark, delete_ids, "vec_id")
 
-    # ---- phase 1: prepare every store's filtered replacement --------
-    if lsh is not None:
-        sigs_path, bands_table = lsh
+    def _stage_lsh(sigs_path: str, bands_table: str) -> None:
         _prepare_bands_rewrite(
             spark,
             bands_table,
             lambda cur, _parts: cur.join(doc_ids, "doc_id", "left_anti"),
+            suffix=RETENTION_SUFFIX,
         )
-        stores.append({"medium": "table", "name": bands_table})
-        _prepare_sigs_delete(spark, doc_ids, sigs_path)
         stores.append(
-            {"medium": "dir", "path": sigs_path, "suffix": "__delete",
+            {"medium": "table", "name": bands_table, "suffix": RETENTION_SUFFIX}
+        )
+        _prepare_sigs_delete(spark, doc_ids, sigs_path, suffix=RETENTION_SUFFIX)
+        stores.append(
+            {"medium": "dir", "path": sigs_path, "suffix": RETENTION_SUFFIX,
              "markers": ["_SUCCESS"]}
         )
+
+    # ---- phase 1: prepare every store's filtered replacement --------
+    if lsh is not None:
+        _stage_lsh(*lsh)
+    for sigs_path, bands_table in lsh_sharded:
+        _stage_lsh(sigs_path, bands_table)
     for path in vector_stores:
         # kind validation happens inside the prepare (it reads the
         # sidecar anyway and raises on anything outside the kinds set)
@@ -161,10 +216,11 @@ def delete_docs_everywhere(
             spark,
             path,
             lambda cur, _parts: cur.join(vec_ids, "vec_id", "left_anti"),
-            kinds=_ALL_CODES_KINDS,
+            kinds=_ALL_VECTOR_KINDS,
+            suffix=RETENTION_SUFFIX,
         )
         stores.append(
-            {"medium": "dir", "path": path, "suffix": "__compact",
+            {"medium": "dir", "path": path, "suffix": RETENTION_SUFFIX,
              "markers": list(CODES_SWAP_MARKERS)}
         )
     for table in content_hash_tables:
@@ -173,8 +229,11 @@ def delete_docs_everywhere(
             table,
             lambda cur, _parts: cur.join(doc_ids, "doc_id", "left_anti"),
             ("content_hash",),
+            suffix=RETENTION_SUFFIX,
         )
-        stores.append({"medium": "table", "name": table})
+        stores.append(
+            {"medium": "table", "name": table, "suffix": RETENTION_SUFFIX}
+        )
     for path in postings_stores:
         _prepare_postings_rewrite(
             spark,
@@ -183,15 +242,15 @@ def delete_docs_everywhere(
                 posts.join(doc_ids, "doc_id", "left_anti"),
                 dls.join(doc_ids, "doc_id", "left_anti"),
             ),
+            suffix=RETENTION_SUFFIX,
         )
         stores.append(
-            {"medium": "dir", "path": path, "suffix": "__compact",
+            {"medium": "dir", "path": path, "suffix": RETENTION_SUFFIX,
              "markers": list(POSTINGS_SWAP_MARKERS)}
         )
 
     # ---- phase 2: the commit point ----------------------------------
     os.makedirs(manifest_path, exist_ok=True)
-    manifest_file = os.path.join(manifest_path, MANIFEST_NAME)
     tmp_manifest = manifest_file + ".tmp"
     with open(tmp_manifest, "w") as fh:
         json.dump({"stores": stores}, fh)
@@ -216,21 +275,26 @@ def delete_docs_everywhere(
 
 def _commit_all(spark: SparkSession, stores: list[dict]) -> None:
     """Swap each prepared store in, tolerating already-committed
-    entries (roll-forward re-runs this after a mid-fan death)."""
+    entries (roll-forward re-runs this after a mid-fan death). Because
+    the ``__retention`` suffix is exclusive to this transaction, a
+    missing tmp next to a healthy live store can only mean THIS
+    transaction already swapped it — no lifecycle recover can have
+    cleared a manifest-listed tmp — so skipping it is sound."""
     for st in stores:
+        suffix = st.get("suffix", RETENTION_SUFFIX)
         if st["medium"] == "table":
             table = st["name"]
-            tmp = f"{table}__compact_tmp"
+            tmp = f"{table}{suffix}_tmp"
             if spark.catalog.tableExists(tmp) and spark.catalog.tableExists(
                 table
             ):
-                _commit_bands_swap(spark, table)
+                _commit_bands_swap(spark, table, suffix=suffix)
             else:
                 # death inside (or after) this store's swap window:
-                # the per-store recover completes it idempotently
-                recover_compact_swap(spark, table)
+                # the shared recover completes it idempotently
+                recover_compact_swap(spark, table, suffix=suffix)
         else:
-            path, suffix = st["path"], st["suffix"]
+            path = st["path"]
             tmp, _old = _swap_names(path, suffix)
             if os.path.exists(tmp) and os.path.exists(path):
                 _commit_dir_swap(path, suffix=suffix)
@@ -246,27 +310,122 @@ def _commit_all(spark: SparkSession, stores: list[dict]) -> None:
 def recover_retention(spark: SparkSession, manifest_path: str) -> bool:
     """Startup recovery for a process death anywhere inside
     :func:`delete_docs_everywhere`. No manifest → the transaction never
-    reached its commit point: nothing to do (per-store recover/prepare
-    calls clear stale tmps lazily; the live stores were never touched).
-    Manifest present → every prepared copy was complete when it was
-    written, so roll the whole fan-out FORWARD: finish each remaining
-    swap and drop the manifest. Returns True if a manifest was found
-    and processed."""
+    reached its commit point: nothing to do and NOTHING is touched (the
+    live stores were never modified; any prepared ``__retention`` tmps
+    are inert debris the next retention prepare or
+    :func:`vacuum_stores` clears). Manifest present → every prepared
+    copy was complete when it was written, so roll the whole fan-out
+    FORWARD: finish each remaining swap and drop the manifest. Safe to
+    run in any order relative to the per-store lifecycle recovers —
+    they cannot touch the ``__retention`` siblings this transaction
+    owns. Returns True if a manifest was found and processed."""
     manifest_file = os.path.join(manifest_path, MANIFEST_NAME)
     if not os.path.exists(manifest_file):
         return False
     try:
         with open(manifest_file) as fh:
-            stores = json.load(fh)["stores"]
-    except (ValueError, KeyError):
+            data = json.load(fh)
+        stores = data["stores"]
+        if not isinstance(stores, list):
+            raise TypeError("manifest 'stores' is not a list")
+    except (ValueError, KeyError, TypeError):
         # torn commit point: the rename survived a power loss but the
-        # data pages didn't (pre-fsync kernels / non-POSIX stores).
-        # The transaction never durably committed — clear the husk and
-        # report not-found; re-issuing the SAME delete converges (every
-        # per-store rewrite is idempotent), which is the documented
-        # remediation after a power event.
+        # data pages didn't (pre-fsync kernels / non-POSIX stores) —
+        # a zero-length file, a truncated JSON prefix, or a husk that
+        # parses as a scalar/list. The transaction never durably
+        # committed — clear the husk and report not-found; re-issuing
+        # the SAME delete converges (every per-store rewrite is
+        # idempotent), which is the documented remediation after a
+        # power event.
         os.remove(manifest_file)
         return False
     _commit_all(spark, stores)
     os.remove(manifest_file)
     return True
+
+
+def vacuum_stores(
+    spark: SparkSession,
+    *,
+    dir_stores: list[str] | tuple[str, ...] = (),
+    tables: list[str] | tuple[str, ...] = (),
+    manifest_paths: list[str] | tuple[str, ...] = (),
+) -> list[str]:
+    """Garbage-collect swap debris next to HEALTHY stores: the
+    ``__compact`` / ``__delete`` / ``__retention`` tmp and set-aside
+    siblings a crash can strand (the lifecycle recovers clear them
+    lazily on the next rewrite; this sweeps them eagerly in one
+    operational pass across every family).
+
+    Refuses two states that are NOT debris:
+
+    - a store whose live copy is missing — that is a half-finished swap
+      the matching recover must heal (``recover_*_swap`` /
+      :func:`recover_retention`), not a cleanup target;
+    - any sibling of a store listed in a live retention manifest under
+      ``manifest_paths`` — those tmps are a committed transaction's
+      roll-forward inputs; the whole store is skipped until
+      :func:`recover_retention` completes it.
+
+    Run it with no writer active (same single-writer discipline as
+    compaction). Returns the list of removed sibling names."""
+    protected_dirs: set[str] = set()
+    protected_tables: set[str] = set()
+    for mp in manifest_paths:
+        mf = os.path.join(mp, MANIFEST_NAME)
+        if not os.path.exists(mf):
+            continue
+        try:
+            with open(mf) as fh:
+                data = json.load(fh)
+            listed = data["stores"]
+            if not isinstance(listed, list):
+                raise TypeError
+        except (ValueError, KeyError, TypeError):
+            continue  # torn husk: recover_retention owns clearing it
+        for st in listed:
+            if st.get("medium") == "table":
+                protected_tables.add(st["name"])
+            else:
+                protected_dirs.add(os.path.normpath(st["path"]))
+
+    removed: list[str] = []
+    for path in dir_stores:
+        if os.path.normpath(path) in protected_dirs:
+            continue
+        if not os.path.exists(path):
+            raise ValueError(
+                f"{path} has no live copy — a swap died mid-rename; run "
+                "the store's recover (recover_*_swap / recover_retention) "
+                "before vacuuming"
+            )
+        for sfx in _ALL_SUFFIXES:
+            for side in _swap_names(path, sfx):
+                if os.path.exists(side):
+                    shutil.rmtree(side)
+                    removed.append(side)
+    for table in tables:
+        if table in protected_tables:
+            continue
+        if not spark.catalog.tableExists(table):
+            raise ValueError(
+                f"table {table} does not exist — a swap died mid-rename; "
+                "run recover_compact_swap (or recover_retention) before "
+                "vacuuming"
+            )
+        acted = False
+        for sfx in _ALL_SUFFIXES:
+            for side in (f"{table}{sfx}_tmp", f"{table}{sfx}_old"):
+                if spark.catalog.tableExists(side):
+                    # re-point the leftover's partition metadata at its
+                    # own directories first — same law as the shared
+                    # recover protocol: a renamed-aside table's stale
+                    # per-partition locations can alias the live copy's
+                    # directories, and DROP would delete through them
+                    _sync_partitions(spark, side)
+                    spark.sql(f"DROP TABLE {side}")
+                    removed.append(side)
+                    acted = True
+        if acted:
+            _sync_partitions(spark, table)
+    return removed

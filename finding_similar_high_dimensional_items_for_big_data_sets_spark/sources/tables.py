@@ -892,6 +892,7 @@ def _prepare_table_rewrite(
     table: str,
     transform,
     bucket_cols: tuple[str, ...],
+    suffix: str = "__compact",
 ) -> str:
     """Phase 1 of a bucketed-table rewrite: ``transform(current_df,
     part_cols)`` produces the replacement rows, written under the SAME
@@ -899,11 +900,14 @@ def _prepare_table_rewrite(
     cleared first). Returns the tmp table name; phase 2 is
     :func:`_commit_bands_swap`. Shared by the bands table
     (``band_id, band_hash``) and the content-hash history table
-    (``content_hash``)."""
+    (``content_hash``). ``suffix`` names the swap window — the
+    lifecycle default ``__compact`` for compaction/delete, or a
+    caller-owned suffix (retention uses ``__retention``) whose
+    leftovers the per-store lifecycle recovers must never touch."""
     num_buckets = _table_num_buckets(spark, table)
     part_cols = _table_partition_columns(spark, table)
-    tmp = f"{table}__compact_tmp"
-    old = f"{table}__compact_old"
+    tmp = f"{table}{suffix}_tmp"
+    old = f"{table}{suffix}_old"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     spark.sql(f"DROP TABLE IF EXISTS {old}")
     current = transform(spark.table(table), part_cols)
@@ -919,22 +923,26 @@ def _prepare_table_rewrite(
     return tmp
 
 
-def _prepare_bands_rewrite(spark: SparkSession, bands_table: str, transform) -> str:
+def _prepare_bands_rewrite(
+    spark: SparkSession, bands_table: str, transform, suffix: str = "__compact"
+) -> str:
     """:func:`_prepare_table_rewrite` under the bands table's probe-join
     bucket spec."""
     return _prepare_table_rewrite(
-        spark, bands_table, transform, ("band_id", "band_hash")
+        spark, bands_table, transform, ("band_id", "band_hash"), suffix=suffix
     )
 
 
-def _commit_bands_swap(spark: SparkSession, bands_table: str) -> None:
+def _commit_bands_swap(
+    spark: SparkSession, bands_table: str, suffix: str = "__compact"
+) -> None:
     """Phase 2: swap the prepared tmp table in via the shared protocol
     under the catalog primitives."""
     ops = _table_swap_primitives(spark)
     _swap_in_protocol(
         bands_table,
-        f"{bands_table}__compact_tmp",
-        f"{bands_table}__compact_old",
+        f"{bands_table}{suffix}_tmp",
+        f"{bands_table}{suffix}_old",
         ops["rename"],
         ops["drop"],
         ops["sync"],
@@ -969,7 +977,9 @@ def _sync_partitions(spark: SparkSession, table: str) -> None:
     spark.catalog.refreshTable(table)
 
 
-def recover_compact_swap(spark: SparkSession, bands_table: str) -> bool:
+def recover_compact_swap(
+    spark: SparkSession, bands_table: str, suffix: str = "__compact"
+) -> bool:
     """Startup recovery after a process death inside
     :func:`compact_index`'s swap: if ``bands_table`` is missing,
     re-register the surviving copy — the compacted ``__compact_tmp``
@@ -998,8 +1008,8 @@ def recover_compact_swap(spark: SparkSession, bands_table: str) -> bool:
     ops = _table_swap_primitives(spark)
     return _swap_recover_protocol(
         bands_table,
-        f"{bands_table}__compact_tmp",
-        f"{bands_table}__compact_old",
+        f"{bands_table}{suffix}_tmp",
+        f"{bands_table}{suffix}_old",
         healthy_drops=("old",),
         label="bands table",
         detail=(
@@ -1053,15 +1063,18 @@ def delete_from_index(
     _commit_dir_swap(sigs_path, suffix="__delete")
 
 
-def _prepare_sigs_delete(spark: SparkSession, ids, sigs_path: str) -> str:
+def _prepare_sigs_delete(
+    spark: SparkSession, ids, sigs_path: str, suffix: str = "__delete"
+) -> str:
     """Phase 1 of the signature-directory delete: write the filtered
-    copy to the sibling ``__delete_tmp`` (partition layout preserved)
-    and return it; phase 2 is ``_commit_dir_swap(sigs_path,
-    suffix="__delete")``."""
+    copy to the sibling ``{suffix}_tmp`` (partition layout preserved —
+    including the ``ingest_batch`` level of a stream-maintained store
+    and the ``shard`` level of a serving export) and return it; phase 2
+    is ``_commit_dir_swap(sigs_path, suffix=suffix)``."""
     sigs = spark.read.parquet(sigs_path)
-    part_cols = [c for c in ("ingest_batch",) if c in sigs.columns]
+    part_cols = [c for c in ("ingest_batch", "shard") if c in sigs.columns]
     kept = sigs.join(ids, "doc_id", "left_anti")
-    tmp = _prepare_dir_swap(sigs_path, suffix="__delete")
+    tmp = _prepare_dir_swap(sigs_path, suffix=suffix)
     writer = kept.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
@@ -1513,6 +1526,11 @@ def _store_epoch_partitions(path: str) -> list[int]:
 
 CELL_STORE_KINDS = ("ivfpq", "ivfpq_hkm", "ivfopq", "ivfopq_hkm")
 FLAT_CODES_KINDS = ("pq", "opq")
+# raw-vector partitioned stores (the document's embedding verbatim, not a
+# quantized code): the bucket-partitioned ANN store, the IVF cell store,
+# and the QED bin store — addressed by the same vec_id and rewritten
+# through the same prepare as the codes stores (retention fan-out)
+RAW_VECTOR_KINDS = ("ann_hyperplane", "ivf", "ivf_hkm", "qed")
 
 CODES_SWAP_MARKERS = ("_SUCCESS", "_index_meta.json")
 
@@ -1522,21 +1540,29 @@ def _prepare_ivfpq_rewrite(
     path: str,
     transform,
     kinds: tuple = CELL_STORE_KINDS,
+    suffix: str = "__compact",
 ) -> str:
     """Phase 1 of a codes-store rewrite: ``transform(current_df,
     part_cols)`` produces the replacement rows, written to the sibling
     tmp directory under the SAME partition layout with the quantizer
     sidecar (and any absorbed-epoch watermark, rolled forward by the
     transform's ``new_watermark``) carried over. Returns the tmp path;
-    phase 2 is :func:`_commit_dir_swap`."""
+    phase 2 is :func:`_commit_dir_swap`. The partition restatement
+    covers every vec_id-addressed family: codes stores (``cell`` and/or
+    stream ``ingest_batch``), the hyperplane ANN store (``bucket``),
+    and the QED store (``qed_bin``)."""
     meta = read_store_meta(path)
     if meta.get("kind") not in kinds:
         raise ValueError(
             f"{path} is not one of {kinds} (kind={meta.get('kind')!r})"
         )
     codes = spark.read.parquet(path)
-    part_cols = [c for c in ("ingest_batch", "cell") if c in codes.columns]
-    tmp = _prepare_dir_swap(path)
+    part_cols = [
+        c
+        for c in ("ingest_batch", "cell", "bucket", "qed_bin")
+        if c in codes.columns
+    ]
+    tmp = _prepare_dir_swap(path, suffix=suffix)
     replacement = transform(codes, part_cols)
     writer = replacement.write.mode("overwrite")
     if part_cols:
@@ -2137,7 +2163,9 @@ def _refresh_term_stats(spark: SparkSession, path: str) -> None:
 POSTINGS_SWAP_MARKERS = ("_SUCCESS", "_term_stats", "_index_meta.json")
 
 
-def _prepare_postings_rewrite(spark: SparkSession, path: str, transform) -> str:
+def _prepare_postings_rewrite(
+    spark: SparkSession, path: str, transform, suffix: str = "__compact"
+) -> str:
     """Phase 1 of a lexical-store rewrite: ``transform(postings,
     doc_lengths)`` returns the replacement (postings, doc_lengths)
     pair, written to the sibling tmp directory under the same partition
@@ -2160,7 +2188,7 @@ def _prepare_postings_rewrite(spark: SparkSession, path: str, transform) -> str:
         if c in postings.columns
     ]
     dl_part_cols = [c for c in ("ingest_batch",) if c in doc_lengths.columns]
-    tmp = _prepare_dir_swap(path)
+    tmp = _prepare_dir_swap(path, suffix=suffix)
     new_posts, new_dls = transform(postings, doc_lengths)
     new_posts.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
     dl_writer = new_dls.write.mode("overwrite")

@@ -230,7 +230,7 @@ def test_crash_before_manifest_rolls_back(spark, tmp_path, monkeypatch):
     st = _build_all_stores(spark, tmp_path, "prep")
     manifest_dir = str(tmp_path / "manifest_prep")
 
-    def dying_prepare(spark_, path, transform):
+    def dying_prepare(spark_, path, transform, suffix="__compact"):
         raise RuntimeError("simulated death during prepare")
 
     monkeypatch.setattr(retention, "_prepare_postings_rewrite", dying_prepare)
@@ -266,9 +266,9 @@ def test_crash_before_manifest_rolls_back(spark, tmp_path, monkeypatch):
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {st['table']}")
-        spark.sql(f"DROP TABLE IF EXISTS {st['table']}__compact_tmp")
+        spark.sql(f"DROP TABLE IF EXISTS {st['table']}__retention_tmp")
         spark.sql(f"DROP TABLE IF EXISTS {st['hash_table']}")
-        spark.sql(f"DROP TABLE IF EXISTS {st['hash_table']}__compact_tmp")
+        spark.sql(f"DROP TABLE IF EXISTS {st['hash_table']}__retention_tmp")
 
 
 def test_recover_retention_tolerates_torn_manifest(spark, tmp_path):
@@ -281,3 +281,374 @@ def test_recover_retention_tolerates_torn_manifest(spark, tmp_path):
     torn.write_bytes(b"")
     assert retention.recover_retention(spark, str(manifest_dir)) is False
     assert not torn.exists()
+
+
+# ---------------------------------------------------------------------------
+# round 10: raw-vector + sharded-export coverage, retention-exclusive
+# suffix vs lifecycle recovers, stream-maintained stores, vacuum
+# ---------------------------------------------------------------------------
+
+
+def _build_raw_vector_stores(spark, tmp_path, tag):
+    """The vec_id-addressed stores that hold the document's embedding
+    VERBATIM (not a code): hyperplane-bucketed ANN, IVF cell, QED bin —
+    plus the shard-partitioned serving exports of the LSH index."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import qed
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        write_bands_sharded,
+        write_embeddings_partitioned,
+        write_ivf_partitioned,
+        write_qed_partitioned,
+        write_sigs_sharded,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    ann_p = str(tmp_path / f"ann_{tag}")
+    write_embeddings_partitioned(emb, ann_p, dim=DIM, n_planes=4)
+    ivf_p = str(tmp_path / f"ivf_{tag}")
+    cents = ann.random_centroids(DIM, CELLS, seed=45)
+    write_ivf_partitioned(emb, ivf_p, cents)
+    edges = qed.histogram_edges(emb, n_bins=64).collect()
+    qed_p = str(tmp_path / f"qed_{tag}")
+    write_qed_partitioned(emb, qed_p, edges, n_part_bins=8)
+
+    p = MinHashParams()
+    sigs = minhash.signatures(docs, p)
+    bands = lsh.bands_table(sigs, p)
+    sh_table = f"retention_sh_bands_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {sh_table}")
+    write_bands_sharded(bands, sh_table, n_shards=2, num_buckets=4)
+    sh_sigs = str(tmp_path / f"sh_sigs_{tag}")
+    write_sigs_sharded(sigs, sh_sigs, n_shards=2)
+    return dict(
+        ann_p=ann_p, ivf_p=ivf_p, qed_p=qed_p, edges=edges,
+        sh_table=sh_table, sh_sigs=sh_sigs, emb=emb,
+    )
+
+
+def test_delete_covers_raw_vector_and_sharded_stores(spark, tmp_path):
+    """Round-10 coverage gap: the ANN/IVF/QED raw-vector stores and the
+    sharded serving exports hold the forgotten doc's vector/signature
+    verbatim — the retention fan-out must clear them too, preserving
+    each store's partition pruning layout."""
+    st = _build_raw_vector_stores(spark, tmp_path, "raw")
+    ids = tuple(DELETE_IDS)
+
+    def layout(path, prefix):
+        return sorted(
+            n for n in os.listdir(path) if n.startswith(prefix + "=")
+        )
+
+    before = {
+        "ann": layout(st["ann_p"], "bucket"),
+        "ivf": layout(st["ivf_p"], "cell"),
+        "qed": layout(st["qed_p"], "qed_bin"),
+        "sigs": layout(st["sh_sigs"], "shard"),
+    }
+    try:
+        retention.delete_docs_everywhere(
+            spark,
+            DELETE_IDS,
+            str(tmp_path / "manifest_raw"),
+            lsh_sharded=[(st["sh_sigs"], st["sh_table"])],
+            vector_stores=[st["ann_p"], st["ivf_p"], st["qed_p"]],
+        )
+        for key, path in (("ann", "ann_p"), ("ivf", "ivf_p"), ("qed", "qed_p")):
+            assert (
+                spark.read.parquet(st[path])
+                .filter(F.col("vec_id").isin(*ids))
+                .count()
+                == 0
+            ), key
+        assert (
+            spark.read.parquet(st["sh_sigs"])
+            .filter(F.col("doc_id").isin(*ids))
+            .count()
+            == 0
+        )
+        assert (
+            spark.table(st["sh_table"])
+            .filter(F.col("doc_id").isin(*ids))
+            .count()
+            == 0
+        )
+        # partition layout preserved exactly (pruning survives retention);
+        # a bucket/cell/bin emptied by the delete may drop its directory,
+        # so assert the surviving layout is a subset holding all rows
+        after = {
+            "ann": layout(st["ann_p"], "bucket"),
+            "ivf": layout(st["ivf_p"], "cell"),
+            "qed": layout(st["qed_p"], "qed_bin"),
+            "sigs": layout(st["sh_sigs"], "shard"),
+        }
+        for k in before:
+            assert set(after[k]) <= set(before[k]) and after[k], k
+        # the shard column still partitions the serving export
+        assert "shard" in [
+            c.name
+            for c in spark.catalog.listColumns(st["sh_table"])
+            if c.isPartition
+        ]
+        # probe paths: the deleted doc (its own rank-1 hit before the
+        # delete) cannot reach any result list
+        q = [
+            float(v)
+            for v in st["emb"]
+            .filter(F.col("vec_id") == DELETE_IDS[0])
+            .first()["embedding"]
+        ]
+        got = ann.ann_lsh_topk_store(
+            spark, st["ann_p"], q, k=5, n_probe=16
+        ).collect()
+        assert got and all(r["vec_id"] not in ids for r in got)
+        got = ann.ivf_topk_store(
+            spark, st["ivf_p"], q, k=5, n_probe=CELLS
+        ).collect()
+        assert got and all(r["vec_id"] not in ids for r in got)
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import qed as qed_op
+
+        got = qed_op.qed_topk_store(
+            spark, st["qed_p"], q, st["edges"], k=5, n_bins=64, p_fraction=0.1
+        ).collect()
+        assert all(r["vec_id"] not in ids for r in got)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {st['sh_table']}")
+        spark.sql(f"DROP TABLE IF EXISTS {st['sh_table']}__retention_tmp")
+
+
+def test_lifecycle_recovers_cannot_eat_retention_tmps(spark, tmp_path, monkeypatch):
+    """THE round-9 ADVICE hazard: after a mid-fan death, a startup that
+    runs the per-store lifecycle recovers BEFORE recover_retention must
+    not clear the manifest-listed prepared copies — the __retention
+    suffix is exclusive, so the lifecycle recovers see healthy stores
+    with no __compact/__delete debris and touch nothing."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        recover_compact_swap,
+        recover_ivfpq_swap,
+        recover_postings_swap,
+        recover_sigs_swap,
+    )
+
+    st = _build_all_stores(spark, tmp_path, "interleave")
+    manifest_dir = str(tmp_path / "manifest_interleave")
+    real_commit = retention._commit_dir_swap
+
+    def dying_commit(path, suffix="__compact"):
+        raise RuntimeError("simulated process death mid-fan")
+
+    monkeypatch.setattr(retention, "_commit_dir_swap", dying_commit)
+    try:
+        with pytest.raises(RuntimeError, match="mid-fan"):
+            retention.delete_docs_everywhere(
+                spark,
+                DELETE_IDS,
+                manifest_dir,
+                lsh=(st["sigs_path"], st["table"]),
+                vector_stores=[st["ivfpq_path"], st["pq_path"]],
+                postings_stores=[st["postings_path"]],
+                content_hash_tables=[st["hash_table"]],
+            )
+        monkeypatch.setattr(retention, "_commit_dir_swap", real_commit)
+        # a fresh delete is refused while the committed manifest waits
+        with pytest.raises(ValueError, match="manifest already exists"):
+            retention.delete_docs_everywhere(
+                spark, DELETE_IDS, manifest_dir, lsh=(st["sigs_path"], st["table"])
+            )
+        # interleaved startup: every per-store lifecycle recover runs
+        # FIRST (healthy stores -> no-ops) and must leave the prepared
+        # retention copies alone
+        recover_sigs_swap(st["sigs_path"])
+        recover_ivfpq_swap(st["ivfpq_path"])
+        recover_ivfpq_swap(st["pq_path"])
+        recover_postings_swap(st["postings_path"])
+        assert os.path.exists(st["sigs_path"] + "__retention_tmp")
+        assert os.path.exists(st["ivfpq_path"] + "__retention_tmp")
+        assert os.path.exists(st["pq_path"] + "__retention_tmp")
+        assert os.path.exists(st["postings_path"] + "__retention_tmp")
+        # the roll-forward then completes from those surviving copies
+        assert retention.recover_retention(spark, manifest_dir) is True
+        _assert_no_trace(spark, st)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {st['table']}")
+        spark.sql(f"DROP TABLE IF EXISTS {st['hash_table']}")
+
+
+def test_recover_retention_tolerates_scalar_husk(spark, tmp_path):
+    """A husk that PARSES but as the wrong JSON shape (scalar / list /
+    stores-not-a-list) is the same torn-commit-point case as a
+    zero-length file: clear it and report not-committed."""
+    for i, payload in enumerate((b"42", b"[1, 2]", b'{"stores": 7}')):
+        d = tmp_path / f"manifest_husk_{i}"
+        d.mkdir()
+        husk = d / retention.MANIFEST_NAME
+        husk.write_bytes(payload)
+        assert retention.recover_retention(spark, str(d)) is False
+        assert not husk.exists()
+
+
+def test_retention_over_stream_maintained_stores(spark, tmp_path):
+    """Deleting from stream-maintained (ingest_batch-partitioned)
+    stores preserves the epoch layout and the absorbed-epoch watermark,
+    and the maintenance loop resumes cleanly after the delete."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import ann as ann_op
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        BASE_INGEST_BATCH,
+        append_to_index_exactly_once,
+        compact_pq_index,
+        load_table as _lt,
+        read_absorbed_watermark,
+        validate_pq_store,
+        write_bands_bucketed,
+        write_codes_stream_base,
+        write_sigs_batch_partitioned,
+    )
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.streaming import codes as SC
+
+    docs = _lt(spark, "/root/testdata/sf0.001", "documents")
+    emb = _lt(spark, "/root/testdata/sf0.001", "embeddings")
+    p = MinHashParams()
+
+    # --- LSH stream store: base + two exactly-once epochs -------------
+    base = docs.filter(F.col("doc_id") < 400)
+    ep0 = docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 450))
+    ep1 = docs.filter((F.col("doc_id") >= 450) & (F.col("doc_id") < 480))
+    sigs_p = str(tmp_path / "stream_sigs")
+    table = "retention_stream_bands"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    base_sigs = minhash.signatures(base, p)
+    write_sigs_batch_partitioned(base_sigs, sigs_p)
+    write_bands_bucketed(
+        lsh.bands_table(base_sigs, p), table, num_buckets=4,
+        batch_partitioned=True,
+    )
+    append_to_index_exactly_once(ep0, 0, p, sigs_p, table)
+    append_to_index_exactly_once(ep1, 1, p, sigs_p, table)
+
+    # --- flat-PQ stream store: base + one real stream epoch, compacted
+    books = ann_op.random_codebooks(DIM, M, CODES, seed=44)
+    pq_p = str(tmp_path / "stream_pq")
+    write_codes_stream_base(emb.filter(F.col("vec_id") % 2 == 0), pq_p, books)
+    src = str(tmp_path / "stream_src")
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    ckpt = str(tmp_path / "stream_ckpt")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    SC.stream_codes_ingest(stream, pq_p, ckpt).awaitTermination(180)
+    compact_pq_index(spark, pq_p)
+    assert read_absorbed_watermark(pq_p) == 0
+
+    ids = tuple(DELETE_IDS)
+    try:
+        retention.delete_docs_everywhere(
+            spark,
+            DELETE_IDS,
+            str(tmp_path / "manifest_stream"),
+            lsh=(sigs_p, table),
+            vector_stores=[pq_p],
+        )
+        # no trace, epoch layout preserved, watermark intact
+        sigs_after = spark.read.parquet(sigs_p)
+        assert sigs_after.filter(F.col("doc_id").isin(*ids)).count() == 0
+        assert spark.table(table).filter(F.col("doc_id").isin(*ids)).count() == 0
+        batches = {
+            int(n.split("=")[1])
+            for n in os.listdir(sigs_p)
+            if n.startswith("ingest_batch=")
+        }
+        assert batches == {BASE_INGEST_BATCH, 0, 1}
+        assert set(
+            r["ingest_batch"]
+            for r in spark.table(table).select("ingest_batch").distinct().collect()
+        ) == {BASE_INGEST_BATCH, 0, 1}
+        assert spark.read.parquet(pq_p).filter(
+            F.col("vec_id").isin(*ids)
+        ).count() == 0
+        assert read_absorbed_watermark(pq_p) == 0
+        validate_pq_store(spark, pq_p)
+
+        # post-delete stream resume: the next epoch lands normally and
+        # the deleted ids stay gone
+        ep2 = docs.filter((F.col("doc_id") >= 480) & (F.col("doc_id") < 490))
+        append_to_index_exactly_once(ep2, 2, p, sigs_p, table)
+        sigs_after = spark.read.parquet(sigs_p)
+        assert (
+            sigs_after.filter(F.col("ingest_batch") == 2).count()
+            == ep2.count()
+        )
+        assert sigs_after.filter(F.col("doc_id").isin(*ids)).count() == 0
+        validate_index(spark, sigs_p, table)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__retention_tmp")
+
+
+def test_vacuum_stores_clears_debris_and_respects_manifest(spark, tmp_path):
+    """vacuum_stores sweeps crash debris (__compact/__delete/__retention
+    siblings) next to healthy stores across families, refuses a store
+    with no live copy, and skips stores a live retention manifest still
+    references (their tmps are roll-forward inputs)."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = ann.random_codebooks(DIM, M, CODES, seed=44)
+    pq_p = str(tmp_path / "vac_pq")
+    write_pq_index(emb, pq_p, books)
+    p = MinHashParams()
+    sigs = minhash.signatures(docs, p)
+    table = "retention_vac_bands"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    write_bands_bucketed(lsh.bands_table(sigs, p), table, num_buckets=4)
+
+    # fabricate crash debris: mid-compact (tmp) and mid-retention (old)
+    os.makedirs(pq_p + "__compact_tmp")
+    os.makedirs(pq_p + "__retention_old")
+    spark.table(table).write.format("parquet").saveAsTable(
+        f"{table}__compact_old"
+    )
+    try:
+        removed = retention.vacuum_stores(
+            spark, dir_stores=[pq_p], tables=[table]
+        )
+        assert pq_p + "__compact_tmp" in removed
+        assert pq_p + "__retention_old" in removed
+        assert f"{table}__compact_old" in removed
+        assert not os.path.exists(pq_p + "__compact_tmp")
+        assert not os.path.exists(pq_p + "__retention_old")
+        assert not spark.catalog.tableExists(f"{table}__compact_old")
+        # the stores still serve
+        q = [float(v) for v in emb.first()["embedding"]]
+        assert ann.pq_topk_store(spark, pq_p, q, k=3).count() == 3
+        assert spark.table(table).count() > 0
+
+        # a live manifest protects its stores: the listed tmp survives
+        os.makedirs(pq_p + "__retention_tmp")
+        mdir = tmp_path / "vac_manifest"
+        mdir.mkdir()
+        (mdir / retention.MANIFEST_NAME).write_text(
+            json.dumps(
+                {"stores": [{"medium": "dir", "path": pq_p,
+                             "suffix": "__retention", "markers": ["_SUCCESS"]}]}
+            )
+        )
+        removed = retention.vacuum_stores(
+            spark, dir_stores=[pq_p], manifest_paths=[str(mdir)]
+        )
+        assert removed == []
+        assert os.path.exists(pq_p + "__retention_tmp")
+        shutil.rmtree(pq_p + "__retention_tmp")
+
+        # no live copy -> refuse: that is a recovery, not a cleanup
+        with pytest.raises(ValueError, match="no live copy"):
+            retention.vacuum_stores(
+                spark, dir_stores=[str(tmp_path / "vac_missing")]
+            )
+        with pytest.raises(ValueError, match="does not exist"):
+            retention.vacuum_stores(spark, tables=["retention_vac_nope"])
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compact_old")
