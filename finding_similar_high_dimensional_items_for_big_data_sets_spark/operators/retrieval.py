@@ -351,7 +351,8 @@ class ServingLexicalIndex:
     replica law as the MinHash and vector serving tiers).
     """
 
-    def __init__(self, n_docs, sum_dl, postings, k1, b, global_df=None):
+    def __init__(self, n_docs, sum_dl, postings, k1, b, global_df=None,
+                 source=None):
         self.n_docs = int(n_docs)
         self.sum_dl = int(sum_dl)
         self.postings = postings  # token -> (ids int64[], tf int64[], dl int64[])
@@ -360,6 +361,10 @@ class ServingLexicalIndex:
         # per-term document frequency used for idf: global when this
         # replica holds only a doc shard, local otherwise
         self.global_df = global_df
+        # loader provenance + store fingerprint (from_store only):
+        # is_stale()/reload() detect a store swapped underneath this
+        # snapshot by compaction / delete / cross-store retention
+        self.source = source
 
     @classmethod
     def from_dataframe(
@@ -444,8 +449,52 @@ class ServingLexicalIndex:
             r["token"]: int(r["df"])
             for r in read_term_stats(spark, path).collect()
         }
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+            store_fingerprint,
+        )
+
         return cls(
-            n_docs, sum_dl, postings, meta["k1"], meta["b"], global_df
+            n_docs, sum_dl, postings, meta["k1"], meta["b"], global_df,
+            source={
+                "path": path,
+                "doc_shards": (
+                    None if doc_shards is None else [int(s) for s in doc_shards]
+                ),
+                "fingerprint": store_fingerprint(path),
+            },
+        )
+
+    def is_stale(self, spark) -> bool:
+        """True iff the postings store was SWAPPED since this export
+        (compaction, delete_from_postings_index, cross-store retention)
+        — the snapshot would keep answering with forgotten doc_ids (and
+        stale corpus statistics) until :meth:`reload`. O(1 stat call).
+        Raises for a from_dataframe index (no persisted identity)."""
+        if self.source is None:
+            raise ValueError(
+                "index was built from a DataFrame (from_dataframe) — no "
+                "persisted store to check; load via from_store for "
+                "staleness tracking"
+            )
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+            store_fingerprint,
+        )
+
+        return store_fingerprint(self.source["path"]) != self.source[
+            "fingerprint"
+        ]
+
+    def reload(self, spark) -> "ServingLexicalIndex":
+        """Fresh snapshot from the same store (same replica doc
+        shards). Swap it in atomically:
+        ``service.index = service.index.reload(spark)``."""
+        if self.source is None:
+            raise ValueError(
+                "index was built from a DataFrame (from_dataframe) — "
+                "re-export it from its source DataFrame instead"
+            )
+        return type(self).from_store(
+            spark, self.source["path"], doc_shards=self.source["doc_shards"]
         )
 
     def query(self, query: str, k: int = 10) -> list[tuple[int, float, int]]:

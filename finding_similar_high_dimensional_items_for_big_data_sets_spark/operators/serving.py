@@ -38,6 +38,18 @@ from pyspark.sql import DataFrame
 from finding_similar_high_dimensional_items_for_big_data_sets_spark.config import MinHashParams
 
 
+def _lsh_fingerprint(spark, sigs_path: str, bands_table: str) -> list:
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+        store_fingerprint,
+        table_fingerprint,
+    )
+
+    return [
+        store_fingerprint(sigs_path),
+        table_fingerprint(spark, bands_table),
+    ]
+
+
 @dataclass
 class ServingIndex:
     """In-process LSH probe structure exported from the engine's
@@ -47,6 +59,12 @@ class ServingIndex:
     doc_ids: np.ndarray  # (N,) int64, sorted ascending
     sigs: np.ndarray  # (N, num_perm) int64, row i <-> doc_ids[i]
     buckets: list[dict[int, np.ndarray]]  # per band: band_hash -> row idxs
+    # loader provenance + artifact fingerprints, recorded by from_paths /
+    # from_sharded so is_stale()/reload() can tell when the persisted
+    # index was swapped underneath this in-process snapshot (compaction,
+    # delete_from_index, cross-store retention). None when built from
+    # DataFrames (no persisted identity to compare against).
+    source: dict | None = None
 
     @classmethod
     def from_dataframes(
@@ -112,9 +130,16 @@ class ServingIndex:
         (the parquet signature table + the bucketed bands table that
         :func:`sources.tables.append_to_index` maintains) — build,
         persist, append, serve, without re-deriving anything."""
-        return cls.from_dataframes(
+        idx = cls.from_dataframes(
             spark.read.parquet(sigs_path), spark.table(bands_table), params
         )
+        idx.source = {
+            "loader": "from_paths",
+            "sigs_path": sigs_path,
+            "bands_table": bands_table,
+            "fingerprint": _lsh_fingerprint(spark, sigs_path, bands_table),
+        }
+        return idx
 
     @classmethod
     def from_sharded(
@@ -144,7 +169,62 @@ class ServingIndex:
             .select("doc_id", "sig")
         )
         bands = spark.table(bands_table).filter(F.col("shard") == shard)
-        return cls.from_dataframes(sigs, bands, params)
+        idx = cls.from_dataframes(sigs, bands, params)
+        idx.source = {
+            "loader": "from_sharded",
+            "sigs_path": sigs_path,
+            "bands_table": bands_table,
+            "shard": shard,
+            "fingerprint": _lsh_fingerprint(spark, sigs_path, bands_table),
+        }
+        return idx
+
+    def is_stale(self, spark) -> bool:
+        """True iff the persisted artifacts this snapshot was exported
+        from have been SWAPPED since (compaction, delete_from_index,
+        cross-store retention): an in-process index keeps answering
+        with a forgotten doc_id until reloaded, so the serving loop
+        should poll this (O(2 stat calls), no data read) and
+        :meth:`reload` when it fires. Raises when the index was built
+        from DataFrames — there is no persisted identity to compare."""
+        if self.source is None:
+            raise ValueError(
+                "index was built from DataFrames (from_dataframes) — no "
+                "persisted artifacts to check; load via from_paths/"
+                "from_sharded for staleness tracking"
+            )
+        return (
+            _lsh_fingerprint(
+                spark, self.source["sigs_path"], self.source["bands_table"]
+            )
+            != self.source["fingerprint"]
+        )
+
+    def reload(self, spark) -> "ServingIndex":
+        """Fresh snapshot from the SAME persisted artifacts (and shard,
+        for a sharded replica) this one was loaded from. Returns a new
+        index — swap it into the serving service atomically
+        (``service.index = service.index.reload(spark)``); in-flight
+        queries finish against the old snapshot."""
+        if self.source is None:
+            raise ValueError(
+                "index was built from DataFrames (from_dataframes) — "
+                "re-export it from its source DataFrames instead"
+            )
+        if self.source["loader"] == "from_sharded":
+            return type(self).from_sharded(
+                spark,
+                self.source["sigs_path"],
+                self.source["bands_table"],
+                self.params,
+                self.source["shard"],
+            )
+        return type(self).from_paths(
+            spark,
+            self.source["sigs_path"],
+            self.source["bands_table"],
+            self.params,
+        )
 
     def query(self, vector, k: int = 10) -> list[tuple[int, float, int]]:
         """Point query: [(doc_id, score, rank)] by (score desc, doc_id

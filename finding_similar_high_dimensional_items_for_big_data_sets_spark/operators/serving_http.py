@@ -126,7 +126,12 @@ def start_server(
     """Bind the query service to a socket (``port=0`` = ephemeral).
     Returns (server, daemon thread); call ``server.shutdown()`` then
     ``server.server_close()`` to stop."""
-    server = ThreadingHTTPServer((host, port), _make_handler(QueryService(index)))
+    service = QueryService(index)
+    server = ThreadingHTTPServer((host, port), _make_handler(service))
+    # hot-swap hook: after a store rewrite (compaction / retention),
+    # `server.service.index = server.service.index.reload(spark)`
+    # re-snapshots without dropping the socket
+    server.service = service
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server, thread
@@ -205,7 +210,8 @@ def start_vector_server(
         def do_GET(self):  # noqa: N802
             if self.path.rstrip("/") == "/health":
                 self._reply(
-                    200, {"status": "ok", "n_vecs": int(index.vec_ids.size)}
+                    200,
+                    {"status": "ok", "n_vecs": int(service.index.vec_ids.size)},
                 )
             else:
                 self._reply(404, {"error": "not found"})
@@ -222,6 +228,7 @@ def start_vector_server(
             pass
 
     server = ThreadingHTTPServer((host, port), Handler)
+    server.service = service  # hot-swap hook (see start_server)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server, thread
@@ -345,7 +352,7 @@ def start_lexical_server(
                     200,
                     {
                         "status": "ok",
-                        "n_docs": int(lex_index.n_docs),
+                        "n_docs": int(lex_service.index.n_docs),
                         "hybrid": hybrid_service is not None,
                     },
                 )
@@ -364,6 +371,10 @@ def start_lexical_server(
             pass
 
     server = ThreadingHTTPServer((host, port), Handler)
+    # hot-swap hooks (see start_server): the hybrid service shares the
+    # lexical service's index objects, so swap BOTH attributes together
+    server.service = lex_service
+    server.hybrid_service = hybrid_service
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server, thread

@@ -101,6 +101,10 @@ class ServingVectorIndex:
     # exact rerank stays in the ORIGINAL space against the retained
     # vectors (orthonormal R preserves L2).
     rotation: list | None = None
+    # loader provenance + store fingerprint (from_store only): lets
+    # is_stale()/reload() detect a store swapped underneath this
+    # snapshot by compaction / delete / cross-store retention.
+    source: dict | None = None
 
     @classmethod
     def from_store(
@@ -131,6 +135,9 @@ class ServingVectorIndex:
             read_store_meta,
         )
 
+        # keep the replica-shard argument before the local `cells`
+        # numpy array shadows it (reload must re-request the same cells)
+        cells_arg = None if cells is None else [int(c) for c in cells]
         rotation = None
         if read_store_meta(path).get("kind") in ("ivfopq", "ivfopq_hkm"):
             codes_df, rotation, cents, books = read_ivfopq_index(spark, path)
@@ -176,6 +183,10 @@ class ServingVectorIndex:
                     "needs every indexed vector"
                 )
             vectors = evecs[rows]
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+            store_fingerprint,
+        )
+
         return cls(
             centroids=centroids,
             codebooks=[[[float(x) for x in code] for code in book] for book in books],
@@ -186,11 +197,45 @@ class ServingVectorIndex:
             vectors=vectors,
             _leaf_arr=np.asarray(centroids, dtype=np.float64),
             rotation=rotation,
+            source={
+                "path": path,
+                "embeddings": embeddings,
+                "id_col": id_col,
+                "vec_col": vec_col,
+                "cells": cells_arg,
+                "fingerprint": store_fingerprint(path),
+            },
         )
 
     @property
     def dim(self) -> int:
         return len(self.centroids[0])
+
+    def is_stale(self, spark) -> bool:
+        """True iff the codes store was SWAPPED since this export
+        (compaction, delete_from_ivfpq_index, cross-store retention) —
+        the snapshot would keep answering with forgotten vec_ids until
+        :meth:`reload`. O(1 stat call), no data read."""
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+            store_fingerprint,
+        )
+
+        return store_fingerprint(self.source["path"]) != self.source[
+            "fingerprint"
+        ]
+
+    def reload(self, spark) -> "ServingVectorIndex":
+        """Fresh snapshot from the same store (same rerank embeddings /
+        replica cells). Swap it in atomically:
+        ``service.index = service.index.reload(spark)``."""
+        return type(self).from_store(
+            spark,
+            self.source["path"],
+            embeddings=self.source["embeddings"],
+            id_col=self.source["id_col"],
+            vec_col=self.source["vec_col"],
+            cells=self.source["cells"],
+        )
 
     def _probe_set(self, qv, n_probe, alpha, max_probe) -> list[int]:
         """Same probe rules as ``ann.ivfpq_topk`` (flat: scalar pow

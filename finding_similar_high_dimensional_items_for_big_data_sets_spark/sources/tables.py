@@ -804,6 +804,38 @@ def _carry_swap_sidecars(
         )
 
 
+def store_fingerprint(path: str) -> list:
+    """Identity token of a directory store's CURRENT copy, for serving
+    staleness checks: every swap (compaction, delete, retention)
+    replaces the live directory with a freshly-written sibling, so the
+    inode changes even though the path does not. An in-process serving
+    index records this at export and compares on demand —
+    ``ServingIndex.is_stale`` — instead of re-reading any data. Local
+    filesystems only (the test/benchmark deployment); on HDFS/object
+    stores a store-version sidecar written inside the swap would play
+    this role."""
+    st = os.stat(path)
+    return [int(st.st_ino), int(st.st_mtime_ns)]
+
+
+def _table_location(spark: SparkSession, table: str) -> str:
+    """Filesystem directory backing a catalog table (file: prefix
+    stripped)."""
+    rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    for r in rows:
+        if (r["col_name"] or "").strip() == "Location":
+            loc = r["data_type"].strip()
+            return loc[len("file:"):] if loc.startswith("file:") else loc
+    raise ValueError(f"no Location in DESCRIBE FORMATTED {table}")
+
+
+def table_fingerprint(spark: SparkSession, table: str) -> list:
+    """:func:`store_fingerprint` for the catalog-table medium: the swap
+    renames the prepared tmp TABLE in, which moves a freshly-written
+    directory under the live table's location — new inode, same path."""
+    return store_fingerprint(_table_location(spark, table))
+
+
 def _fold_watermark(path: str) -> int | None:
     """The watermark a compaction must carry: the max real epoch
     partition it is about to fold into the base (None if the store has

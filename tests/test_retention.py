@@ -652,3 +652,128 @@ def test_vacuum_stores_clears_debris_and_respects_manifest(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}__compact_old")
+
+
+def test_serving_reload_after_retention(spark, tmp_path):
+    """The in-process serving tiers snapshot their stores at load and
+    keep answering with a forgotten id after a retention delete; the
+    staleness check must fire (O(stat), no data read) and reload()
+    must re-snapshot WITHOUT dropping the sockets — after the swap no
+    tier returns the deleted ids."""
+    import urllib.request
+
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import serving_http
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.retrieval import (
+        ServingLexicalIndex,
+    )
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.serving import ServingIndex
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.serving_vector import (
+        ServingVectorIndex,
+    )
+
+    def _post(url, path, body):
+        req = urllib.request.Request(
+            url + path,
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read())
+
+    def _url(server):
+        host, port = server.server_address
+        return f"http://{host}:{port}"
+
+    st = _build_all_stores(spark, tmp_path, "reload")
+    p = MinHashParams()
+    ids = tuple(DELETE_IDS)
+    # pre-delete probes, captured while the doc still exists
+    qsig = [
+        int(v)
+        for v in spark.read.parquet(st["sigs_path"])
+        .filter(F.col("doc_id") == DELETE_IDS[0])
+        .first()["sig"]
+    ]
+    q_emb = [
+        float(v)
+        for v in st["emb"]
+        .filter(F.col("vec_id") == DELETE_IDS[0])
+        .first()["embedding"]
+    ]
+    q_text = " ".join(
+        st["docs"]
+        .filter(F.col("doc_id") == DELETE_IDS[0])
+        .first()["text"]
+        .split()[:8]
+    )
+
+    lsh_idx = ServingIndex.from_paths(spark, st["sigs_path"], st["table"], p)
+    vec_idx = ServingVectorIndex.from_store(
+        spark, st["ivfpq_path"], embeddings=st["emb"]
+    )
+    lex_idx = ServingLexicalIndex.from_store(spark, st["postings_path"])
+    replica, rt1 = serving_http.start_server(lsh_idx)
+    router, rt2 = serving_http.start_router_server("lsh", [_url(replica)])
+    vec_server, vt = serving_http.start_vector_server(vec_idx)
+    lex_server, lt = serving_http.start_lexical_server(lex_idx)
+    try:
+        assert not lsh_idx.is_stale(spark)
+        assert not vec_idx.is_stale(spark)
+        assert not lex_idx.is_stale(spark)
+        # the doc is its own rank-1 hit on every tier before the delete
+        body = _post(_url(router), "/query", {"vector": qsig, "k": 5})
+        assert body["candidates"][0]["id"] == DELETE_IDS[0]
+        body = _post(_url(vec_server), "/query", {"vector": q_emb, "k": 5,
+                                                  "n_probe": CELLS,
+                                                  "shortlist": 20})
+        assert body["candidates"][0]["id"] == DELETE_IDS[0]
+        # shared synthetic vocab -> membership, not rank: ask for the
+        # whole corpus and assert the doc is retrievable at all
+        body = _post(_url(lex_server), "/query", {"query": q_text, "k": 500})
+        assert any(c["id"] == DELETE_IDS[0] for c in body["candidates"])
+
+        retention.delete_docs_everywhere(
+            spark,
+            DELETE_IDS,
+            str(tmp_path / "manifest_reload"),
+            lsh=(st["sigs_path"], st["table"]),
+            vector_stores=[st["ivfpq_path"]],
+            postings_stores=[st["postings_path"]],
+        )
+        # the snapshots are now stale — and, until reloaded, STILL
+        # serve the forgotten id (the gap this check exists to close)
+        assert lsh_idx.is_stale(spark)
+        assert vec_idx.is_stale(spark)
+        assert lex_idx.is_stale(spark)
+        body = _post(_url(router), "/query", {"vector": qsig, "k": 5})
+        assert body["candidates"][0]["id"] == DELETE_IDS[0]
+
+        # hot-swap every tier without dropping a socket
+        replica.service.index = replica.service.index.reload(spark)
+        vec_server.service.index = vec_server.service.index.reload(spark)
+        lex_server.service.index = lex_server.service.index.reload(spark)
+
+        body = _post(_url(router), "/query", {"vector": qsig, "k": 5})
+        assert body["candidates"] and all(
+            c["id"] not in ids for c in body["candidates"]
+        )
+        body = _post(_url(vec_server), "/query", {"vector": q_emb, "k": 5,
+                                                  "n_probe": CELLS,
+                                                  "shortlist": 20})
+        assert body["candidates"] and all(
+            c["id"] not in ids for c in body["candidates"]
+        )
+        body = _post(_url(lex_server), "/query", {"query": q_text, "k": 500})
+        assert body["candidates"] and all(
+            c["id"] not in ids for c in body["candidates"]
+        )
+        # the reloaded snapshots are fresh
+        assert not replica.service.index.is_stale(spark)
+        assert not vec_server.service.index.is_stale(spark)
+        assert not lex_server.service.index.is_stale(spark)
+    finally:
+        for server in (router, vec_server, lex_server, replica):
+            server.shutdown()
+            server.server_close()
+        spark.sql(f"DROP TABLE IF EXISTS {st['table']}")
+        spark.sql(f"DROP TABLE IF EXISTS {st['hash_table']}")
