@@ -290,6 +290,14 @@ BP_MIN_DF = 30
 # docs at every SF, so a quota of 10 binds in every group.
 SOURCE_QUOTA = 10
 
+# URL-dedup fixture: the corpus carries no URL column, so the query
+# synthesizes one deterministic URL per doc — page number doc_id %
+# URL_PAGE_MOD under its source's domain, with scheme/www/trailing-
+# slash variants and tracking params keyed off the doc_id — giving
+# every (source, page) group ~n_docs/(n_sources*URL_PAGE_MOD) raw-
+# distinct URLs that normalize to ONE canonical page.
+URL_PAGE_MOD = 10
+
 # kNN label-vote classification fixture: first BATCH_DOCS embeddings
 # as queries, K_BATCH neighbors vote (self excluded).
 KNN_VOTE_K = 5

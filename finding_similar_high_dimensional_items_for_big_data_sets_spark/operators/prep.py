@@ -904,6 +904,51 @@ def per_group_quota(
     )
 
 
+def normalize_url(url: Column) -> Column:
+    """Canonical URL for crawl-level exact dedup (the CCNet/RefinedWeb
+    url-dedup normalization): lowercase, strip the scheme, a leading
+    ``www.``, the query string and fragment (tracking params make the
+    same page look unique), and trailing slashes. Pure built-in
+    expressions — whole-stage codegen, no UDF."""
+    u = F.lower(F.trim(url))
+    u = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, r"[?#].*$", "")
+    return F.regexp_replace(u, r"/+$", "")
+
+
+def url_dedup_first_wins(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level exact dedup, first-wins: every row keeps its
+    normalized URL and a ``keep`` flag that is true only for the
+    SMALLEST id in its normalized-URL group — the deterministic
+    re-crawl rule (the earliest fetch of a page survives; later
+    fetches of the same page, however their raw URLs differ in
+    scheme/www/params, are dropped).
+
+    Scale shape: one map-side-combined groupBy(norm_url).min(id) for
+    the winners, then an equi-join back on the SAME key — both sides
+    hash-partition on norm_url, so AQE reuses the exchange, and the
+    partial aggregation absorbs hot URLs (a million re-crawls of one
+    page combine map-side instead of skewing a window partition; a
+    row_number window per URL would sort every group end-to-end).
+
+    Output: (id_col, norm_url, keep BOOLEAN).
+    """
+    norm = df.select(
+        F.col(id_col), normalize_url(F.col(url_col)).alias("norm_url")
+    )
+    winners = norm.groupBy("norm_url").agg(F.min(id_col).alias("keep_id"))
+    return norm.join(winners, "norm_url").select(
+        id_col,
+        "norm_url",
+        (F.col(id_col) == F.col("keep_id")).alias("keep"),
+    )
+
+
 def naive_bayes_classify(
     docs: DataFrame,
     label_col: str = "lang",
@@ -1633,7 +1678,10 @@ def collocations_pmi(
             ).alias("pmi_raw"),
         )
     )
-    w = Window.partitionBy(F.pmod(F.length("left"), F.lit(1))).orderBy(
+    # constant partition key: the rank window runs over the ALREADY
+    # top_n-limited rows (<= 200), so one partition is the intent, not
+    # an accident
+    w = Window.partitionBy(F.lit(0)).orderBy(
         F.round(F.col("pmi_raw"), 10).desc(),
         F.col("left").asc(),
         F.col("right").asc(),

@@ -2908,6 +2908,37 @@ WHERE pick_rank <= {C.SOURCE_QUOTA}
 """
 
 
+def sql_url_dedup() -> str:
+    """Mirrors q_url_dedup: the same deterministic synthetic URL per
+    doc, the same normalization chain (lowercase, strip scheme /
+    leading www. / query+fragment / trailing slashes), first-wins keep
+    on the min doc_id per normalized URL."""
+    return f"""
+WITH urls AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'https://www.' ELSE 'http://' END)
+         || source || '.example.org/page/'
+         || CAST(doc_id % {C.URL_PAGE_MOD} AS VARCHAR)
+         || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+         || '?utm_source=' || source
+         || '&fetch=' || CAST(doc_id AS VARCHAR) || '#top' AS url
+  FROM documents),
+norm AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           lower(trim(url)),
+           '^[a-z][a-z0-9+.-]*://', ''),
+           '^www\\.', ''),
+           '[?#].*$', ''),
+           '/+$', '') AS norm_url
+  FROM urls)
+SELECT n.doc_id, n.norm_url, (n.doc_id = m.keep_id) AS keep
+FROM norm n
+JOIN (SELECT norm_url, min(doc_id) AS keep_id FROM norm GROUP BY 1) m
+  USING (norm_url)
+"""
+
+
 def sql_knn_label_vote() -> str:
     """Mirrors q_knn_label_vote: exact-L2 kNN excluding self (rounded
     fold, ties (dist, id)), majority label vote with ties to the
@@ -3503,6 +3534,7 @@ def registry() -> dict[str, str]:
         "dsir_divergence": sql_dsir_divergence(),
         "epoch_shuffle": sql_epoch_shuffle(),
         "source_quota": sql_source_quota(),
+        "url_dedup": sql_url_dedup(),
         "knn_label_vote": sql_knn_label_vote(),
         "dedup_group_sizes": sql_dedup_group_sizes(),
         "source_overlap": sql_source_overlap(),

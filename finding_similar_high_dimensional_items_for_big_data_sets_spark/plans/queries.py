@@ -2000,6 +2000,38 @@ def q_source_quota(spark, sf_dir):
     )
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL-level exact dedup, first-wins (round-10: the one common
+    crawl-governance signal source_quota didn't cover). The corpus has
+    no URL column, so each doc gets a deterministic synthetic URL —
+    page ``doc_id % URL_PAGE_MOD`` under its source's domain — whose
+    raw form varies in exactly the ways normalization must collapse:
+    scheme (https+www vs bare http by id parity), a trailing slash
+    (ids % 3 == 0), and per-fetch tracking params + fragment. Docs of
+    one source hitting the same page number survive as ONE keep=true
+    row (smallest doc_id)."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import prep
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://www.")).otherwise(
+            F.lit("http://")
+        ),
+        F.col("source"),
+        F.lit(".example.org/page/"),
+        (F.col("doc_id") % C.URL_PAGE_MOD).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source="),
+        F.col("source"),
+        F.lit("&fetch="),
+        F.col("doc_id").cast("string"),
+        F.lit("#top"),
+    )
+    return prep.url_dedup_first_wins(
+        docs.select("doc_id", url.alias("url"))
+    )
+
+
 def q_knn_label_vote(spark, sf_dir):
     """kNN majority-vote classification over the labeled embeddings:
     per query the prediction, the true label, and whether they agree —
@@ -2538,6 +2570,7 @@ REGISTRY = {
     "media_embedding_topk": q_media_embedding_topk,
     "media_frames": q_media_frames,
     "source_quota": q_source_quota,
+    "url_dedup": q_url_dedup,
     "knn_label_vote": q_knn_label_vote,
     "dedup_group_sizes": q_dedup_group_sizes,
     "source_overlap": q_source_overlap,

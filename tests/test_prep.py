@@ -123,3 +123,30 @@ def test_collocations_pmi_values_and_plan(spark):
     assert got["rank"] == 1
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_url_dedup_first_wins_semantics_and_plan(spark):
+    """Normalization collapses scheme/www/query/fragment/trailing-slash
+    variants; the smallest id per canonical URL wins; and the plan is
+    the scale shape the docstring promises — a partial-aggregated
+    groupBy + equi-join, NO per-group sort window."""
+    rows = [
+        (1, "https://www.A.example.org/page/1?utm=x#top"),
+        (2, "http://a.example.org/page/1/"),
+        (3, "HTTPS://a.example.org/page/1"),
+        (4, "http://a.example.org/page/2"),
+        (5, "ftp://b.example.org//"),
+        (6, "b.example.org"),  # already scheme-less
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = prep.url_dedup_first_wins(df)
+    got = {r["doc_id"]: (r["norm_url"], r["keep"]) for r in out.collect()}
+    assert got[1] == ("a.example.org/page/1", True)
+    assert got[2] == ("a.example.org/page/1", False)
+    assert got[3] == ("a.example.org/page/1", False)
+    assert got[4] == ("a.example.org/page/2", True)
+    assert got[5] == ("b.example.org", True)
+    assert got[6] == ("b.example.org", False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan  # map-side partial min per norm_url
