@@ -83,10 +83,51 @@ class QueryService:
         return [int(v) for v in self.index.sigs[row, : self.preview_n]]
 
 
-def _make_handler(service: QueryService):
+def _handle_reload(spark, holders, payload) -> tuple[int, dict]:
+    """Shared ``POST /reload`` law for every replica tier: for each
+    served index, check staleness against its persisted artifacts and
+    re-snapshot when stale (or when the body says ``{"force": true}``).
+    The swap is one attribute assignment — in-flight queries finish on
+    the old snapshot, the socket never drops. ``holders``: (name,
+    get_index, set_index) triples; an index without persisted
+    provenance (built from DataFrames) is reported ``tracked: false``
+    and left alone. Requires the server to have been started with a
+    SparkSession (the export runs Spark jobs)."""
+    if spark is None:
+        return 400, {
+            "error": "server started without a SparkSession — pass "
+            "spark= to start_* to enable /reload"
+        }
+    force = isinstance(payload, dict) and bool(payload.get("force", False))
+    report = {}
+    for name, get_index, set_index in holders:
+        index = get_index()
+        try:
+            stale = index.is_stale(spark)
+        except ValueError:
+            report[name] = {"tracked": False, "reloaded": False}
+            continue
+        reloaded = stale or force
+        if reloaded:
+            set_index(index.reload(spark))
+        report[name] = {
+            "tracked": True,
+            "was_stale": stale,
+            "reloaded": reloaded,
+        }
+    return 200, {"indexes": report}
+
+
+def _make_handler(service: QueryService, spark=None):
+    def _set_index(idx):
+        service.index = idx
+
+    holders = [("lsh", lambda: service.index, _set_index)]
+
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):  # noqa: N802 (http.server API)
-            if self.path.rstrip("/") != "/query":
+            path = self.path.rstrip("/")
+            if path not in ("/query", "/reload"):
                 self._reply(404, {"error": "not found"})
                 return
             try:
@@ -95,7 +136,10 @@ def _make_handler(service: QueryService):
             except (ValueError, json.JSONDecodeError):
                 self._reply(400, {"error": "invalid JSON body"})
                 return
-            status, body = service.handle_query(payload)
+            if path == "/reload":
+                status, body = _handle_reload(spark, holders, payload)
+            else:
+                status, body = service.handle_query(payload)
             self._reply(status, body)
 
         def do_GET(self):  # noqa: N802
@@ -121,16 +165,19 @@ def _make_handler(service: QueryService):
 
 
 def start_server(
-    index: ServingIndex, host: str = "127.0.0.1", port: int = 0
+    index: ServingIndex, host: str = "127.0.0.1", port: int = 0, spark=None
 ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Bind the query service to a socket (``port=0`` = ephemeral).
     Returns (server, daemon thread); call ``server.shutdown()`` then
-    ``server.server_close()`` to stop."""
+    ``server.server_close()`` to stop. With ``spark`` given, ``POST
+    /reload`` re-snapshots a store-loaded index after a rewrite
+    (compaction / retention) without dropping the socket."""
     service = QueryService(index)
-    server = ThreadingHTTPServer((host, port), _make_handler(service))
+    server = ThreadingHTTPServer((host, port), _make_handler(service, spark))
     # hot-swap hook: after a store rewrite (compaction / retention),
     # `server.service.index = server.service.index.reload(spark)`
-    # re-snapshots without dropping the socket
+    # re-snapshots without dropping the socket (POST /reload does the
+    # same over the wire)
     server.service = service
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
@@ -186,16 +233,23 @@ class VectorQueryService:
 
 
 def start_vector_server(
-    index, host: str = "127.0.0.1", port: int = 0
+    index, host: str = "127.0.0.1", port: int = 0, spark=None
 ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Bind the EMBEDDING query service to a socket: ``POST /query``
     with the vector envelope, ``GET /health`` reporting the indexed
-    count — the IVF-PQ twin of :func:`start_server`."""
+    count, and (with ``spark``) ``POST /reload`` — the IVF-PQ twin of
+    :func:`start_server`."""
     service = VectorQueryService(index)
+
+    def _set_index(idx):
+        service.index = idx
+
+    holders = [("vector", lambda: service.index, _set_index)]
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):  # noqa: N802 (http.server API)
-            if self.path.rstrip("/") != "/query":
+            path = self.path.rstrip("/")
+            if path not in ("/query", "/reload"):
                 self._reply(404, {"error": "not found"})
                 return
             try:
@@ -204,7 +258,10 @@ def start_vector_server(
             except (ValueError, json.JSONDecodeError):
                 self._reply(400, {"error": "invalid JSON body"})
                 return
-            status, body = service.handle_query(payload)
+            if path == "/reload":
+                status, body = _handle_reload(spark, holders, payload)
+            else:
+                status, body = service.handle_query(payload)
             self._reply(status, body)
 
         def do_GET(self):  # noqa: N802
@@ -317,15 +374,32 @@ class HybridQueryService:
 
 
 def start_lexical_server(
-    lex_index, vec_index=None, host: str = "127.0.0.1", port: int = 0
+    lex_index, vec_index=None, host: str = "127.0.0.1", port: int = 0,
+    spark=None,
 ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Bind the keyword (and, with ``vec_index``, the hybrid) service:
     ``POST /query`` with the keyword envelope, ``POST /hybrid`` with
-    the hybrid envelope, ``GET /health``."""
+    the hybrid envelope, ``GET /health``, and (with ``spark``)
+    ``POST /reload`` re-snapshotting BOTH served indexes."""
     lex_service = LexicalQueryService(lex_index)
     hybrid_service = (
         HybridQueryService(lex_index, vec_index) if vec_index is not None else None
     )
+
+    def _set_lex(idx):
+        # the hybrid service shares the lexical index object: swap both
+        lex_service.index = idx
+        if hybrid_service is not None:
+            hybrid_service.lex_index = idx
+
+    def _set_vec(idx):
+        hybrid_service.vec_index = idx
+
+    holders = [("lexical", lambda: lex_service.index, _set_lex)]
+    if hybrid_service is not None:
+        holders.append(
+            ("vector", lambda: hybrid_service.vec_index, _set_vec)
+        )
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):  # noqa: N802 (http.server API)
@@ -334,6 +408,8 @@ def start_lexical_server(
                 service = lex_service
             elif path == "/hybrid" and hybrid_service is not None:
                 service = hybrid_service
+            elif path == "/reload":
+                service = None
             else:
                 self._reply(404, {"error": "not found"})
                 return
@@ -343,7 +419,10 @@ def start_lexical_server(
             except (ValueError, json.JSONDecodeError):
                 self._reply(400, {"error": "invalid JSON body"})
                 return
-            status, body = service.handle_query(payload)
+            if service is None:
+                status, body = _handle_reload(spark, holders, payload)
+            else:
+                status, body = service.handle_query(payload)
             self._reply(status, body)
 
         def do_GET(self):  # noqa: N802
@@ -736,6 +815,31 @@ class RouterService:
             "replicas": ok,
         }
 
+    def handle_reload(self, payload) -> tuple[int, dict]:
+        """Fan ``POST /reload`` to every replica (both tiers for a
+        hybrid router) in parallel. All-or-nothing REPORTING, not
+        all-or-nothing effect: each replica's reload is its own atomic
+        swap, so a failed replica stays on its old snapshot and the
+        502 tells the operator to re-issue — the merge law is
+        unaffected either way (every replica always serves a complete
+        answer for its shard, just possibly a pre-delete one)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        body = payload if isinstance(payload, dict) else {}
+        urls = self.replicas + self.vector_replicas
+        with ThreadPoolExecutor(max_workers=min(16, len(urls))) as ex:
+            results = list(
+                ex.map(lambda u: self._post(u + "/reload", body), urls)
+            )
+        report = {
+            url: resp for url, (_status, resp) in zip(urls, results)
+        }
+        status = 200 if all(s == 200 for s, _b in results) else 502
+        return status, {
+            "status": "ok" if status == 200 else "partial",
+            "replicas": report,
+        }
+
 
 def start_router_server(
     tier: str,
@@ -749,8 +853,10 @@ def start_router_server(
     /query`` fans out and merges by tier law; ``POST /query_batch``
     fans a query SET in one sweep and merges per query with the same
     law; a lexical router with ``vector_replicas`` also serves ``POST
-    /hybrid``; ``GET /health`` aggregates replica health. Same
-    start/stop contract as :func:`start_server`."""
+    /hybrid``; ``GET /health`` aggregates replica health; ``POST
+    /reload`` fans the staleness-checked re-snapshot to every replica
+    (after a compaction or retention delete). Same start/stop contract
+    as :func:`start_server`."""
     service = RouterService(tier, replicas, vector_replicas, timeout)
 
     class Handler(BaseHTTPRequestHandler):
@@ -762,6 +868,8 @@ def start_router_server(
                 handle = service.handle_query_batch
             elif path == "/hybrid":
                 handle = service.handle_hybrid
+            elif path == "/reload":
+                handle = service.handle_reload
             else:
                 self._reply(404, {"error": "not found"})
                 return

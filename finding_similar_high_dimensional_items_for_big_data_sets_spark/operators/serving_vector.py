@@ -216,6 +216,12 @@ class ServingVectorIndex:
         (compaction, delete_from_ivfpq_index, cross-store retention) —
         the snapshot would keep answering with forgotten vec_ids until
         :meth:`reload`. O(1 stat call), no data read."""
+        if self.source is None:
+            raise ValueError(
+                "index was not loaded from a persisted store — no "
+                "artifacts to check; load via from_store for staleness "
+                "tracking"
+            )
         from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
             store_fingerprint,
         )
@@ -228,6 +234,11 @@ class ServingVectorIndex:
         """Fresh snapshot from the same store (same rerank embeddings /
         replica cells). Swap it in atomically:
         ``service.index = service.index.reload(spark)``."""
+        if self.source is None:
+            raise ValueError(
+                "index was not loaded from a persisted store — "
+                "re-export it from its source instead"
+            )
         return type(self).from_store(
             spark,
             self.source["path"],

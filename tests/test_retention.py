@@ -712,10 +712,10 @@ def test_serving_reload_after_retention(spark, tmp_path):
         spark, st["ivfpq_path"], embeddings=st["emb"]
     )
     lex_idx = ServingLexicalIndex.from_store(spark, st["postings_path"])
-    replica, rt1 = serving_http.start_server(lsh_idx)
+    replica, rt1 = serving_http.start_server(lsh_idx, spark=spark)
     router, rt2 = serving_http.start_router_server("lsh", [_url(replica)])
-    vec_server, vt = serving_http.start_vector_server(vec_idx)
-    lex_server, lt = serving_http.start_lexical_server(lex_idx)
+    vec_server, vt = serving_http.start_vector_server(vec_idx, spark=spark)
+    lex_server, lt = serving_http.start_lexical_server(lex_idx, spark=spark)
     try:
         assert not lsh_idx.is_stale(spark)
         assert not vec_idx.is_stale(spark)
@@ -748,10 +748,25 @@ def test_serving_reload_after_retention(spark, tmp_path):
         body = _post(_url(router), "/query", {"vector": qsig, "k": 5})
         assert body["candidates"][0]["id"] == DELETE_IDS[0]
 
-        # hot-swap every tier without dropping a socket
-        replica.service.index = replica.service.index.reload(spark)
-        vec_server.service.index = vec_server.service.index.reload(spark)
-        lex_server.service.index = lex_server.service.index.reload(spark)
+        # hot-swap every tier without dropping a socket — over the
+        # wire: the router fans POST /reload to its replicas, the
+        # other tiers take it directly; each reload is staleness-
+        # checked, so the response reports was_stale=true
+        body = _post(_url(router), "/reload", {})
+        assert body["status"] == "ok"
+        (rep_report,) = body["replicas"].values()
+        assert rep_report["indexes"]["lsh"] == {
+            "tracked": True, "was_stale": True, "reloaded": True,
+        }
+        body = _post(_url(vec_server), "/reload", {})
+        assert body["indexes"]["vector"]["reloaded"] is True
+        body = _post(_url(lex_server), "/reload", {})
+        assert body["indexes"]["lexical"]["reloaded"] is True
+        # a second reload is a no-op (fresh snapshots, not forced)
+        body = _post(_url(vec_server), "/reload", {})
+        assert body["indexes"]["vector"] == {
+            "tracked": True, "was_stale": False, "reloaded": False,
+        }
 
         body = _post(_url(router), "/query", {"vector": qsig, "k": 5})
         assert body["candidates"] and all(
