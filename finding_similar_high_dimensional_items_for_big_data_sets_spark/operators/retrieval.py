@@ -433,8 +433,13 @@ class ServingLexicalIndex:
             read_postings_corpus_stats,
             read_postings_index,
             read_term_stats,
+            store_fingerprint,
         )
 
+        # fingerprint BEFORE reading: a swap landing mid-export then
+        # compares unequal (stale) instead of stamping the pre-swap
+        # snapshot with the post-swap identity forever
+        fp = store_fingerprint(path)
         posts, meta = read_postings_index(spark, path)
         if doc_shards is not None:
             posts = posts.filter(
@@ -449,10 +454,6 @@ class ServingLexicalIndex:
             r["token"]: int(r["df"])
             for r in read_term_stats(spark, path).collect()
         }
-        from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
-            store_fingerprint,
-        )
-
         return cls(
             n_docs, sum_dl, postings, meta["k1"], meta["b"], global_df,
             source={
@@ -460,7 +461,7 @@ class ServingLexicalIndex:
                 "doc_shards": (
                     None if doc_shards is None else [int(s) for s in doc_shards]
                 ),
-                "fingerprint": store_fingerprint(path),
+                "fingerprint": fp,
             },
         )
 

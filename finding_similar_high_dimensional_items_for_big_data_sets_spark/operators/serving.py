@@ -130,6 +130,10 @@ class ServingIndex:
         (the parquet signature table + the bucketed bands table that
         :func:`sources.tables.append_to_index` maintains) — build,
         persist, append, serve, without re-deriving anything."""
+        # fingerprint BEFORE the export reads anything: a swap landing
+        # mid-load then compares unequal (stale) instead of stamping
+        # the pre-swap snapshot with the post-swap identity forever
+        fp = _lsh_fingerprint(spark, sigs_path, bands_table)
         idx = cls.from_dataframes(
             spark.read.parquet(sigs_path), spark.table(bands_table), params
         )
@@ -137,7 +141,7 @@ class ServingIndex:
             "loader": "from_paths",
             "sigs_path": sigs_path,
             "bands_table": bands_table,
-            "fingerprint": _lsh_fingerprint(spark, sigs_path, bands_table),
+            "fingerprint": fp,
         }
         return idx
 
@@ -163,6 +167,7 @@ class ServingIndex:
         moved into the storage layout."""
         from pyspark.sql import functions as F
 
+        fp = _lsh_fingerprint(spark, sigs_path, bands_table)  # pre-load
         sigs = (
             spark.read.parquet(sigs_path)
             .filter(F.col("shard") == shard)
@@ -175,7 +180,7 @@ class ServingIndex:
             "sigs_path": sigs_path,
             "bands_table": bands_table,
             "shard": shard,
-            "fingerprint": _lsh_fingerprint(spark, sigs_path, bands_table),
+            "fingerprint": fp,
         }
         return idx
 

@@ -100,34 +100,47 @@ def _handle_reload(spark, holders, payload) -> tuple[int, dict]:
         }
     force = isinstance(payload, dict) and bool(payload.get("force", False))
     report = {}
+    failed = False
     for name, get_index, set_index in holders:
         index = get_index()
-        try:
-            stale = index.is_stale(spark)
-        except ValueError:
+        # untracked is a PROPERTY (no persisted provenance), not an
+        # exception: a ValueError out of is_stale on a tracked index
+        # is a real staleness-probe failure and must surface below,
+        # not be silently reported as untracked
+        if getattr(index, "source", None) is None:
             report[name] = {"tracked": False, "reloaded": False}
             continue
-        reloaded = stale or force
-        if reloaded:
-            set_index(index.reload(spark))
+        try:
+            stale = index.is_stale(spark)
+            reloaded = stale or force
+            if reloaded:
+                set_index(index.reload(spark))
+        except Exception as e:  # noqa: BLE001 — a probe/reload failure
+            # (store mid-swap, broken table, export error) must become
+            # an HTTP error the operator can read and retry, never a
+            # dropped connection; the old snapshot stays in place
+            failed = True
+            report[name] = {"tracked": True, "error": str(e)}
+            continue
         report[name] = {
             "tracked": True,
             "was_stale": stale,
             "reloaded": reloaded,
         }
-    return 200, {"indexes": report}
+    return (500 if failed else 200), {"indexes": report}
 
 
-def _make_handler(service: QueryService, spark=None):
-    def _set_index(idx):
-        service.index = idx
-
-    holders = [("lsh", lambda: service.index, _set_index)]
+def _make_handler(routes: dict, health):
+    """ONE HTTP handler for every server in this module, so the body
+    parsing, dispatch, reply, and logging behavior cannot diverge
+    between tiers. ``routes``: path -> ``payload -> (status, body)``
+    for POST; ``health``: ``() -> (status, body)`` for ``GET
+    /health``."""
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):  # noqa: N802 (http.server API)
-            path = self.path.rstrip("/")
-            if path not in ("/query", "/reload"):
+            handle = routes.get(self.path.rstrip("/"))
+            if handle is None:
                 self._reply(404, {"error": "not found"})
                 return
             try:
@@ -136,17 +149,12 @@ def _make_handler(service: QueryService, spark=None):
             except (ValueError, json.JSONDecodeError):
                 self._reply(400, {"error": "invalid JSON body"})
                 return
-            if path == "/reload":
-                status, body = _handle_reload(spark, holders, payload)
-            else:
-                status, body = service.handle_query(payload)
+            status, body = handle(payload)
             self._reply(status, body)
 
         def do_GET(self):  # noqa: N802
             if self.path.rstrip("/") == "/health":
-                self._reply(
-                    200, {"status": "ok", "n_docs": int(service.index.doc_ids.size)}
-                )
+                self._reply(*health())
             else:
                 self._reply(404, {"error": "not found"})
 
@@ -164,6 +172,13 @@ def _make_handler(service: QueryService, spark=None):
     return Handler
 
 
+def _serve(handler, host: str, port: int):
+    server = ThreadingHTTPServer((host, port), handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, thread
+
+
 def start_server(
     index: ServingIndex, host: str = "127.0.0.1", port: int = 0, spark=None
 ) -> tuple[ThreadingHTTPServer, threading.Thread]:
@@ -173,14 +188,30 @@ def start_server(
     /reload`` re-snapshots a store-loaded index after a rewrite
     (compaction / retention) without dropping the socket."""
     service = QueryService(index)
-    server = ThreadingHTTPServer((host, port), _make_handler(service, spark))
+
+    def _set_index(idx):
+        service.index = idx
+
+    holders = [("lsh", lambda: service.index, _set_index)]
+    server, thread = _serve(
+        _make_handler(
+            {
+                "/query": service.handle_query,
+                "/reload": lambda p: _handle_reload(spark, holders, p),
+            },
+            lambda: (
+                200,
+                {"status": "ok", "n_docs": int(service.index.doc_ids.size)},
+            ),
+        ),
+        host,
+        port,
+    )
     # hot-swap hook: after a store rewrite (compaction / retention),
     # `server.service.index = server.service.index.reload(spark)`
     # re-snapshots without dropping the socket (POST /reload does the
     # same over the wire)
     server.service = service
-    thread = threading.Thread(target=server.serve_forever, daemon=True)
-    thread.start()
     return server, thread
 
 
@@ -245,49 +276,21 @@ def start_vector_server(
         service.index = idx
 
     holders = [("vector", lambda: service.index, _set_index)]
-
-    class Handler(BaseHTTPRequestHandler):
-        def do_POST(self):  # noqa: N802 (http.server API)
-            path = self.path.rstrip("/")
-            if path not in ("/query", "/reload"):
-                self._reply(404, {"error": "not found"})
-                return
-            try:
-                length = int(self.headers.get("Content-Length", 0))
-                payload = json.loads(self.rfile.read(length) or b"null")
-            except (ValueError, json.JSONDecodeError):
-                self._reply(400, {"error": "invalid JSON body"})
-                return
-            if path == "/reload":
-                status, body = _handle_reload(spark, holders, payload)
-            else:
-                status, body = service.handle_query(payload)
-            self._reply(status, body)
-
-        def do_GET(self):  # noqa: N802
-            if self.path.rstrip("/") == "/health":
-                self._reply(
-                    200,
-                    {"status": "ok", "n_vecs": int(service.index.vec_ids.size)},
-                )
-            else:
-                self._reply(404, {"error": "not found"})
-
-        def _reply(self, status: int, body: dict) -> None:
-            data = json.dumps(body).encode("utf-8")
-            self.send_response(status)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(data)))
-            self.end_headers()
-            self.wfile.write(data)
-
-        def log_message(self, fmt, *args):  # silence per-request stderr
-            pass
-
-    server = ThreadingHTTPServer((host, port), Handler)
+    server, thread = _serve(
+        _make_handler(
+            {
+                "/query": service.handle_query,
+                "/reload": lambda p: _handle_reload(spark, holders, p),
+            },
+            lambda: (
+                200,
+                {"status": "ok", "n_vecs": int(service.index.vec_ids.size)},
+            ),
+        ),
+        host,
+        port,
+    )
     server.service = service  # hot-swap hook (see start_server)
-    thread = threading.Thread(target=server.serve_forever, daemon=True)
-    thread.start()
     return server, thread
 
 
@@ -400,62 +403,31 @@ def start_lexical_server(
         holders.append(
             ("vector", lambda: hybrid_service.vec_index, _set_vec)
         )
-
-    class Handler(BaseHTTPRequestHandler):
-        def do_POST(self):  # noqa: N802 (http.server API)
-            path = self.path.rstrip("/")
-            if path == "/query":
-                service = lex_service
-            elif path == "/hybrid" and hybrid_service is not None:
-                service = hybrid_service
-            elif path == "/reload":
-                service = None
-            else:
-                self._reply(404, {"error": "not found"})
-                return
-            try:
-                length = int(self.headers.get("Content-Length", 0))
-                payload = json.loads(self.rfile.read(length) or b"null")
-            except (ValueError, json.JSONDecodeError):
-                self._reply(400, {"error": "invalid JSON body"})
-                return
-            if service is None:
-                status, body = _handle_reload(spark, holders, payload)
-            else:
-                status, body = service.handle_query(payload)
-            self._reply(status, body)
-
-        def do_GET(self):  # noqa: N802
-            if self.path.rstrip("/") == "/health":
-                self._reply(
-                    200,
-                    {
-                        "status": "ok",
-                        "n_docs": int(lex_service.index.n_docs),
-                        "hybrid": hybrid_service is not None,
-                    },
-                )
-            else:
-                self._reply(404, {"error": "not found"})
-
-        def _reply(self, status: int, body: dict) -> None:
-            data = json.dumps(body).encode("utf-8")
-            self.send_response(status)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(data)))
-            self.end_headers()
-            self.wfile.write(data)
-
-        def log_message(self, fmt, *args):  # silence per-request stderr
-            pass
-
-    server = ThreadingHTTPServer((host, port), Handler)
+    routes = {
+        "/query": lex_service.handle_query,
+        "/reload": lambda p: _handle_reload(spark, holders, p),
+    }
+    if hybrid_service is not None:
+        routes["/hybrid"] = hybrid_service.handle_query
+    server, thread = _serve(
+        _make_handler(
+            routes,
+            lambda: (
+                200,
+                {
+                    "status": "ok",
+                    "n_docs": int(lex_service.index.n_docs),
+                    "hybrid": hybrid_service is not None,
+                },
+            ),
+        ),
+        host,
+        port,
+    )
     # hot-swap hooks (see start_server): the hybrid service shares the
     # lexical service's index objects, so swap BOTH attributes together
     server.service = lex_service
     server.hybrid_service = hybrid_service
-    thread = threading.Thread(target=server.serve_forever, daemon=True)
-    thread.start()
     return server, thread
 
 
@@ -858,48 +830,17 @@ def start_router_server(
     (after a compaction or retention delete). Same start/stop contract
     as :func:`start_server`."""
     service = RouterService(tier, replicas, vector_replicas, timeout)
-
-    class Handler(BaseHTTPRequestHandler):
-        def do_POST(self):  # noqa: N802 (http.server API)
-            path = self.path.rstrip("/")
-            if path == "/query":
-                handle = service.handle_query
-            elif path == "/query_batch":
-                handle = service.handle_query_batch
-            elif path == "/hybrid":
-                handle = service.handle_hybrid
-            elif path == "/reload":
-                handle = service.handle_reload
-            else:
-                self._reply(404, {"error": "not found"})
-                return
-            try:
-                length = int(self.headers.get("Content-Length", 0))
-                payload = json.loads(self.rfile.read(length) or b"null")
-            except (ValueError, json.JSONDecodeError):
-                self._reply(400, {"error": "invalid JSON body"})
-                return
-            status, body = handle(payload)
-            self._reply(status, body)
-
-        def do_GET(self):  # noqa: N802
-            if self.path.rstrip("/") == "/health":
-                self._reply(*service.handle_health())
-            else:
-                self._reply(404, {"error": "not found"})
-
-        def _reply(self, status: int, body: dict) -> None:
-            data = json.dumps(body).encode("utf-8")
-            self.send_response(status)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(data)))
-            self.end_headers()
-            self.wfile.write(data)
-
-        def log_message(self, fmt, *args):  # silence per-request stderr
-            pass
-
-    server = ThreadingHTTPServer((host, port), Handler)
-    thread = threading.Thread(target=server.serve_forever, daemon=True)
-    thread.start()
+    server, thread = _serve(
+        _make_handler(
+            {
+                "/query": service.handle_query,
+                "/query_batch": service.handle_query_batch,
+                "/hybrid": service.handle_hybrid,
+                "/reload": service.handle_reload,
+            },
+            service.handle_health,
+        ),
+        host,
+        port,
+    )
     return server, thread

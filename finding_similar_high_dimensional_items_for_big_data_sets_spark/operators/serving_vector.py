@@ -135,9 +135,17 @@ class ServingVectorIndex:
             read_store_meta,
         )
 
+        from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
+            store_fingerprint,
+        )
+
         # keep the replica-shard argument before the local `cells`
         # numpy array shadows it (reload must re-request the same cells)
         cells_arg = None if cells is None else [int(c) for c in cells]
+        # fingerprint BEFORE reading: a swap landing mid-export then
+        # compares unequal (stale) instead of stamping the pre-swap
+        # snapshot with the post-swap identity forever
+        fp = store_fingerprint(path)
         rotation = None
         if read_store_meta(path).get("kind") in ("ivfopq", "ivfopq_hkm"):
             codes_df, rotation, cents, books = read_ivfopq_index(spark, path)
@@ -183,10 +191,6 @@ class ServingVectorIndex:
                     "needs every indexed vector"
                 )
             vectors = evecs[rows]
-        from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
-            store_fingerprint,
-        )
-
         return cls(
             centroids=centroids,
             codebooks=[[[float(x) for x in code] for code in book] for book in books],
@@ -203,7 +207,7 @@ class ServingVectorIndex:
                 "id_col": id_col,
                 "vec_col": vec_col,
                 "cells": cells_arg,
-                "fingerprint": store_fingerprint(path),
+                "fingerprint": fp,
             },
         )
 

@@ -279,9 +279,16 @@ def _commit_all(spark: SparkSession, stores: list[dict]) -> None:
     the ``__retention`` suffix is exclusive to this transaction, a
     missing tmp next to a healthy live store can only mean THIS
     transaction already swapped it — no lifecycle recover can have
-    cleared a manifest-listed tmp — so skipping it is sound."""
+    cleared a manifest-listed tmp — so skipping it is sound.
+
+    Entries without a ``suffix`` key are manifests written BEFORE the
+    retention-exclusive suffix existed: their table tmps live under
+    the lifecycle's ``__compact`` names (dir entries always recorded
+    their suffix explicitly), so that is the backward-compatible
+    default — defaulting to ``__retention`` would make an upgraded
+    binary silently skip every old table swap."""
     for st in stores:
-        suffix = st.get("suffix", RETENTION_SUFFIX)
+        suffix = st.get("suffix", "__compact")
         if st["medium"] == "table":
             table = st["name"]
             tmp = f"{table}{suffix}_tmp"
@@ -326,8 +333,10 @@ def recover_retention(spark: SparkSession, manifest_path: str) -> bool:
         with open(manifest_file) as fh:
             data = json.load(fh)
         stores = data["stores"]
-        if not isinstance(stores, list):
-            raise TypeError("manifest 'stores' is not a list")
+        if not isinstance(stores, list) or not all(
+            isinstance(st, dict) for st in stores
+        ):
+            raise TypeError("manifest 'stores' is not a list of objects")
     except (ValueError, KeyError, TypeError):
         # torn commit point: the rename survived a power loss but the
         # data pages didn't (pre-fsync kernels / non-POSIX stores) —
@@ -379,7 +388,9 @@ def vacuum_stores(
             with open(mf) as fh:
                 data = json.load(fh)
             listed = data["stores"]
-            if not isinstance(listed, list):
+            if not isinstance(listed, list) or not all(
+                isinstance(st, dict) for st in listed
+            ):
                 raise TypeError
         except (ValueError, KeyError, TypeError):
             continue  # torn husk: recover_retention owns clearing it
@@ -389,16 +400,32 @@ def vacuum_stores(
             else:
                 protected_dirs.add(os.path.normpath(st["path"]))
 
-    removed: list[str] = []
+    # validate EVERY store before removing ANYTHING: a missing live
+    # copy aborting mid-sweep would leave a partial vacuum whose
+    # already-removed names are lost with the exception
     for path in dir_stores:
-        if os.path.normpath(path) in protected_dirs:
-            continue
-        if not os.path.exists(path):
+        if os.path.normpath(path) not in protected_dirs and not os.path.exists(
+            path
+        ):
             raise ValueError(
                 f"{path} has no live copy — a swap died mid-rename; run "
                 "the store's recover (recover_*_swap / recover_retention) "
                 "before vacuuming"
             )
+    for table in tables:
+        if table not in protected_tables and not spark.catalog.tableExists(
+            table
+        ):
+            raise ValueError(
+                f"table {table} does not exist — a swap died mid-rename; "
+                "run recover_compact_swap (or recover_retention) before "
+                "vacuuming"
+            )
+
+    removed: list[str] = []
+    for path in dir_stores:
+        if os.path.normpath(path) in protected_dirs:
+            continue
         for sfx in _ALL_SUFFIXES:
             for side in _swap_names(path, sfx):
                 if os.path.exists(side):
@@ -407,12 +434,6 @@ def vacuum_stores(
     for table in tables:
         if table in protected_tables:
             continue
-        if not spark.catalog.tableExists(table):
-            raise ValueError(
-                f"table {table} does not exist — a swap died mid-rename; "
-                "run recover_compact_swap (or recover_retention) before "
-                "vacuuming"
-            )
         acted = False
         for sfx in _ALL_SUFFIXES:
             for side in (f"{table}{sfx}_tmp", f"{table}{sfx}_old"):

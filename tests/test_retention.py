@@ -792,3 +792,90 @@ def test_serving_reload_after_retention(spark, tmp_path):
             server.server_close()
         spark.sql(f"DROP TABLE IF EXISTS {st['table']}")
         spark.sql(f"DROP TABLE IF EXISTS {st['hash_table']}")
+
+
+def test_vacuum_validates_everything_before_removing_anything(spark, tmp_path):
+    """A missing live copy anywhere in the argument list must abort
+    the WHOLE sweep before any debris is removed — a partial vacuum
+    whose removed names are lost with the exception would leave the
+    operator unable to tell what was deleted."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = ann.random_codebooks(DIM, M, CODES, seed=44)
+    pq_p = str(tmp_path / "vac2_pq")
+    write_pq_index(emb, pq_p, books)
+    os.makedirs(pq_p + "__compact_tmp")
+    with pytest.raises(ValueError, match="no live copy"):
+        retention.vacuum_stores(
+            spark, dir_stores=[pq_p, str(tmp_path / "vac2_missing")]
+        )
+    # the healthy store's debris was NOT touched: all-or-nothing
+    assert os.path.exists(pq_p + "__compact_tmp")
+    with pytest.raises(ValueError, match="does not exist"):
+        retention.vacuum_stores(
+            spark, dir_stores=[pq_p], tables=["vac2_missing_table"]
+        )
+    assert os.path.exists(pq_p + "__compact_tmp")
+
+
+def test_recover_retention_tolerates_non_dict_store_entries(spark, tmp_path):
+    """A torn manifest whose 'stores' parses as a list of NON-dicts is
+    the same husk class as a scalar: cleared, reported not-committed —
+    never a TypeError that wedges startup recovery with the manifest
+    left in place."""
+    d = tmp_path / "manifest_husk_items"
+    d.mkdir()
+    husk = d / retention.MANIFEST_NAME
+    husk.write_text('{"stores": [7, "x"]}')
+    assert retention.recover_retention(spark, str(d)) is False
+    assert not husk.exists()
+
+
+def test_reload_failure_is_an_http_error_not_a_dropped_connection(
+    spark, tmp_path
+):
+    """A staleness probe that fails hard (store directory gone — e.g.
+    caught mid-swap or misconfigured) must surface as an HTTP 500 with
+    the error text, keep the old snapshot serving, and never drop the
+    client connection."""
+    import urllib.error
+    import urllib.request
+
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import serving_http
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators.serving_vector import (
+        ServingVectorIndex,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = ann.random_codebooks(DIM, M, CODES, seed=44)
+    cents = ann.random_centroids(DIM, CELLS, seed=45)
+    path = str(tmp_path / "reload_err_ivfpq")
+    write_ivfpq_index(emb, path, cents, books)
+    idx = ServingVectorIndex.from_store(spark, path)
+    server, _t = serving_http.start_vector_server(idx, spark=spark)
+    host, port = server.server_address
+    url = f"http://{host}:{port}"
+    try:
+        shutil.rmtree(path)  # the store vanishes under the snapshot
+        req = urllib.request.Request(
+            url + "/reload", data=b"{}",
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 500
+        body = json.loads(exc.value.read())
+        assert body["indexes"]["vector"]["tracked"] is True
+        assert "error" in body["indexes"]["vector"]
+        # the old snapshot still answers queries
+        q = [float(v) for v in emb.first()["embedding"]]
+        req = urllib.request.Request(
+            url + "/query",
+            data=json.dumps({"vector": q, "k": 3}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert json.loads(resp.read())["candidates"]
+    finally:
+        server.shutdown()
+        server.server_close()
