@@ -290,6 +290,11 @@ BP_MIN_DF = 30
 # docs at every SF, so a quota of 10 binds in every group.
 SOURCE_QUOTA = 10
 
+# Stratified split fixture: per-language exact-proportion val split.
+# The fixture languages are UNEVEN (en holds ~44% of docs, fr ~13%),
+# which is exactly the case a global hash split mishandles.
+STRAT_VAL_FRAC = 0.2
+
 # URL-dedup fixture: the corpus carries no URL column, so the query
 # synthesizes one deterministic URL per doc — page number doc_id %
 # URL_PAGE_MOD under its source's domain, with scheme/www/trailing-

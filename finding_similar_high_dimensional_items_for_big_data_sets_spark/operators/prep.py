@@ -904,6 +904,58 @@ def per_group_quota(
     )
 
 
+def stratified_split(
+    df: DataFrame,
+    group_col: str,
+    val_frac: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum train/val split — exact proportions WITHIN each
+    group (language, source, domain), where a global hash split only
+    hits ``val_frac`` in expectation and can wash a small stratum
+    entirely into one side (a 300-doc language ending up 100% train
+    means zero eval coverage for it). Each group's rows are ordered by
+    the salted portable hash of the STABLE id (ties by id — the same
+    content-free determinism as :func:`per_group_quota`: a re-crawled
+    doc keeps its fate) and the first ``floor(val_frac * n_group)``
+    go to val.
+
+    Scale shape: one shuffle on the group key; the two window
+    functions (rank + group size) share the single partitioning.
+    Exact stratification requires group-level coordination by
+    definition — a skewed giant group is one sorted partition, so for
+    domain-grade cardinality prefer the group-free
+    :func:`dataset_split` hash rule; strata like language/source are
+    few and bounded.
+
+    Output: (group_col, id_col, split STRING in {'train','val'}).
+    """
+    if not (0.0 <= val_frac <= 1.0):
+        raise ValueError(f"val_frac must be in [0, 1], got {val_frac}")
+    h = portable_hash64(F.concat(F.col(id_col).cast("string"), F.lit(":strat")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    # group size over the SAME partitioning AND ordering (unbounded
+    # frame) so both functions land in one WindowExec behind one
+    # exchange — a partition-only count window would re-shuffle
+    wn = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        df.select(group_col, id_col)
+        .withColumn("_r", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .select(
+            group_col,
+            id_col,
+            F.when(
+                F.col("_r")
+                <= F.floor(F.col("_n") * F.lit(float(val_frac))),
+                F.lit("val"),
+            )
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )
+
+
 def normalize_url(url: Column) -> Column:
     """Canonical URL for crawl-level exact dedup (the CCNet/RefinedWeb
     url-dedup normalization): lowercase, strip the scheme, a leading

@@ -2908,6 +2908,27 @@ WHERE pick_rank <= {C.SOURCE_QUOTA}
 """
 
 
+def sql_stratified_split() -> str:
+    """Mirrors prep.stratified_split on (documents, lang): per-group
+    row_number over the salted portable stable-id hash vs
+    floor(val_frac * group size). val_frac is CAST to DOUBLE — a bare
+    DuckDB decimal literal would multiply exactly while Spark
+    multiplies doubles, and floor() at an integral boundary would then
+    disagree."""
+    h = H("CAST(doc_id AS VARCHAR) || ':strat'")
+    return f"""
+SELECT lang, doc_id,
+       (CASE WHEN rn <= floor(n * CAST({C.STRAT_VAL_FRAC} AS DOUBLE))
+             THEN 'val' ELSE 'train' END) AS split
+FROM (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY {h} ASC, doc_id ASC) AS BIGINT) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+"""
+
+
 def sql_url_dedup() -> str:
     """Mirrors q_url_dedup: the same deterministic synthetic URL per
     doc, the same normalization chain (lowercase, strip scheme /
@@ -3535,6 +3556,7 @@ def registry() -> dict[str, str]:
         "epoch_shuffle": sql_epoch_shuffle(),
         "source_quota": sql_source_quota(),
         "url_dedup": sql_url_dedup(),
+        "stratified_split": sql_stratified_split(),
         "knn_label_vote": sql_knn_label_vote(),
         "dedup_group_sizes": sql_dedup_group_sizes(),
         "source_overlap": sql_source_overlap(),

@@ -2000,6 +2000,19 @@ def q_source_quota(spark, sf_dir):
     )
 
 
+def q_stratified_split(spark, sf_dir):
+    """Per-language exact-proportion train/val split (round-10): each
+    stratum contributes floor(0.2 * n) docs to val by salted stable-id
+    hash order — a global hash split only hits the fraction in
+    expectation and can wash a small language entirely into train,
+    leaving zero eval coverage for it."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import prep
+
+    return prep.stratified_split(
+        _docs(spark, sf_dir), "lang", C.STRAT_VAL_FRAC
+    )
+
+
 def q_url_dedup(spark, sf_dir):
     """URL-level exact dedup, first-wins (round-10: the one common
     crawl-governance signal source_quota didn't cover). The corpus has
@@ -2571,6 +2584,7 @@ REGISTRY = {
     "media_frames": q_media_frames,
     "source_quota": q_source_quota,
     "url_dedup": q_url_dedup,
+    "stratified_split": q_stratified_split,
     "knn_label_vote": q_knn_label_vote,
     "dedup_group_sizes": q_dedup_group_sizes,
     "source_overlap": q_source_overlap,

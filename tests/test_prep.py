@@ -150,3 +150,38 @@ def test_url_dedup_first_wins_semantics_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "HashAggregate" in plan  # map-side partial min per norm_url
+
+
+def test_stratified_split_exact_proportions_and_determinism(spark):
+    """Every stratum contributes exactly floor(val_frac * n) rows to
+    val regardless of group size; assignment is deterministic and
+    content-free; bad fractions raise; the plan shares ONE exchange
+    between the two windows."""
+    import pytest
+
+    rows = [(i, "big" if i < 80 else "small") for i in range(95)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = prep.stratified_split(df, "lang", 0.2)
+    got = out.collect()
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r["lang"], []).append(r)
+    assert sum(1 for r in by_group["big"] if r["split"] == "val") == 16
+    # floor(0.2 * 15) = 3: the small stratum is GUARANTEED val rows —
+    # the coverage a global hash split only gives in expectation
+    assert sum(1 for r in by_group["small"] if r["split"] == "val") == 3
+    # deterministic on re-run
+    again = {(r["doc_id"], r["split"]) for r in out.collect()}
+    assert again == {(r["doc_id"], r["split"]) for r in got}
+    with pytest.raises(ValueError, match="val_frac"):
+        prep.stratified_split(df, "lang", 1.5)
+    # both window functions share one lang partitioning: exactly one
+    # shuffle in the FINAL plan (AQE's toString repeats the exchange
+    # in its Initial Plan section — count only the executed half)
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange hashpartitioning(lang") == 1
