@@ -302,6 +302,10 @@ STRAT_VAL_FRAC = 0.2
 # every (source, page) group ~n_docs/(n_sources*URL_PAGE_MOD) raw-
 # distinct URLs that normalize to ONE canonical page.
 URL_PAGE_MOD = 10
+# Ids divisible by URL_NULL_MOD get a NULL url instead (lost headers /
+# non-HTTP ingests) — they must survive url_dedup keep=true, norm_url
+# null (round-11; exercises the null branch an equi-join would drop).
+URL_NULL_MOD = 17
 
 # kNN label-vote classification fixture: first BATCH_DOCS embeddings
 # as queries, K_BATCH neighbors vote (self excluded).

@@ -981,23 +981,38 @@ def url_dedup_first_wins(
     fetches of the same page, however their raw URLs differ in
     scheme/www/params, are dropped).
 
+    NULL URLs (real crawl corpora carry them — lost headers, non-HTTP
+    ingests) are NOT dedup-able by URL and are NOT one group: every
+    null-URL row comes back ``keep=true`` with ``norm_url`` null. An
+    equi-join would silently drop them (NULL keys match nothing) and
+    a null-safe join would wrongly first-wins them against each other.
+
     Scale shape: one map-side-combined groupBy(norm_url).min(id) for
     the winners, then an equi-join back on the SAME key — both sides
     hash-partition on norm_url, so AQE reuses the exchange, and the
     partial aggregation absorbs hot URLs (a million re-crawls of one
     page combine map-side instead of skewing a window partition; a
-    row_number window per URL would sort every group end-to-end).
+    row_number window per URL would sort every group end-to-end). The
+    null branch is a shuffle-free filter + literal unioned on top.
 
     Output: (id_col, norm_url, keep BOOLEAN).
     """
     norm = df.select(
         F.col(id_col), normalize_url(F.col(url_col)).alias("norm_url")
     )
-    winners = norm.groupBy("norm_url").agg(F.min(id_col).alias("keep_id"))
-    return norm.join(winners, "norm_url").select(
-        id_col,
-        "norm_url",
-        (F.col(id_col) == F.col("keep_id")).alias("keep"),
+    with_url = norm.where(F.col("norm_url").isNotNull())
+    null_url = norm.where(F.col("norm_url").isNull()).select(
+        id_col, "norm_url", F.lit(True).alias("keep")
+    )
+    winners = with_url.groupBy("norm_url").agg(F.min(id_col).alias("keep_id"))
+    return (
+        with_url.join(winners, "norm_url")
+        .select(
+            id_col,
+            "norm_url",
+            (F.col(id_col) == F.col("keep_id")).alias("keep"),
+        )
+        .unionByName(null_url)
     )
 
 

@@ -83,7 +83,7 @@ class QueryService:
         return [int(v) for v in self.index.sigs[row, : self.preview_n]]
 
 
-def _handle_reload(spark, holders, payload) -> tuple[int, dict]:
+def _handle_reload(spark, holders, payload, lock) -> tuple[int, dict]:
     """Shared ``POST /reload`` law for every replica tier: for each
     served index, check staleness against its persisted artifacts and
     re-snapshot when stale (or when the body says ``{"force": true}``).
@@ -92,12 +92,52 @@ def _handle_reload(spark, holders, payload) -> tuple[int, dict]:
     get_index, set_index) triples; an index without persisted
     provenance (built from DataFrames) is reported ``tracked: false``
     and left alone. Requires the server to have been started with a
-    SparkSession (the export runs Spark jobs)."""
+    SparkSession (the export runs Spark jobs).
+
+    ``lock``: the server's per-instance reload mutex. ThreadingHTTPServer
+    handles each request on its own thread, so without it two
+    concurrent reloads (or a reload racing the documented manual
+    ``server.service.index = ...`` swap under the same lock) would
+    both pass ``is_stale`` and run duplicate Spark export jobs. The
+    acquire is NON-blocking: the loser answers 409 immediately — the
+    winner's swap is exactly the snapshot the loser wanted, so
+    queueing a second export behind the first would only re-do its
+    work (round-11 ADVICE)."""
     if spark is None:
         return 400, {
             "error": "server started without a SparkSession — pass "
             "spark= to start_* to enable /reload"
         }
+    if not lock.acquire(blocking=False):
+        return 409, {"error": "reload already in progress"}
+    try:
+        return _reload_locked(spark, holders, payload)
+    finally:
+        lock.release()
+
+
+def _staleness(spark, holders) -> dict:
+    """Per-index staleness for ``GET /health``: True/False from
+    ``is_stale`` (O(stat), no data read), ``None`` when it cannot be
+    known — untracked index (no persisted provenance), server started
+    without a SparkSession, or a probe failure mid-swap. Health stays
+    a cheap liveness endpoint: a failed staleness probe degrades to
+    unknown, never to a 500 (round-11 — lets an operator see a
+    pending reload from the router without probing each replica)."""
+    out = {}
+    for name, get_index, _set_index in holders:
+        index = get_index()
+        if spark is None or getattr(index, "source", None) is None:
+            out[name] = None
+            continue
+        try:
+            out[name] = bool(index.is_stale(spark))
+        except Exception:  # noqa: BLE001 — store mid-swap etc.: unknown
+            out[name] = None
+    return out
+
+
+def _reload_locked(spark, holders, payload) -> tuple[int, dict]:
     force = isinstance(payload, dict) and bool(payload.get("force", False))
     report = {}
     failed = False
@@ -193,15 +233,22 @@ def start_server(
         service.index = idx
 
     holders = [("lsh", lambda: service.index, _set_index)]
+    reload_lock = threading.Lock()
     server, thread = _serve(
         _make_handler(
             {
                 "/query": service.handle_query,
-                "/reload": lambda p: _handle_reload(spark, holders, p),
+                "/reload": lambda p: _handle_reload(
+                    spark, holders, p, reload_lock
+                ),
             },
             lambda: (
                 200,
-                {"status": "ok", "n_docs": int(service.index.doc_ids.size)},
+                {
+                    "status": "ok",
+                    "n_docs": int(service.index.doc_ids.size),
+                    "stale": _staleness(spark, holders),
+                },
             ),
         ),
         host,
@@ -210,8 +257,10 @@ def start_server(
     # hot-swap hook: after a store rewrite (compaction / retention),
     # `server.service.index = server.service.index.reload(spark)`
     # re-snapshots without dropping the socket (POST /reload does the
-    # same over the wire)
+    # same over the wire). Hold server.reload_lock around a manual swap
+    # so it cannot race a concurrent POST /reload's check-and-swap.
     server.service = service
+    server.reload_lock = reload_lock
     return server, thread
 
 
@@ -276,21 +325,29 @@ def start_vector_server(
         service.index = idx
 
     holders = [("vector", lambda: service.index, _set_index)]
+    reload_lock = threading.Lock()
     server, thread = _serve(
         _make_handler(
             {
                 "/query": service.handle_query,
-                "/reload": lambda p: _handle_reload(spark, holders, p),
+                "/reload": lambda p: _handle_reload(
+                    spark, holders, p, reload_lock
+                ),
             },
             lambda: (
                 200,
-                {"status": "ok", "n_vecs": int(service.index.vec_ids.size)},
+                {
+                    "status": "ok",
+                    "n_vecs": int(service.index.vec_ids.size),
+                    "stale": _staleness(spark, holders),
+                },
             ),
         ),
         host,
         port,
     )
     server.service = service  # hot-swap hook (see start_server)
+    server.reload_lock = reload_lock
     return server, thread
 
 
@@ -403,9 +460,10 @@ def start_lexical_server(
         holders.append(
             ("vector", lambda: hybrid_service.vec_index, _set_vec)
         )
+    reload_lock = threading.Lock()
     routes = {
         "/query": lex_service.handle_query,
-        "/reload": lambda p: _handle_reload(spark, holders, p),
+        "/reload": lambda p: _handle_reload(spark, holders, p, reload_lock),
     }
     if hybrid_service is not None:
         routes["/hybrid"] = hybrid_service.handle_query
@@ -418,6 +476,7 @@ def start_lexical_server(
                     "status": "ok",
                     "n_docs": int(lex_service.index.n_docs),
                     "hybrid": hybrid_service is not None,
+                    "stale": _staleness(spark, holders),
                 },
             ),
         ),
@@ -428,6 +487,7 @@ def start_lexical_server(
     # lexical service's index objects, so swap BOTH attributes together
     server.service = lex_service
     server.hybrid_service = hybrid_service
+    server.reload_lock = reload_lock
     return server, thread
 
 
@@ -762,6 +822,15 @@ class RouterService:
         }
 
     def handle_health(self) -> tuple[int, dict]:
+        """Aggregate replica liveness AND staleness in one parallel
+        sweep: ``replicas`` keeps its liveness-boolean shape; the
+        sibling ``stale`` map folds each replica's per-index
+        staleness report to one tri-state — True (any served index
+        stale: a reload is pending), False (every tracked index
+        fresh), null (unknown: replica down, pre-staleness replica, or
+        no index trackable). Liveness alone decides the status code —
+        a stale replica still serves a consistent (pre-delete)
+        snapshot, so it is a reload prompt, not an outage."""
         import urllib.error
         import urllib.request
         from concurrent.futures import ThreadPoolExecutor
@@ -771,20 +840,37 @@ class RouterService:
                 with urllib.request.urlopen(
                     url + "/health", timeout=self.timeout
                 ) as resp:
-                    return resp.status == 200
+                    if resp.status != 200:
+                        return False, None
+                    try:
+                        body = json.loads(resp.read())
+                    except (ValueError, json.JSONDecodeError):
+                        return True, None
             except (urllib.error.URLError, OSError):
-                return False
+                return False, None
+            vals = list(
+                (body.get("stale") or {}).values()
+                if isinstance(body, dict)
+                else []
+            )
+            if any(v is True for v in vals):
+                return True, True
+            if vals and all(v is False for v in vals):
+                return True, False
+            return True, None
 
         # pinged in PARALLEL: a hung replica costs one timeout for the
         # whole sweep, not one per replica behind it in the list
         urls = self.replicas + self.vector_replicas
         with ThreadPoolExecutor(max_workers=min(16, len(urls))) as ex:
-            ok = dict(zip(urls, ex.map(ping, urls)))
+            results = dict(zip(urls, ex.map(ping, urls)))
+        ok = {url: alive for url, (alive, _s) in results.items()}
         status = 200 if all(ok.values()) else 503
         return status, {
             "status": "ok" if status == 200 else "degraded",
             "tier": self.tier,
             "replicas": ok,
+            "stale": {url: s for url, (_a, s) in results.items()},
         }
 
     def handle_reload(self, payload) -> tuple[int, dict]:

@@ -2931,18 +2931,21 @@ FROM (
 
 def sql_url_dedup() -> str:
     """Mirrors q_url_dedup: the same deterministic synthetic URL per
-    doc, the same normalization chain (lowercase, strip scheme /
-    leading www. / query+fragment / trailing slashes), first-wins keep
-    on the min doc_id per normalized URL."""
+    doc (NULL for ids % URL_NULL_MOD — lost headers), the same
+    normalization chain (lowercase, strip scheme / leading www. /
+    query+fragment / trailing slashes), first-wins keep on the min
+    doc_id per normalized URL; null-URL rows keep=true unconditionally
+    (not dedup-able by URL, and NOT one group)."""
     return f"""
 WITH urls AS (
   SELECT doc_id,
+         CASE WHEN doc_id % {C.URL_NULL_MOD} = 0 THEN NULL ELSE
          (CASE WHEN doc_id % 2 = 0 THEN 'https://www.' ELSE 'http://' END)
          || source || '.example.org/page/'
          || CAST(doc_id % {C.URL_PAGE_MOD} AS VARCHAR)
          || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
          || '?utm_source=' || source
-         || '&fetch=' || CAST(doc_id AS VARCHAR) || '#top' AS url
+         || '&fetch=' || CAST(doc_id AS VARCHAR) || '#top' END AS url
   FROM documents),
 norm AS (
   SELECT doc_id,
@@ -2955,8 +2958,11 @@ norm AS (
   FROM urls)
 SELECT n.doc_id, n.norm_url, (n.doc_id = m.keep_id) AS keep
 FROM norm n
-JOIN (SELECT norm_url, min(doc_id) AS keep_id FROM norm GROUP BY 1) m
+JOIN (SELECT norm_url, min(doc_id) AS keep_id FROM norm
+      WHERE norm_url IS NOT NULL GROUP BY 1) m
   USING (norm_url)
+UNION ALL
+SELECT doc_id, norm_url, TRUE AS keep FROM norm WHERE norm_url IS NULL
 """
 
 

@@ -2022,7 +2022,10 @@ def q_url_dedup(spark, sf_dir):
     scheme (https+www vs bare http by id parity), a trailing slash
     (ids % 3 == 0), and per-fetch tracking params + fragment. Docs of
     one source hitting the same page number survive as ONE keep=true
-    row (smallest doc_id)."""
+    row (smallest doc_id). Ids % URL_NULL_MOD get a NULL url (lost
+    headers in a real crawl) and must come back keep=true with
+    norm_url null — round-11: exercises the null-URL branch the
+    ADVICE review flagged (an equi-join alone drops those rows)."""
     from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import prep
 
     docs = _docs(spark, sf_dir)
@@ -2040,6 +2043,7 @@ def q_url_dedup(spark, sf_dir):
         F.col("doc_id").cast("string"),
         F.lit("#top"),
     )
+    url = F.when(F.col("doc_id") % C.URL_NULL_MOD != 0, url)
     return prep.url_dedup_first_wins(
         docs.select("doc_id", url.alias("url"))
     )

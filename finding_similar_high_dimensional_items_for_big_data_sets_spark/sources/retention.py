@@ -78,6 +78,9 @@ from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tabl
     _swap_names,
     _sync_partitions,
     recover_compact_swap,
+    recover_ivfpq_swap,
+    recover_postings_swap,
+    recover_sigs_swap,
 )
 
 MANIFEST_NAME = "_retention_manifest.json"
@@ -353,12 +356,102 @@ def recover_retention(spark: SparkSession, manifest_path: str) -> bool:
     return True
 
 
+def recover_all(
+    spark: SparkSession,
+    manifest_paths: list[str] | tuple[str, ...] | str,
+    *,
+    lsh: tuple[str, str] | None = None,
+    lsh_sharded: list[tuple[str, str]] | tuple = (),
+    vector_stores: list[str] | tuple[str, ...] = (),
+    postings_stores: list[str] | tuple[str, ...] = (),
+    content_hash_tables: list[str] | tuple[str, ...] = (),
+    vacuum: bool = False,
+) -> dict:
+    """ONE ordered startup-recovery entrypoint: heal a node after any
+    crash with a single call, given the same store-layout spec
+    :func:`delete_docs_everywhere` takes (reference analog: the
+    startup hook as the single recovery point,
+    ``app/src/query_service.py:86-133`` — the reference re-reads its
+    immutable shards at boot; here the artifacts are mutable, so boot
+    must also complete whatever rewrite was in flight when the node
+    died).
+
+    Order matters and is fixed:
+
+    1. :func:`recover_retention` on every manifest path — committed
+       cross-store transactions roll FORWARD first, so a store that
+       was mid-retention serves the post-delete corpus before anything
+       else looks at it. (The ``__retention`` suffix is exclusive, so
+       the per-store recovers below could not damage a pending
+       transaction either way — the ordering buys promptness of the
+       GDPR effect, not safety.)
+    2. Every per-store lifecycle recover: bands table + signature dir
+       for each LSH index (full and sharded), the layout-generic dir
+       recover for every vec_id store family, the postings recover for
+       every lexical store. Each is idempotent and heals only its own
+       ``__compact`` / ``__delete`` windows.
+    3. Optionally (``vacuum=True``) :func:`vacuum_stores` over the
+       whole layout, with ``manifest_paths`` passed through — at this
+       point every manifest has been rolled forward, so surviving
+       ``__retention`` siblings are provably uncommitted debris and
+       the sweep is safe by construction.
+
+    Idempotent on a healthy layout (all-False report, nothing
+    touched). Returns a report dict:
+    ``{"retention": {manifest_path: bool}, "stores": {name: bool},
+    "vacuumed": [names]}`` — True where a recovery action happened.
+    """
+    if isinstance(manifest_paths, str):
+        manifest_paths = (manifest_paths,)
+    report: dict = {"retention": {}, "stores": {}, "vacuumed": []}
+    for mp in manifest_paths:
+        report["retention"][mp] = recover_retention(spark, mp)
+
+    def _recover_lsh(sigs_path: str, bands_table: str) -> None:
+        report["stores"][bands_table] = recover_compact_swap(
+            spark, bands_table
+        )
+        report["stores"][sigs_path] = recover_sigs_swap(sigs_path)
+
+    if lsh is not None:
+        _recover_lsh(*lsh)
+    for sigs_path, bands_table in lsh_sharded:
+        _recover_lsh(sigs_path, bands_table)
+    for path in vector_stores:
+        # one dir-swap recover serves every vec_id family (cell-
+        # partitioned, flat, raw-vector): the swap mechanics are
+        # layout-generic, exactly like the rewrites that create them
+        report["stores"][path] = recover_ivfpq_swap(path)
+    for path in postings_stores:
+        report["stores"][path] = recover_postings_swap(path)
+    for table in content_hash_tables:
+        report["stores"][table] = recover_compact_swap(spark, table)
+
+    if vacuum:
+        dir_stores = list(vector_stores) + list(postings_stores)
+        tables = list(content_hash_tables)
+        if lsh is not None:
+            dir_stores.append(lsh[0])
+            tables.append(lsh[1])
+        for sigs_path, bands_table in lsh_sharded:
+            dir_stores.append(sigs_path)
+            tables.append(bands_table)
+        report["vacuumed"] = vacuum_stores(
+            spark,
+            dir_stores=dir_stores,
+            tables=tables,
+            manifest_paths=list(manifest_paths),
+        )
+    return report
+
+
 def vacuum_stores(
     spark: SparkSession,
     *,
     dir_stores: list[str] | tuple[str, ...] = (),
     tables: list[str] | tuple[str, ...] = (),
-    manifest_paths: list[str] | tuple[str, ...] = (),
+    manifest_paths: list[str] | tuple[str, ...] | None = None,
+    allow_unmanifested_retention: bool = False,
 ) -> list[str]:
     """Garbage-collect swap debris next to HEALTHY stores: the
     ``__compact`` / ``__delete`` / ``__retention`` tmp and set-aside
@@ -366,7 +459,7 @@ def vacuum_stores(
     lazily on the next rewrite; this sweeps them eagerly in one
     operational pass across every family).
 
-    Refuses two states that are NOT debris:
+    Refuses three states that are NOT debris:
 
     - a store whose live copy is missing — that is a half-finished swap
       the matching recover must heal (``recover_*_swap`` /
@@ -374,13 +467,33 @@ def vacuum_stores(
     - any sibling of a store listed in a live retention manifest under
       ``manifest_paths`` — those tmps are a committed transaction's
       roll-forward inputs; the whole store is skipped until
-      :func:`recover_retention` completes it.
+      :func:`recover_retention` completes it;
+    - ANY ``__retention`` sibling when ``manifest_paths`` was not
+      supplied at all (``None``, the default). Retention safety is
+      only as good as the manifest list the caller hands over: a
+      vacuum that never saw the manifest of a committed-but-unrolled
+      transaction would eat its roll-forward tmps, after which
+      :func:`recover_retention` sees missing-tmp + healthy-live and
+      treats the store as already swapped — a GDPR delete silently
+      unapplied. Passing ``manifest_paths`` (even ``[]``) is the
+      caller's assertion "this is EVERY manifest directory my
+      deployment uses"; only then are unlisted ``__retention``
+      siblings provably uncommitted debris. Set
+      ``allow_unmanifested_retention=True`` to waive the assertion
+      (only sound when no retention transaction has ever run, or
+      after :func:`recover_retention` was run on every manifest dir).
 
     Run it with no writer active (same single-writer discipline as
     compaction). Returns the list of removed sibling names."""
+    sweep_retention = (
+        manifest_paths is not None or allow_unmanifested_retention
+    )
+    suffixes = (
+        _ALL_SUFFIXES if sweep_retention else ("__compact", "__delete")
+    )
     protected_dirs: set[str] = set()
     protected_tables: set[str] = set()
-    for mp in manifest_paths:
+    for mp in manifest_paths or ():
         mf = os.path.join(mp, MANIFEST_NAME)
         if not os.path.exists(mf):
             continue
@@ -426,7 +539,7 @@ def vacuum_stores(
     for path in dir_stores:
         if os.path.normpath(path) in protected_dirs:
             continue
-        for sfx in _ALL_SUFFIXES:
+        for sfx in suffixes:
             for side in _swap_names(path, sfx):
                 if os.path.exists(side):
                     shutil.rmtree(side)
@@ -435,7 +548,7 @@ def vacuum_stores(
         if table in protected_tables:
             continue
         acted = False
-        for sfx in _ALL_SUFFIXES:
+        for sfx in suffixes:
             for side in (f"{table}{sfx}_tmp", f"{table}{sfx}_old"):
                 if spark.catalog.tableExists(side):
                     # re-point the leftover's partition metadata at its

@@ -137,16 +137,23 @@ def test_url_dedup_first_wins_semantics_and_plan(spark):
         (4, "http://a.example.org/page/2"),
         (5, "ftp://b.example.org//"),
         (6, "b.example.org"),  # already scheme-less
+        (7, None),  # lost header: not dedup-able by URL
+        (8, None),  # second null must NOT first-wins against 7
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     out = prep.url_dedup_first_wins(df)
     got = {r["doc_id"]: (r["norm_url"], r["keep"]) for r in out.collect()}
+    assert len(got) == len(rows)  # no row silently dropped
     assert got[1] == ("a.example.org/page/1", True)
     assert got[2] == ("a.example.org/page/1", False)
     assert got[3] == ("a.example.org/page/1", False)
     assert got[4] == ("a.example.org/page/2", True)
     assert got[5] == ("b.example.org", True)
     assert got[6] == ("b.example.org", False)
+    # EVERY null-URL row survives keep=true — an equi-join would drop
+    # them; a null-safe join would wrongly dedup them against each other
+    assert got[7] == (None, True)
+    assert got[8] == (None, True)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "HashAggregate" in plan  # map-side partial min per norm_url

@@ -223,6 +223,122 @@ def test_recover_retention_rolls_forward_mid_fan(spark, tmp_path, monkeypatch):
         spark.sql(f"DROP TABLE IF EXISTS {st['hash_table']}")
 
 
+def test_recover_all_one_call_heals_everything(spark, tmp_path, monkeypatch):
+    """recover_all is the SINGLE startup-recovery entrypoint (round-11
+    verdict item #1): a crash mid-retention (manifest committed, some
+    stores swapped) PLUS stranded lifecycle debris in two OTHER
+    families — a flat PQ store dead mid-compact-swap and a content-hash
+    table with a set-aside old — all heal with one call, in the fixed
+    order (retention roll-forward, then per-store recovers, then the
+    vacuum sweep), and every store serves correct answers after.
+    Idempotent: a second call on the healed layout reports all-False
+    and touches nothing."""
+    st = _build_all_stores(spark, tmp_path, "recall")
+    manifest_dir = str(tmp_path / "manifest_recall")
+
+    calls = {"n": 0}
+    real_commit = retention._commit_dir_swap
+
+    def dying_commit(path, suffix="__compact"):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated process death mid-fan")
+        real_commit(path, suffix=suffix)
+
+    monkeypatch.setattr(retention, "_commit_dir_swap", dying_commit)
+    try:
+        with pytest.raises(RuntimeError, match="mid-fan"):
+            retention.delete_docs_everywhere(
+                spark,
+                DELETE_IDS,
+                manifest_dir,
+                lsh=(st["sigs_path"], st["table"]),
+                vector_stores=[st["ivfpq_path"]],
+                postings_stores=[st["postings_path"]],
+            )
+        monkeypatch.setattr(retention, "_commit_dir_swap", real_commit)
+        assert os.path.exists(os.path.join(manifest_dir, retention.MANIFEST_NAME))
+
+        # family 2: flat PQ store dead INSIDE its compact swap window —
+        # complete tmp written, live renamed aside, death before the
+        # tmp->live rename (the state recover_pq_swap exists to heal)
+        n_pq = spark.read.parquet(st["pq_path"]).count()
+        shutil.copytree(st["pq_path"], st["pq_path"] + "__compact_tmp")
+        os.rename(st["pq_path"], st["pq_path"] + "__compact_old")
+        # family 3: content-hash table healthy but its compact's
+        # set-aside old survived a death in the final cleanup step
+        spark.table(st["hash_table"]).write.format("parquet").saveAsTable(
+            f"{st['hash_table']}__compact_old"
+        )
+
+        report = retention.recover_all(
+            spark,
+            manifest_dir,
+            lsh=(st["sigs_path"], st["table"]),
+            vector_stores=[st["ivfpq_path"], st["pq_path"]],
+            postings_stores=[st["postings_path"]],
+            content_hash_tables=[st["hash_table"]],
+            vacuum=True,
+        )
+        # the committed retention transaction rolled forward...
+        assert report["retention"] == {manifest_dir: True}
+        assert not os.path.exists(
+            os.path.join(manifest_dir, retention.MANIFEST_NAME)
+        )
+        # ...the two lifecycle-debris families acted, the rest no-op'd
+        assert report["stores"][st["pq_path"]] is True
+        assert report["stores"][st["hash_table"]] is True
+        assert report["stores"][st["ivfpq_path"]] is False
+        assert report["stores"][st["postings_path"]] is False
+        # everything the recovers consumed left no debris for the sweep
+        assert report["vacuumed"] == []
+
+        # the retention-covered stores serve post-delete answers
+        ids = tuple(DELETE_IDS)
+        for probe in (
+            spark.table(st["table"]).filter(F.col("doc_id").isin(*ids)),
+            spark.read.parquet(st["sigs_path"]).filter(
+                F.col("doc_id").isin(*ids)
+            ),
+            spark.read.parquet(st["ivfpq_path"]).filter(
+                F.col("vec_id").isin(*ids)
+            ),
+            spark.read.parquet(st["postings_path"]).filter(
+                F.col("doc_id").isin(*ids)
+            ),
+        ):
+            assert probe.count() == 0
+        # the healed PQ store is byte-complete and probe-able again
+        assert spark.read.parquet(st["pq_path"]).count() == n_pq
+        q_emb = st["emb"].filter(F.col("vec_id") == 0).first()["embedding"]
+        assert ann.pq_topk_store(
+            spark, st["pq_path"], list(q_emb), k=3
+        ).count() == 3
+        assert not spark.catalog.tableExists(f"{st['hash_table']}__compact_old")
+        validate_index(spark, st["sigs_path"], st["table"])
+        validate_ivfpq_store(spark, st["ivfpq_path"])
+        validate_pq_store(spark, st["pq_path"])
+        validate_postings_store(spark, st["postings_path"])
+
+        # idempotent on a healthy layout: all-False, nothing swept
+        report = retention.recover_all(
+            spark,
+            manifest_dir,
+            lsh=(st["sigs_path"], st["table"]),
+            vector_stores=[st["ivfpq_path"], st["pq_path"]],
+            postings_stores=[st["postings_path"]],
+            content_hash_tables=[st["hash_table"]],
+            vacuum=True,
+        )
+        assert report["retention"] == {manifest_dir: False}
+        assert set(report["stores"].values()) == {False}
+        assert report["vacuumed"] == []
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {st['table']}")
+        spark.sql(f"DROP TABLE IF EXISTS {st['hash_table']}")
+        spark.sql(f"DROP TABLE IF EXISTS {st['hash_table']}__compact_old")
+
+
 def test_crash_before_manifest_rolls_back(spark, tmp_path, monkeypatch):
     """Death during PREPARE (before the manifest): no live store
     changed, recovery reports nothing to do, and the stores still
@@ -592,7 +708,12 @@ def test_vacuum_stores_clears_debris_and_respects_manifest(spark, tmp_path):
     """vacuum_stores sweeps crash debris (__compact/__delete/__retention
     siblings) next to healthy stores across families, refuses a store
     with no live copy, and skips stores a live retention manifest still
-    references (their tmps are roll-forward inputs)."""
+    references (their tmps are roll-forward inputs). Round-11 (ADVICE):
+    __retention siblings are swept ONLY when the caller supplied
+    manifest_paths (its assertion that the list is complete) or the
+    explicit allow flag — a default-args vacuum must never eat a
+    committed transaction's roll-forward inputs it was never told
+    about."""
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     books = ann.random_codebooks(DIM, M, CODES, seed=44)
@@ -611,15 +732,32 @@ def test_vacuum_stores_clears_debris_and_respects_manifest(spark, tmp_path):
         f"{table}__compact_old"
     )
     try:
+        # default call (no manifest_paths): lifecycle debris is swept,
+        # but the __retention sibling is REFUSED — without the full
+        # manifest list it cannot be proven uncommitted debris
         removed = retention.vacuum_stores(
             spark, dir_stores=[pq_p], tables=[table]
         )
         assert pq_p + "__compact_tmp" in removed
-        assert pq_p + "__retention_old" in removed
+        assert pq_p + "__retention_old" not in removed
         assert f"{table}__compact_old" in removed
         assert not os.path.exists(pq_p + "__compact_tmp")
-        assert not os.path.exists(pq_p + "__retention_old")
+        assert os.path.exists(pq_p + "__retention_old")
         assert not spark.catalog.tableExists(f"{table}__compact_old")
+        # manifest_paths=[] IS the completeness assertion ("I have no
+        # manifest dirs"): now the unlisted __retention sibling is
+        # provably debris and gets swept
+        removed = retention.vacuum_stores(
+            spark, dir_stores=[pq_p], manifest_paths=[]
+        )
+        assert pq_p + "__retention_old" in removed
+        assert not os.path.exists(pq_p + "__retention_old")
+        # the explicit waiver flag works the same way
+        os.makedirs(pq_p + "__retention_old")
+        removed = retention.vacuum_stores(
+            spark, dir_stores=[pq_p], allow_unmanifested_retention=True
+        )
+        assert pq_p + "__retention_old" in removed
         # the stores still serve
         q = [float(v) for v in emb.first()["embedding"]]
         assert ann.pq_topk_store(spark, pq_p, q, k=3).count() == 3
@@ -747,6 +885,17 @@ def test_serving_reload_after_retention(spark, tmp_path):
         assert lex_idx.is_stale(spark)
         body = _post(_url(router), "/query", {"vector": qsig, "k": 5})
         assert body["candidates"][0]["id"] == DELETE_IDS[0]
+        # round-11: the router's /health surfaces the pending reload —
+        # per-replica stale=true, liveness still ok (a stale replica
+        # serves a consistent pre-delete snapshot, not an outage)
+        with urllib.request.urlopen(_url(router) + "/health") as resp:
+            assert resp.status == 200
+            h = json.loads(resp.read())
+        assert h["status"] == "ok"
+        assert h["stale"] == {_url(replica): True}
+        with urllib.request.urlopen(_url(vec_server) + "/health") as resp:
+            h = json.loads(resp.read())
+        assert h["stale"] == {"vector": True}
 
         # hot-swap every tier without dropping a socket — over the
         # wire: the router fans POST /reload to its replicas, the
@@ -786,6 +935,13 @@ def test_serving_reload_after_retention(spark, tmp_path):
         assert not replica.service.index.is_stale(spark)
         assert not vec_server.service.index.is_stale(spark)
         assert not lex_server.service.index.is_stale(spark)
+        # ...and the router's health sweep reports the replica clean
+        with urllib.request.urlopen(_url(router) + "/health") as resp:
+            h = json.loads(resp.read())
+        assert h["stale"] == {_url(replica): False}
+        with urllib.request.urlopen(_url(vec_server) + "/health") as resp:
+            h = json.loads(resp.read())
+        assert h["stale"] == {"vector": False}
     finally:
         for server in (router, vec_server, lex_server, replica):
             server.shutdown()

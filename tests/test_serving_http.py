@@ -90,9 +90,55 @@ def test_health_and_404(endpoint):
         body = json.loads(resp.read())
     assert body["status"] == "ok"
     assert body["n_docs"] == index.doc_ids.size
+    # round-11: health carries per-index staleness; a from_dataframes
+    # index on a spark-less server has no persisted identity to probe,
+    # so the answer is the honest tri-state unknown — never a 500
+    assert body["stale"] == {"lsh": None}
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(url + "/nope")
     assert ei.value.code == 404
+
+
+def test_reload_is_mutually_exclusive(spark, sf_dir):
+    """Two concurrent POST /reload must not both run Spark export jobs:
+    the check-and-swap is guarded by server.reload_lock (the same lock
+    the documented manual `server.service.index = ...` swap should
+    hold), and the loser answers 409 immediately — the winner's swap
+    IS the snapshot the loser wanted (round-11 ADVICE)."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    sigs = minhash.signatures(docs, PARAMS)
+    bands = lsh.bands_table(sigs, PARAMS)
+    index = ServingIndex.from_dataframes(sigs, bands, PARAMS)
+    server, _thread = serving_http.start_server(index, spark=spark)
+    host, port = server.server_address
+    url = f"http://{host}:{port}"
+
+    def _reload():
+        req = urllib.request.Request(
+            url + "/reload", data=b"{}",
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+
+    try:
+        # a concurrent reload (simulated by holding the server's own
+        # lock, exactly what a manual swap does) is refused with 409
+        assert server.reload_lock.acquire(blocking=False)
+        try:
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _reload()
+            assert ei.value.code == 409
+            assert "in progress" in json.loads(ei.value.read())["error"]
+        finally:
+            server.reload_lock.release()
+        # once released, reload proceeds normally (untracked here)
+        status, body = _reload()
+        assert status == 200
+        assert body["indexes"]["lsh"] == {"tracked": False, "reloaded": False}
+    finally:
+        server.shutdown()
+        server.server_close()
 
 
 def test_sharded_replicas_from_persisted_index_scatter_gather(
