@@ -307,6 +307,16 @@ URL_PAGE_MOD = 10
 # null (round-11; exercises the null branch an equi-join would drop).
 URL_NULL_MOD = 17
 
+# Paragraph-dedup fixture (round-11): the corpus has no multi-paragraph
+# docs, so the query synthesizes pages — page doc_id % PARA_PAGES is
+# the blank-line-joined concat of its docs' texts in doc_id order —
+# then near-dedups at paragraph granularity. Near-dup DOCS land on
+# different pages (i vs j with i % PARA_PAGES != j % PARA_PAGES), so
+# cross-page paragraph drops exercise the real Dolma/RefinedWeb case.
+PARA_PAGES = 50
+PARA_THRESHOLD = 0.8
+PARA_STRIDE = 1_000_000
+
 # kNN label-vote classification fixture: first BATCH_DOCS embeddings
 # as queries, K_BATCH neighbors vote (self excluded).
 KNN_VOTE_K = 5

@@ -80,6 +80,113 @@ def minhash_lsh_duplicates(
     return lsh.self_join_pairs(bands, sigs, params, threshold)
 
 
+# Blank-line paragraph boundary: one newline, optional horizontal/
+# vertical whitespace, another newline. Shared verbatim by the DuckDB
+# oracle twin (both regex engines agree on this class).
+PARAGRAPH_SPLIT = r"\n\s*\n"
+
+
+def split_paragraphs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Explode documents into paragraphs on blank-line boundaries.
+
+    Output: (id_col, para_idx INT, para STRING) — ``para_idx`` is the
+    paragraph's ORIGINAL position (post-split index, gaps where empty
+    segments were dropped), which is what reassembly sorts by; ``para``
+    is trimmed. Whitespace-only segments (leading/trailing blank lines,
+    ``\\n\\n\\n`` runs) are dropped. A doc whose text has no non-empty
+    paragraph disappears entirely.
+
+    Scale shape: pure per-row array work (split + posexplode), no
+    shuffle — the paragraph table is a map stage over the corpus.
+    """
+    return (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), PARAGRAPH_SPLIT)).alias(
+                "para_idx", "para"
+            ),
+        )
+        .withColumn("para", F.trim("para"))
+        .filter(F.col("para") != "")
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    params: MinHashParams | None = None,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    id_stride: int = 1_000_000,
+) -> DataFrame:
+    """Paragraph-level near-dedup, first-wins — the Dolma/RefinedWeb
+    granularity between exact line dedup (``remove_boilerplate_lines``)
+    and whole-document dedup: boilerplate paragraphs (nav blocks,
+    license headers, quoted reposts) recur across millions of pages
+    whose documents are NOT near-duplicates of each other, and
+    doc-level MinHash never sees them.
+
+    Pipeline: split every doc on blank-line boundaries
+    (:func:`split_paragraphs`), MinHash/band each paragraph as its own
+    unit, LSH self-join for near-duplicate paragraph pairs
+    (est-Jaccard >= ``threshold``), then drop every paragraph that
+    near-duplicates an EARLIER one — earlier = smaller (doc id,
+    position) lexicographically, the deterministic first-wins rule;
+    applied pairwise, so any paragraph appearing as the larger side of
+    any surviving pair is dropped. Survivors are reassembled in
+    original order with the blank-line separator restored.
+
+    Output: one row per input doc that had at least one paragraph —
+    (id_col, text STRING, n_paras BIGINT, n_kept BIGINT); ``text`` is
+    empty (and n_kept 0) when every paragraph of the doc lost.
+
+    ``id_stride``: paragraphs get the synthetic orderable key
+    ``doc_id * id_stride + para_idx`` so the whole LSH machinery runs
+    unchanged over one bigint id; docs must carry fewer than
+    ``id_stride`` paragraphs and ids must stay under
+    ``2^63 / id_stride`` (~9.2e12 at the default — comfortably past a
+    100 TB corpus's doc count).
+
+    Scale shape: the dedup core shuffles only (pid, sig) /
+    (band_id, band_hash) — never paragraph text (the same bounds as
+    :func:`minhash_lsh_duplicates`, on the paragraph table). Text
+    moves exactly twice: the anti-join that removes losers (shuffle on
+    pid) and the reassembly groupBy (shuffle on doc id) — both keyed,
+    both AQE-coalesced, no driver collect anywhere.
+    """
+    params = params or MinHashParams()
+    paras = split_paragraphs(docs, id_col, text_col).withColumn(
+        "pid", F.col(id_col) * id_stride + F.col("para_idx")
+    )
+    sigs = minhash.signatures(
+        paras.select(F.col("pid").alias("doc_id"), F.col("para").alias("text")),
+        params,
+    )
+    bands = lsh.bands_table(sigs, params)
+    pairs = lsh.self_join_pairs(bands, sigs, params, threshold)
+    losers = pairs.select(F.col("doc_b").alias("pid")).distinct()
+    kept = paras.join(losers, "pid", "left_anti")
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                lambda s: s["para"],
+            ),
+            "\n\n",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("text", F.lit("")).alias("text"),
+        "n_paras",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+    )
+
+
 def cross_corpus_duplicates(
     docs: DataFrame,
     ref_docs: DataFrame,

@@ -2966,6 +2966,70 @@ SELECT doc_id, norm_url, TRUE AS keep FROM norm WHERE norm_url IS NULL
 """
 
 
+def sql_paragraph_dedup() -> str:
+    """Mirrors q_paragraph_dedup: the same synthetic pages (doc texts
+    blank-line-joined in doc_id order per doc_id % PARA_PAGES group),
+    split back on the shared blank-line regex, the same MinHash/band
+    chain per PARAGRAPH keyed pid = page_id*stride + para_idx, losers
+    = the larger side of any pair with est-Jaccard >= PARA_THRESHOLD
+    (the engine's min-matching-bands gate is a lossless pigeonhole
+    bound, so the plain band join + score filter is equivalent),
+    survivors reassembled in para_idx order."""
+    para_toks = "list_filter(string_split(para, ' '), x -> x <> '')"
+    band_str = (
+        f"array_to_string(list_transform("
+        f"sigl[band_id*{RPB}+1 : band_id*{RPB}+{RPB}], v -> v::VARCHAR), ',')"
+    )
+    return f"""
+WITH pages AS MATERIALIZED (
+  SELECT doc_id % {C.PARA_PAGES} AS page_id,
+         string_agg(text, e'\n\n' ORDER BY doc_id) AS text
+  FROM documents GROUP BY 1),
+paras AS MATERIALIZED (
+  SELECT page_id, para_idx, para,
+         page_id * {C.PARA_STRIDE} + para_idx AS pid
+  FROM (
+    SELECT page_id,
+           CAST(generate_subscripts(arr, 1) - 1 AS INT) AS para_idx,
+           trim(unnest(arr)) AS para
+    FROM (SELECT page_id,
+                 regexp_split_to_array(text, '\\n\\s*\\n') AS arr
+          FROM pages))
+  WHERE para <> ''),
+hs AS (
+  SELECT pid, list_transform(list_distinct({para_toks}), s -> {HMOD('s')}) AS h
+  FROM paras),
+sigs AS MATERIALIZED (
+  SELECT pid, list_transform(range({NP}), p -> coalesce(
+    list_min(list_transform(h, x -> (ca[p+1]*x + cb[p+1]) % {P})), {P})) AS sigl
+  FROM hs, {CONSTS}),
+bands AS MATERIALIZED (
+  SELECT pid, CAST(band_id AS INT) AS band_id, {H(band_str)} AS band_hash
+  FROM sigs, (SELECT unnest(range({NB})) AS band_id) b),
+pairs AS (
+  SELECT DISTINCT a.pid AS pa, b.pid AS pb
+  FROM bands a JOIN bands b USING (band_id, band_hash)
+  WHERE a.pid < b.pid),
+losers AS (
+  SELECT DISTINCT pb AS pid FROM (
+    SELECT pa, pb,
+      list_sum(list_transform(range({NP}),
+        i -> CASE WHEN sa.sigl[i+1] = sb.sigl[i+1] THEN 1 ELSE 0 END)) / {NP} AS score
+    FROM pairs p JOIN sigs sa ON sa.pid = p.pa JOIN sigs sb ON sb.pid = p.pb)
+  WHERE score >= {C.PARA_THRESHOLD}),
+kept AS (SELECT * FROM paras WHERE pid NOT IN (SELECT pid FROM losers)),
+totals AS (
+  SELECT page_id, CAST(count(*) AS BIGINT) AS n_paras FROM paras GROUP BY 1),
+agg AS (
+  SELECT page_id, string_agg(para, e'\n\n' ORDER BY para_idx) AS text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY 1)
+SELECT t.page_id, coalesce(a.text, '') AS text, t.n_paras,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+FROM totals t LEFT JOIN agg a USING (page_id)
+"""
+
+
 def sql_knn_label_vote() -> str:
     """Mirrors q_knn_label_vote: exact-L2 kNN excluding self (rounded
     fold, ties (dist, id)), majority label vote with ties to the
@@ -3562,6 +3626,7 @@ def registry() -> dict[str, str]:
         "epoch_shuffle": sql_epoch_shuffle(),
         "source_quota": sql_source_quota(),
         "url_dedup": sql_url_dedup(),
+        "paragraph_dedup": sql_paragraph_dedup(),
         "stratified_split": sql_stratified_split(),
         "knn_label_vote": sql_knn_label_vote(),
         "dedup_group_sizes": sql_dedup_group_sizes(),

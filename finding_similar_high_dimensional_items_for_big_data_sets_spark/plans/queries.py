@@ -2049,6 +2049,37 @@ def q_url_dedup(spark, sf_dir):
     )
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level near-dedup, first-wins (round-11: the Dolma/
+    RefinedWeb granularity between exact-line boilerplate removal and
+    doc-level dedup). The fixture docs are single-paragraph, so the
+    query builds multi-paragraph pages first — page ``doc_id %
+    PARA_PAGES`` concatenates its docs' texts in doc_id order with the
+    blank-line separator — then drops near-duplicate paragraphs across
+    pages and reassembles survivors in original order."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.operators import dedup
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.groupBy(
+        (F.col("doc_id") % C.PARA_PAGES).alias("page_id")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"],
+            ),
+            "\n\n",
+        ).alias("text")
+    )
+    return dedup.paragraph_dedup(
+        pages,
+        C.PARAMS,
+        threshold=C.PARA_THRESHOLD,
+        id_col="page_id",
+        id_stride=C.PARA_STRIDE,
+    )
+
+
 def q_knn_label_vote(spark, sf_dir):
     """kNN majority-vote classification over the labeled embeddings:
     per query the prediction, the true label, and whether they agree —
@@ -2588,6 +2619,7 @@ REGISTRY = {
     "media_frames": q_media_frames,
     "source_quota": q_source_quota,
     "url_dedup": q_url_dedup,
+    "paragraph_dedup": q_paragraph_dedup,
     "stratified_split": q_stratified_split,
     "knn_label_vote": q_knn_label_vote,
     "dedup_group_sizes": q_dedup_group_sizes,

@@ -46,6 +46,58 @@ def test_minhash_lsh_duplicates_find_planted_near_dup(spark, docs):
     ), f"planted pair missing from {len(pairs)} pairs"
 
 
+def test_paragraph_dedup_first_wins_and_reassembly(spark):
+    """Near-duplicate paragraphs drop first-wins across docs (smallest
+    (doc_id, position) survives), survivors reassemble in original
+    order with the blank-line separator, fully-deduped docs come back
+    with empty text, and the plan never windows or sorts globally —
+    the quadratic work stays inside the band-bucket blocking."""
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.config import MinHashParams
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon\n\nzeta eta theta iota kappa"),
+        # same first paragraph as doc 0 (drop), plus a unique one (keep)
+        (1, "alpha beta gamma delta epsilon\n\n\nunique one two three four"),
+        # both paragraphs duplicate doc 0's, in swapped order -> empty
+        (2, "  \n\nzeta eta theta iota kappa\n\nalpha beta gamma delta epsilon"),
+        # near-dup (one word dropped) of doc 0's first paragraph
+        (3, "alpha beta gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.paragraph_dedup(df, MinHashParams(), threshold=0.75)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[0]["text"] == rows[0][1]  # first occurrences all survive
+    assert (got[0]["n_paras"], got[0]["n_kept"]) == (2, 2)
+    assert got[1]["text"] == "unique one two three four"
+    assert (got[1]["n_paras"], got[1]["n_kept"]) == (2, 1)
+    assert got[2]["text"] == "" and got[2]["n_kept"] == 0
+    assert got[2]["n_paras"] == 2  # whitespace-only segment dropped
+    assert got[3]["text"] == "" and got[3]["n_kept"] == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # reassembly is an aggregation, never a global Sort over paragraphs
+    assert "TakeOrderedAndProject" not in plan
+
+
+def test_split_paragraphs_positions_survive_empty_segments(spark):
+    df = spark.createDataFrame(
+        [(7, "\n\na b\n\nc d"), (8, "a b\n\n \n\nc d")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["para_idx"], r["para"])
+        for r in dedup.split_paragraphs(df).collect()
+    }
+    # a leading separator yields an empty segment 0: dropped, but the
+    # survivors keep their original post-split indexes (1 and 2);
+    # whitespace-only runs BETWEEN paragraphs are absorbed by the
+    # greedy separator itself (doc 8 splits clean at 0 and 1)
+    assert got == {
+        (7, 1, "a b"), (7, 2, "c d"),
+        (8, 0, "a b"), (8, 1, "c d"),
+    }
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     two = spark.createDataFrame(
         [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "x y z")],
