@@ -126,6 +126,8 @@ def delete_docs_everywhere(
     postings_stores: list[str] | tuple[str, ...] = (),
     content_hash_tables: list[str] | tuple[str, ...] = (),
     sketch_stores: list[str] | tuple[str, ...] = (),
+    audit_log: str | None = None,
+    clock=None,
 ) -> None:
     """Remove ``delete_ids`` from every given persisted artifact,
     all-or-nothing.
@@ -164,6 +166,19 @@ def delete_docs_everywhere(
     ``sketch_stores``: always raises — see the module docstring. CMS and
     HLL cannot unlearn; rebuild them from the surviving corpus with
     their batch builders instead.
+
+    ``audit_log``: optional path of an append-only JSON-lines audit
+    trail. The manifest is REMOVED once the fan-out commits, so it
+    cannot prove afterwards that a deletion happened; with
+    ``audit_log`` set, one line — distinct-id count, the stores
+    touched, requested/committed timestamps, and whether startup
+    recovery finished the commit — is appended exactly when the
+    manifest is cleared (the audit spec rides INSIDE the manifest, so
+    a crash-then-:func:`recover_retention` completion is audited too,
+    marked ``"via": "recover"``). ``clock``: zero-arg callable
+    returning the timestamp value to record (caller-owned — the
+    engine takes no wall-clock dependency); timestamps are null
+    without it.
 
     Scale shape: each store's rewrite is the SAME broadcast anti-join +
     layout-preserving rewrite its own ``delete_from_*`` runs (parquet
@@ -253,10 +268,17 @@ def delete_docs_everywhere(
         )
 
     # ---- phase 2: the commit point ----------------------------------
+    manifest: dict = {"stores": stores}
+    if audit_log is not None:
+        manifest["audit"] = {
+            "log": audit_log,
+            "n_ids": doc_ids.count(),
+            "requested_at": clock() if clock is not None else None,
+        }
     os.makedirs(manifest_path, exist_ok=True)
     tmp_manifest = manifest_file + ".tmp"
     with open(tmp_manifest, "w") as fh:
-        json.dump({"stores": stores}, fh)
+        json.dump(manifest, fh)
         # fsync data BEFORE the rename and the directory AFTER it:
         # process death is covered by the rename alone, but POWER loss
         # can persist a rename whose data pages never hit disk (a
@@ -274,6 +296,40 @@ def delete_docs_everywhere(
     # ---- phase 3: swap every prepared copy in ------------------------
     _commit_all(spark, stores)
     os.remove(manifest_file)
+    _append_audit(manifest, via="delete", clock=clock)
+
+
+def _store_names(stores: list[dict]) -> list[str]:
+    return [
+        st["name"] if st.get("medium") == "table" else st.get("path", "?")
+        for st in stores
+    ]
+
+
+def _append_audit(manifest: dict, via: str, clock=None) -> None:
+    """Append the deletion's proof line to the manifest's audit log,
+    exactly once per cleared manifest (called right after the manifest
+    file is removed — the audit spec lives inside the manifest so the
+    recover path can audit a crash-completed deletion too). Durable:
+    flushed and fsync'd before returning, so the line survives the same
+    power events the manifest protocol does."""
+    audit = manifest.get("audit")
+    if not isinstance(audit, dict) or not audit.get("log"):
+        return
+    line = {
+        "n_ids": audit.get("n_ids"),
+        "stores": _store_names(manifest.get("stores", [])),
+        "requested_at": audit.get("requested_at"),
+        "committed_at": clock() if clock is not None else None,
+        "via": via,
+    }
+    log_dir = os.path.dirname(audit["log"])
+    if log_dir:
+        os.makedirs(log_dir, exist_ok=True)
+    with open(audit["log"], "a") as fh:
+        fh.write(json.dumps(line) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
 
 
 def _commit_all(spark: SparkSession, stores: list[dict]) -> None:
@@ -317,7 +373,9 @@ def _commit_all(spark: SparkSession, stores: list[dict]) -> None:
                 )
 
 
-def recover_retention(spark: SparkSession, manifest_path: str) -> bool:
+def recover_retention(
+    spark: SparkSession, manifest_path: str, clock=None
+) -> bool:
     """Startup recovery for a process death anywhere inside
     :func:`delete_docs_everywhere`. No manifest → the transaction never
     reached its commit point: nothing to do and NOTHING is touched (the
@@ -328,7 +386,11 @@ def recover_retention(spark: SparkSession, manifest_path: str) -> bool:
     FORWARD: finish each remaining swap and drop the manifest. Safe to
     run in any order relative to the per-store lifecycle recovers —
     they cannot touch the ``__retention`` siblings this transaction
-    owns. Returns True if a manifest was found and processed."""
+    owns. Returns True if a manifest was found and processed. A rolled-
+    forward manifest carrying an audit spec gets its audit line
+    appended (``"via": "recover"``) the moment the manifest clears —
+    the deletion is provable even when a crash, not the caller,
+    finished the commit; pass ``clock`` to timestamp it."""
     manifest_file = os.path.join(manifest_path, MANIFEST_NAME)
     if not os.path.exists(manifest_file):
         return False
@@ -353,6 +415,7 @@ def recover_retention(spark: SparkSession, manifest_path: str) -> bool:
         return False
     _commit_all(spark, stores)
     os.remove(manifest_file)
+    _append_audit(data, via="recover", clock=clock)
     return True
 
 
@@ -366,6 +429,7 @@ def recover_all(
     postings_stores: list[str] | tuple[str, ...] = (),
     content_hash_tables: list[str] | tuple[str, ...] = (),
     vacuum: bool = False,
+    clock=None,
 ) -> dict:
     """ONE ordered startup-recovery entrypoint: heal a node after any
     crash with a single call, given the same store-layout spec
@@ -396,6 +460,9 @@ def recover_all(
        ``__retention`` siblings are provably uncommitted debris and
        the sweep is safe by construction.
 
+    ``clock`` is forwarded to :func:`recover_retention` so a rolled-
+    forward deletion's audit line carries a completion timestamp.
+
     Idempotent on a healthy layout (all-False report, nothing
     touched). Returns a report dict:
     ``{"retention": {manifest_path: bool}, "stores": {name: bool},
@@ -405,7 +472,7 @@ def recover_all(
         manifest_paths = (manifest_paths,)
     report: dict = {"retention": {}, "stores": {}, "vacuumed": []}
     for mp in manifest_paths:
-        report["retention"][mp] = recover_retention(spark, mp)
+        report["retention"][mp] = recover_retention(spark, mp, clock=clock)
 
     def _recover_lsh(sigs_path: str, bands_table: str) -> None:
         report["stores"][bands_table] = recover_compact_swap(

@@ -223,6 +223,82 @@ def test_recover_retention_rolls_forward_mid_fan(spark, tmp_path, monkeypatch):
         spark.sql(f"DROP TABLE IF EXISTS {st['hash_table']}")
 
 
+def test_retention_audit_log_proves_deletions(spark, tmp_path, monkeypatch):
+    """With audit_log set, exactly one JSON line per cleared manifest
+    lands in the append-only trail — id count, stores touched,
+    caller-clock timestamps — including when startup recovery, not the
+    caller, finishes the commit (via='recover'): the manifest is gone
+    after commit, so this line is the 100 TB operator's only proof the
+    deletion happened."""
+    st = _build_all_stores(spark, tmp_path, "audit")
+    log = str(tmp_path / "audit" / "retention_audit.jsonl")
+    ticks = iter(range(100, 200))
+    clock = lambda: next(ticks)  # noqa: E731 — deterministic fake clock
+    try:
+        retention.delete_docs_everywhere(
+            spark,
+            DELETE_IDS,
+            str(tmp_path / "manifest_audit"),
+            lsh=(st["sigs_path"], st["table"]),
+            content_hash_tables=[st["hash_table"]],
+            audit_log=log,
+            clock=clock,
+        )
+        lines = [json.loads(x) for x in open(log)]
+        assert len(lines) == 1
+        assert lines[0] == {
+            "n_ids": len(DELETE_IDS),
+            "stores": [st["table"], st["sigs_path"], st["hash_table"]],
+            "requested_at": 100,
+            "committed_at": 101,
+            "via": "delete",
+        }
+
+        # a crash after the commit point: the recover path appends the
+        # proof line (via='recover') the moment it clears the manifest
+        calls = {"n": 0}
+        real_commit = retention._commit_dir_swap
+
+        def dying_commit(path, suffix="__compact"):
+            calls["n"] += 1
+            raise RuntimeError("simulated death mid-fan")
+
+        monkeypatch.setattr(retention, "_commit_dir_swap", dying_commit)
+        with pytest.raises(RuntimeError, match="mid-fan"):
+            retention.delete_docs_everywhere(
+                spark,
+                DELETE_IDS,
+                str(tmp_path / "manifest_audit"),
+                lsh=(st["sigs_path"], st["table"]),
+                audit_log=log,
+                clock=clock,
+            )
+        monkeypatch.setattr(retention, "_commit_dir_swap", real_commit)
+        # no audit line for an uncleared manifest — the deletion is not
+        # yet provable because it is not yet fully applied
+        assert len(open(log).readlines()) == 1
+        assert retention.recover_retention(
+            spark, str(tmp_path / "manifest_audit"), clock=clock
+        )
+        lines = [json.loads(x) for x in open(log)]
+        assert len(lines) == 2
+        assert lines[1]["via"] == "recover"
+        assert lines[1]["n_ids"] == len(DELETE_IDS)
+        assert lines[1]["requested_at"] == 102  # captured at request time
+        assert lines[1]["committed_at"] == 103
+        # without audit_log nothing is written (feature is opt-in)
+        retention.delete_docs_everywhere(
+            spark,
+            DELETE_IDS,
+            str(tmp_path / "manifest_audit"),
+            lsh=(st["sigs_path"], st["table"]),
+        )
+        assert len(open(log).readlines()) == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {st['table']}")
+        spark.sql(f"DROP TABLE IF EXISTS {st['hash_table']}")
+
+
 def test_recover_all_one_call_heals_everything(spark, tmp_path, monkeypatch):
     """recover_all is the SINGLE startup-recovery entrypoint (round-11
     verdict item #1): a crash mid-retention (manifest committed, some
