@@ -172,10 +172,12 @@ def delete_docs_everywhere(
     cannot prove afterwards that a deletion happened; with
     ``audit_log`` set, one line — distinct-id count, the stores
     touched, requested/committed timestamps, and whether startup
-    recovery finished the commit — is appended exactly when the
-    manifest is cleared (the audit spec rides INSIDE the manifest, so
-    a crash-then-:func:`recover_retention` completion is audited too,
-    marked ``"via": "recover"``). ``clock``: zero-arg callable
+    recovery finished the commit — is appended once every swap has
+    committed, AT LEAST once per deletion (the audit spec rides
+    INSIDE the manifest, so a crash-then-:func:`recover_retention`
+    completion is audited too, marked ``"via": "recover"``; a death
+    between the append and the manifest removal yields a benign
+    duplicate rather than a lost proof). ``clock``: zero-arg callable
     returning the timestamp value to record (caller-owned — the
     engine takes no wall-clock dependency); timestamps are null
     without it.
@@ -295,8 +297,14 @@ def delete_docs_everywhere(
 
     # ---- phase 3: swap every prepared copy in ------------------------
     _commit_all(spark, stores)
-    os.remove(manifest_file)
+    # audit BEFORE clearing the manifest: at-least-once. The reverse
+    # order could lose the proof forever — a death between the remove
+    # and the append leaves no manifest for recover_retention to
+    # re-audit from. This way a death inside the window is healed by
+    # recovery re-running the (idempotent) swaps and appending again
+    # (via='recover'); every line records an already-applied deletion.
     _append_audit(manifest, via="delete", clock=clock)
+    os.remove(manifest_file)
 
 
 def _store_names(stores: list[dict]) -> list[str]:
@@ -307,12 +315,16 @@ def _store_names(stores: list[dict]) -> list[str]:
 
 
 def _append_audit(manifest: dict, via: str, clock=None) -> None:
-    """Append the deletion's proof line to the manifest's audit log,
-    exactly once per cleared manifest (called right after the manifest
-    file is removed — the audit spec lives inside the manifest so the
-    recover path can audit a crash-completed deletion too). Durable:
-    flushed and fsync'd before returning, so the line survives the same
-    power events the manifest protocol does."""
+    """Append the deletion's proof line to the manifest's audit log —
+    AT LEAST once per completed fan-out (called after every swap
+    committed, right before the manifest file is removed; the audit
+    spec lives inside the manifest so the recover path can audit a
+    crash-completed deletion too). A death between the append and the
+    remove makes recovery append a second ``via='recover'`` line for
+    the same deletion — duplicates are benign for proof, a LOST line
+    is not, which is why the append comes first. Durable: flushed and
+    fsync'd before returning, so the line survives the same power
+    events the manifest protocol does."""
     audit = manifest.get("audit")
     if not isinstance(audit, dict) or not audit.get("log"):
         return
@@ -414,8 +426,9 @@ def recover_retention(
         os.remove(manifest_file)
         return False
     _commit_all(spark, stores)
+    _append_audit(data, via="recover", clock=clock)  # before remove:
+    # at-least-once, same law as delete_docs_everywhere's commit tail
     os.remove(manifest_file)
-    _append_audit(data, via="recover", clock=clock)
     return True
 
 
