@@ -317,6 +317,16 @@ PARA_PAGES = 50
 PARA_THRESHOLD = 0.8
 PARA_STRIDE = 1_000_000
 
+# Temperature-based source mixing (round-11): sampling weight
+# n_i^MIX_ALPHA — the GPT-3/Pile multinomial flattening exponent.
+MIX_ALPHA = 0.7
+
+# Attribute-filtered vector search (round-11): nearest neighbors among
+# embeddings whose paired document is in FILTER_LANG — 'fr' is the
+# smallest fixture language (~13% of docs), so the filter is genuinely
+# selective and a post-filtered shortlist would visibly under-fill k.
+FILTER_LANG = "fr"
+
 # kNN label-vote classification fixture: first BATCH_DOCS embeddings
 # as queries, K_BATCH neighbors vote (self excluded).
 KNN_VOTE_K = 5

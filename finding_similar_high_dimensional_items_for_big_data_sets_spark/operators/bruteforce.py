@@ -87,6 +87,57 @@ def cosine_topk(
     ).select(query_id_col, id_col, "cos_sim", "rank")
 
 
+def filtered_cosine_topk(
+    corpus: DataFrame,
+    metadata: DataFrame,
+    predicate: Column,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    meta_id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Attribute-filtered exact top-k: cosine nearest neighbors among
+    ONLY the corpus vectors whose metadata row satisfies ``predicate``
+    — the filtered-vector-search shape (every production vector store's
+    staple: "nearest English documents", "nearest items in stock").
+
+    Semantics are PRE-filter: the predicate restricts the candidate
+    set BEFORE ranking, so exactly ``k`` qualifying neighbors come
+    back (ties (score desc, id asc)). Post-filtering an unfiltered
+    shortlist — the tempting ANN composition — silently returns
+    fewer than k (or none) whenever the filter is selective, which is
+    the classic filtered-ANN recall trap; this operator is the exact
+    baseline those compositions must be measured against.
+
+    ``metadata`` may be the corpus itself (attributes inline) or a
+    separate table keyed ``meta_id_col`` == the vector's ``id_col``
+    value (the documents/embeddings split of the fixtures).
+
+    Scale shape: the predicate lands on the METADATA scan (pushed to
+    parquet — check PushedFilters), the survivors' ids semi-join the
+    corpus (AQE turns a selective filter into a broadcast semi-join:
+    the 100 TB vector side is scanned once, filtered map-side, never
+    shuffled), and ranking reuses the brute-force per-query top-k.
+
+    Output: (query_id, vec_id, cos_sim, rank).
+    """
+    keep = metadata.filter(predicate).select(
+        F.col(meta_id_col).alias(id_col)
+    )
+    return cosine_topk(
+        corpus.join(keep, id_col, "left_semi"),
+        queries,
+        k,
+        id_col,
+        vec_col,
+        query_id_col,
+        query_vec_col,
+    )
+
+
 def cosine_topk_vectorized(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1016,6 +1016,77 @@ def url_dedup_first_wins(
     )
 
 
+def source_temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based source-mixing weights — the multinomial
+    sampling law every large pretraining run uses (GPT-3 / Pile /
+    mT5-style: sample source i with probability proportional to
+    ``n_i^alpha``, ``alpha < 1`` flattening the raw distribution so
+    small high-quality sources are not drowned by bulk crawl data).
+
+    Per source: document and token counts, the raw token share
+    ``p_raw``, the temperature-adjusted sampling weight
+    ``p_temp = n_i^alpha / sum_j n_j^alpha``, and
+    ``effective_epochs = p_temp * total_tokens / n_i`` — how many
+    passes over the source one epoch of the MIXED corpus implies
+    (> 1 = the source is oversampled and will repeat; the number an
+    operator checks against memorization budgets).
+
+    Float parity: ``pow(bigint, alpha)`` is bit-identical across
+    engines (verified empirically, like the ln() family);
+    ``sum_j n_j^alpha`` is a FIXED ascending-source-key left fold so
+    both engines add identical doubles in identical order; outputs
+    round(6).
+
+    Scale shape: ONE map-side-combined aggregation over the corpus;
+    the totals fold runs over the <= n_sources rows collected into a
+    single array row and broadcasts back — the corpus is read once
+    and never reshuffled.
+
+    Output: (source, n_docs BIGINT, n_tokens BIGINT, p_raw, p_temp,
+    effective_epochs — DOUBLEs rounded-6), one row per source.
+    """
+    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.text import tokenize
+
+    counts = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokenize(F.col(text_col)))).alias("n_tokens"),
+    )
+    a = F.lit(float(alpha))
+    totals = counts.select(
+        F.sort_array(
+            F.collect_list(F.struct(source_col, "n_tokens"))
+        ).alias("xs")
+    ).select(
+        F.aggregate(
+            "xs",
+            F.lit(0.0),
+            lambda acc, x: acc + F.pow(x["n_tokens"].cast("double"), a),
+        ).alias("pow_total"),
+        F.aggregate(
+            "xs",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x["n_tokens"],
+        ).alias("tok_total"),
+    )
+    p = F.pow(F.col("n_tokens").cast("double"), a)
+    return counts.crossJoin(F.broadcast(totals)).select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("tok_total"), 6).alias("p_raw"),
+        F.round(p / F.col("pow_total"), 6).alias("p_temp"),
+        F.round(
+            p / F.col("pow_total") * F.col("tok_total") / F.col("n_tokens"),
+            6,
+        ).alias("effective_epochs"),
+    )
+
+
 def naive_bayes_classify(
     docs: DataFrame,
     label_col: str = "lang",

@@ -3030,6 +3030,62 @@ FROM totals t LEFT JOIN agg a USING (page_id)
 """
 
 
+def sql_source_temperature_mix() -> str:
+    """Mirrors prep.source_temperature_mix: per-source doc/token
+    counts, raw token share, n^alpha multinomial weight, effective
+    epochs. pow(bigint, alpha) is bit-identical across engines
+    (verified empirically); the pow-sum is a FIXED ascending-source
+    left fold on both sides; the token total is an exact integer sum
+    (order-free). Outputs round(6); the ratio expressions evaluate in
+    the same left-to-right order as the Spark column expressions."""
+    toks_len = (
+        "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) "
+        "AS BIGINT)"
+    )
+    a = f"CAST({C.MIX_ALPHA} AS DOUBLE)"
+    p = f"pow(CAST(n_tokens AS DOUBLE), {a})"
+    return f"""
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({toks_len}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+tot AS (
+  SELECT list_reduce(list_prepend(0.0, list_transform(l,
+           x -> pow(CAST(x AS DOUBLE), {a}))), (acc, v) -> acc + v) AS pow_total,
+         CAST(list_sum(l) AS BIGINT) AS tok_total
+  FROM (SELECT list(n_tokens ORDER BY source) AS l FROM c))
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / tok_total, 6) AS p_raw,
+       round({p} / pow_total, 6) AS p_temp,
+       round({p} / pow_total * tok_total / n_tokens, 6) AS effective_epochs
+FROM c, tot
+"""
+
+
+def sql_filtered_cosine_topk() -> str:
+    """Mirrors q_filtered_cosine_topk: pre-filter semantics — the
+    documents-side language predicate restricts the candidate set
+    BEFORE the cosine ranking, so each query gets exactly k qualifying
+    neighbors; same rounded fold and (score desc, id asc) ties as the
+    unfiltered cosine oracle."""
+    expr = (
+        f"{_dot('e.embedding', 'q.qv', C.EMB_DIM)} / "
+        f"({_norm('e.embedding', C.EMB_DIM)} * {_norm('q.qv', C.EMB_DIM)})"
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < {C.BATCH_DOCS}),
+keep AS (SELECT doc_id FROM documents WHERE lang = '{C.FILTER_LANG}'),
+scored AS (
+  SELECT q.query_id, e.vec_id, round({expr}, 6) AS cos_sim
+  FROM embeddings e JOIN keep k ON e.vec_id = k.doc_id, q)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+  FROM scored) WHERE rank <= {C.K_BATCH}
+"""
+
+
 def sql_knn_label_vote() -> str:
     """Mirrors q_knn_label_vote: exact-L2 kNN excluding self (rounded
     fold, ties (dist, id)), majority label vote with ties to the
@@ -3627,6 +3683,8 @@ def registry() -> dict[str, str]:
         "source_quota": sql_source_quota(),
         "url_dedup": sql_url_dedup(),
         "paragraph_dedup": sql_paragraph_dedup(),
+        "source_temperature_mix": sql_source_temperature_mix(),
+        "filtered_cosine_topk": sql_filtered_cosine_topk(),
         "stratified_split": sql_stratified_split(),
         "knn_label_vote": sql_knn_label_vote(),
         "dedup_group_sizes": sql_dedup_group_sizes(),

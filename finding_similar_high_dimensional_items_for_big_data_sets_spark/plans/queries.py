@@ -2080,6 +2080,35 @@ def q_paragraph_dedup(spark, sf_dir):
     )
 
 
+def q_source_temperature_mix(spark, sf_dir):
+    """Temperature-based source-mixing weights (round-11): per source
+    the doc/token counts, raw token share, n^alpha multinomial
+    sampling weight, and effective epochs — the data-mixing law of
+    every large pretraining run, computed inside the engine."""
+    return prep.source_temperature_mix(_docs(spark, sf_dir), C.MIX_ALPHA)
+
+
+def q_filtered_cosine_topk(spark, sf_dir):
+    """Attribute-filtered exact vector search (round-11): cosine top-k
+    among ONLY the embeddings whose paired document is in FILTER_LANG
+    — the pre-filter semantics every filtered-ANN composition must be
+    measured against (a post-filtered shortlist under-fills k on a
+    selective filter). Cross-table: the predicate lives on the
+    documents metadata, the vectors on embeddings."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < C.BATCH_DOCS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return bruteforce.filtered_cosine_topk(
+        emb,
+        _docs(spark, sf_dir),
+        F.col("lang") == C.FILTER_LANG,
+        qs,
+        k=C.K_BATCH,
+    )
+
+
 def q_knn_label_vote(spark, sf_dir):
     """kNN majority-vote classification over the labeled embeddings:
     per query the prediction, the true label, and whether they agree —
@@ -2620,6 +2649,8 @@ REGISTRY = {
     "source_quota": q_source_quota,
     "url_dedup": q_url_dedup,
     "paragraph_dedup": q_paragraph_dedup,
+    "source_temperature_mix": q_source_temperature_mix,
+    "filtered_cosine_topk": q_filtered_cosine_topk,
     "stratified_split": q_stratified_split,
     "knn_label_vote": q_knn_label_vote,
     "dedup_group_sizes": q_dedup_group_sizes,

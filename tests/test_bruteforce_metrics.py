@@ -61,6 +61,63 @@ def test_cosine_topk_matches_numpy(spark, emb, emb_np):
     assert got == expected
 
 
+def test_filtered_cosine_topk_prefilter_semantics(spark, sf_dir, emb):
+    """Pre-filter semantics: every returned neighbor satisfies the
+    metadata predicate, each query still gets exactly k of them, and
+    the result equals cosine_topk over the pre-filtered corpus — while
+    the naive post-filter of an unfiltered top-k under-fills k on a
+    selective filter (the trap this operator is the baseline for).
+    The predicate reaches the parquet metadata scan (PushedFilters)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fr_ids = {
+        r["doc_id"] for r in docs.filter(F.col("lang") == "fr").collect()
+    }
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = bruteforce.filtered_cosine_topk(
+        emb, docs, F.col("lang") == "fr", q, k=5
+    )
+    rows = out.collect()
+    assert all(r["vec_id"] in fr_ids for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2} and all(
+        len(v) == 5 for v in by_q.values()
+    )
+    # identical to brute force over the pre-filtered corpus
+    want = bruteforce.cosine_topk(
+        emb.join(
+            docs.filter(F.col("lang") == "fr").select(
+                F.col("doc_id").alias("vec_id")
+            ),
+            "vec_id",
+            "left_semi",
+        ),
+        q,
+        k=5,
+    )
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(
+        [(r["query_id"], r["rank"], r["vec_id"], r["cos_sim"]) for r in rows]
+    ) == sorted(
+        [
+            (r["query_id"], r["rank"], r["vec_id"], r["cos_sim"])
+            for r in want.collect()
+        ]
+    )
+    # the post-filter composition visibly under-fills k: fewer than
+    # 5 of the UNfiltered top-5 are French for at least one query
+    # (lang='fr' is ~13% of the corpus)
+    unfiltered = bruteforce.cosine_topk(emb, q, k=5).collect()
+    post = [r for r in unfiltered if r["vec_id"] in fr_ids]
+    assert len(post) < 15
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "lang" in plan
+
+
 def test_quality_metrics_hand_case(spark):
     # pred:  q1 -> [1,2,3];       truth: q1 -> [1,9,3]   (2 hits, first at rank 1)
     # pred:  q2 -> [4,5,6];       truth: q2 -> [7,8,5]   (1 hit, first at rank 2)

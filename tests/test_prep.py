@@ -159,6 +159,38 @@ def test_url_dedup_first_wins_semantics_and_plan(spark):
     assert "HashAggregate" in plan  # map-side partial min per norm_url
 
 
+def test_source_temperature_mix_hand_values(spark):
+    """alpha=0.5 hand case: tokens A=4, B=16 -> weights 2 and 4 of 6;
+    alpha=1 degenerates to the raw token share; the plan is one
+    aggregation plus a broadcast of the single totals row — no window,
+    no second shuffle of the corpus."""
+    rows = [
+        (0, "A", "a b c"),
+        (1, "A", "d"),
+        (2, "B", " ".join(["w"] * 16)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in prep.source_temperature_mix(df, 0.5).collect()}
+    assert (out["A"]["n_docs"], out["A"]["n_tokens"]) == (2, 4)
+    assert (out["B"]["n_docs"], out["B"]["n_tokens"]) == (1, 16)
+    assert out["A"]["p_raw"] == 0.2 and out["B"]["p_raw"] == 0.8
+    assert out["A"]["p_temp"] == round(2 / 6, 6)
+    assert out["B"]["p_temp"] == round(4 / 6, 6)
+    # effective epochs: p_temp * total_tokens / n_tokens — the small
+    # source repeats (oversampled), the big one is undersampled
+    assert out["A"]["effective_epochs"] == round(2 / 6 * 20 / 4, 6)
+    assert out["B"]["effective_epochs"] == round(4 / 6 * 20 / 16, 6)
+    # alpha=1: temperature off, p_temp == p_raw
+    flat = {r["source"]: r for r in prep.source_temperature_mix(df, 1.0).collect()}
+    assert all(flat[s]["p_temp"] == flat[s]["p_raw"] for s in flat)
+    plan = (
+        prep.source_temperature_mix(df, 0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "Broadcast" in plan  # totals row rides a broadcast join
+
+
 def test_stratified_split_exact_proportions_and_determinism(spark):
     """Every stratum contributes exactly floor(val_frac * n) rows to
     val regardless of group size; assignment is deterministic and
