@@ -69,23 +69,35 @@ def bm25_topk(
 
     term_df = spark.createDataFrame([(t,) for t in terms], "token string")
     # per-(doc, query-term) tf rows; the semi filter on the tiny term
-    # set prunes non-matching tokens BEFORE the aggregation shuffles
+    # set prunes non-matching tokens BEFORE the aggregation shuffles.
+    # Tokenize ONCE into a projected column: size() and explode() then
+    # read the array attribute instead of re-running the split+filter
+    # per use (CollapseProject keeps non-cheap aliases un-inlined).
     matched = (
         docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.size(toks).alias("dl"),
-            F.explode(toks).alias("token"),
+            F.col(id_col).alias("doc_id"), toks.alias("__toks")
+        )
+        .select(
+            "doc_id",
+            F.size("__toks").alias("dl"),
+            F.explode("__toks").alias("token"),
         )
         .join(F.broadcast(term_df), "token")
         .groupBy("doc_id", "dl", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # df per term from the matched rows (a doc counts once per term) —
-    # identical to the corpus-global df for these terms by definition
-    dfreq = matched.groupBy("token").agg(
-        F.count(F.lit(1)).alias("df")
+    # df per term = matched rows per token (a doc counts once per term
+    # — identical to the corpus-global df for these terms by
+    # definition). As a count window over the token partition the df
+    # attaches in ONE extra exchange of the (already reduced) matched
+    # rows; the former matched.join(matched.groupBy(...)) form planned
+    # the whole corpus scan+explode+aggregate subtree TWICE (Spark does
+    # not CSE across self-referencing joins) — two full corpus passes
+    # per query.
+    with_df = matched.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
     )
-    return _rank_matched_terms(matched.join(dfreq, "token"), n_docs, avgdl, k1, b, k)
+    return _rank_matched_terms(with_df, n_docs, avgdl, k1, b, k)
 
 
 def _rank_matched_terms(
@@ -661,19 +673,28 @@ def bm25_topk_batch(
         qterm_rows, f"{query_id_col} long, token string"
     )
     terms_df = qterm_df.select("token").distinct()
+    # Tokenize ONCE into a projected column (size() and explode() read
+    # the array attribute), and attach df as a count window over the
+    # token partition of the already-reduced matched rows: the former
+    # matched.join(matched.groupBy(...)) form planned the corpus
+    # scan+explode+aggregate subtree TWICE (Spark does not CSE across
+    # self-referencing joins) — two full corpus passes per batch.
     matched = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.size(toks).alias("dl"),
-            F.explode(toks).alias("token"),
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        .select(
+            "doc_id",
+            F.size("__toks").alias("dl"),
+            F.explode("__toks").alias("token"),
         )
         .join(F.broadcast(terms_df), "token")
         .groupBy("doc_id", "dl", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = matched.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    with_df = matched.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    )
     return _rank_matched_terms_batch(
-        matched.join(dfreq, "token"),
+        with_df,
         qterm_df,
         n_docs,
         avgdl,
