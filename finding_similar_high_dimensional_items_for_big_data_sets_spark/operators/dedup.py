@@ -219,11 +219,24 @@ def cross_corpus_duplicates(
     (shuffle on the compact band key, AQE skew handling).
     """
     params = params or MinHashParams()
-    sigs = minhash.signatures(docs, params, id_col, text_col)
+    # Sign each side ONCE: the banding probe and the scoring join both
+    # consume the signature table, and Spark plans self-referencing
+    # subtrees twice (no CSE across joins) — without materialization
+    # the expensive shingle+minhash pass ran twice per side per query
+    # (guide §3.3: materialise an intermediate to truncate the plan;
+    # measured 2 corpus scans -> 1 at sf0.1). localCheckpoint is
+    # per-invocation (fresh RDD each call), so nothing persists across
+    # runs; the production shape remains cross_corpus_pairs_from_index
+    # over the PREBUILT artifacts.
+    sigs = minhash.signatures(docs, params, id_col, text_col).localCheckpoint(
+        eager=False
+    )
     bands = lsh.bands_table(sigs, params, id_col)
     # ref_docs may use the same id column name; it becomes ref_id_col
-    ref_sigs = minhash.signatures(ref_docs, params, id_col, text_col).select(
-        F.col(id_col).alias(ref_id_col), "sig"
+    ref_sigs = (
+        minhash.signatures(ref_docs, params, id_col, text_col)
+        .select(F.col(id_col).alias(ref_id_col), "sig")
+        .localCheckpoint(eager=False)
     )
     ref_bands = lsh.bands_table(ref_sigs, params, ref_id_col)
     return cross_corpus_pairs_from_index(
@@ -254,21 +267,68 @@ def cross_corpus_pairs_from_index(
     if id_col != "doc_id":
         bands = bands.withColumnRenamed(id_col, "doc_id")
         sigs = sigs.withColumnRenamed(id_col, "doc_id")
-    cand = lsh.candidates(
-        bands,
-        ref_bands.select(ref_id_col, "band_id", "band_hash"),
-        broadcast_query=broadcast_ref,
-        query_id_col=ref_id_col,
-        max_candidates=params.max_candidates,
-    )
-    scored = lsh.score_candidates(
-        cand,
-        sigs,
-        ref_sigs.select(ref_id_col, "sig"),
-        params,
-        query_id_col=ref_id_col,
-        broadcast_query=broadcast_ref,
-    )
+    if broadcast_ref and params.max_candidates is None:
+        # Fused candidate+score path for the broadcast-reference
+        # regime (the 100 TB decontamination shape): the per-pair
+        # `distinct` and the scorer's per-doc `groupBy` are the same
+        # aggregation keyed the same way, so run ONE collect_set
+        # straight off the band join (guide §2.4 — one exchange, with
+        # map-side combine absorbing the per-band pair duplicates) and
+        # hand the grouped lists to the Arrow matrix scorer (guide
+        # §4.2 — one numpy broadcast-compare per doc instead of the
+        # pair-join fold that ships both 1 KB signatures per pair;
+        # match counts are integer sums, so scores are bit-identical).
+        # Pre-aggregate the (broadcast-sized) reference side to one
+        # ref-id list per band bucket BEFORE the join: the raw
+        # band-level pair join multiplies rows by per-bucket ref
+        # occupancy (measured 10.8M join rows for 1.16M distinct pairs
+        # at sf0.1), and the per-pair aggregation over those rows
+        # dominated the pass. Joining against bucket LISTS keeps the
+        # join output at <= one row per corpus band row; the pair
+        # expansion happens inside arrays (flatten + array_distinct
+        # per doc), so the aggregation shuffles ~|corpus bands| narrow
+        # rows instead of ~|pairs x shared bands| (guide §2.3: shuffle
+        # keys and metadata, not multiplied rows).
+        ref_buckets = (
+            ref_bands.select(ref_id_col, "band_id", "band_hash")
+            .groupBy("band_id", "band_hash")
+            .agg(F.collect_set(ref_id_col).alias("__refs"))
+        )
+        cand_sets = (
+            bands.join(
+                F.broadcast(ref_buckets), ["band_id", "band_hash"], "inner"
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.array_distinct(F.flatten(F.collect_list("__refs"))).alias(
+                    "__qids"
+                )
+            )
+        )
+        scored = lsh.score_candidates_vectorized(
+            cand_sets,
+            sigs,
+            ref_sigs.select(ref_id_col, "sig"),
+            params,
+            query_id_col=ref_id_col,
+            grouped=True,
+        )
+    else:
+        cand = lsh.candidates(
+            bands,
+            ref_bands.select(ref_id_col, "band_id", "band_hash"),
+            broadcast_query=broadcast_ref,
+            query_id_col=ref_id_col,
+            max_candidates=params.max_candidates,
+        )
+        scored = lsh.score_candidates(
+            cand,
+            sigs,
+            ref_sigs.select(ref_id_col, "sig"),
+            params,
+            query_id_col=ref_id_col,
+            broadcast_query=broadcast_ref,
+        )
     return scored.filter(F.col("score") >= threshold).select(
         F.col("doc_id").alias(id_col), ref_id_col, "score"
     )

@@ -168,6 +168,7 @@ def score_candidates_vectorized(
     params: MinHashParams,
     query_id_col: str = "query_id",
     qrows: list | None = None,
+    grouped: bool = False,
 ) -> DataFrame:
     """Arrow-vectorized candidate scoring for driver-sized query sets.
 
@@ -188,6 +189,13 @@ def score_candidates_vectorized(
     ``qrows``: pre-collected ``(query_id, sig)`` rows — pass them when
     the caller already collected the query side (lsh_topk's default
     path does) to avoid a second collect job here.
+
+    ``grouped``: ``cand`` already carries one row per doc with the
+    query-id list as ``__qids`` (e.g. a ``collect_set`` straight off
+    the band join) — skips the per-pair ``distinct`` + ``groupBy``
+    here, folding the pair dedup into the caller's single aggregation
+    (guide §2.4: two operations keyed the same way share one
+    exchange).
     """
     import numpy as np
     import pandas as pd
@@ -225,9 +233,12 @@ def score_candidates_vectorized(
                 }
             )
 
-    cand_by_doc = cand.groupBy("doc_id").agg(
-        F.collect_list(query_id_col).alias("__qids")
-    )
+    if grouped:
+        cand_by_doc = cand
+    else:
+        cand_by_doc = cand.groupBy("doc_id").agg(
+            F.collect_list(query_id_col).alias("__qids")
+        )
     with_sig = cand_by_doc.join(sigs, "doc_id").select("doc_id", "__qids", "sig")
     return with_sig.mapInPandas(
         score_iter, schema=f"{query_id_col} long, doc_id long, score double"
