@@ -1423,26 +1423,145 @@ def random_codebooks(
     return rs.randn(m, n_codes, dim // m).tolist()
 
 
+def _seqfold_sq_dists(mat: "np.ndarray", pts: "np.ndarray") -> "np.ndarray":
+    """(n, |pts|) squared-L2 with the EXACT IEEE op order of the
+    :func:`nearest_cell` / :func:`pq_code_expr` sequential fold: per
+    dimension j, ``acc = acc + (x_j - p_j)^2`` accumulating
+    left-to-right from 0.0. ``d*d`` is bit-equal to the expressions'
+    ``pow(d, 2)`` (JVM Math.pow with an exact small-integer exponent;
+    asserted bit-for-bit over 4M random doubles on this JVM), and
+    elementwise numpy adds round identically to the JVM fold — so the
+    DISTANCES, not just the argmins, are bit-identical to the
+    expression path (unlike the matmul form, see
+    :func:`ivf_assign_vectorized`'s caveat)."""
+    n = mat.shape[0]
+    acc = np.zeros((n, len(pts)), dtype=np.float64)
+    for j in range(mat.shape[1]):
+        d = mat[:, j, None] - pts[None, :, j]
+        acc += d * d
+    return acc
+
+
+def _pq_codes_np(mat: "np.ndarray", books: "np.ndarray") -> "np.ndarray":
+    """First-tie PQ argmin codes over sequential-fold distances —
+    the numpy twin of :func:`pq_code_expr` (``books`` shaped
+    (m, n_codes, dsub)). np.argmin takes the first minimum, matching
+    array_position(array_min)."""
+    m_sub, _, dsub = books.shape
+    codes = np.empty((mat.shape[0], m_sub), dtype=np.int32)
+    for s in range(m_sub):
+        codes[:, s] = _seqfold_sq_dists(
+            mat[:, s * dsub : (s + 1) * dsub], books[s]
+        ).argmin(axis=1)
+    return codes
+
+
+def _rotate_np(mat: "np.ndarray", w: "np.ndarray") -> "np.ndarray":
+    """X @ R with :func:`opq.rotate_expr`'s sequential fold order:
+    ``w[j, c]`` is ``r_cols[c][j]``; per output column,
+    ``acc = acc + x_j * w_jc`` in ascending j from 0.0 — each scalar
+    multiply and add rounds identically to the JVM fold, so rotated
+    values are bit-identical."""
+    if mat.shape[1] != w.shape[0]:
+        raise ValueError(
+            f"OPQ rotation dim mismatch: expected {w.shape[0]}, "
+            f"got {mat.shape[1]}"
+        )
+    acc = np.zeros((mat.shape[0], w.shape[1]), dtype=np.float64)
+    for j in range(w.shape[0]):
+        acc += mat[:, j, None] * w[None, j, :]
+    return acc
+
+
+def _vec_matrix(pdf, vec_col: str):
+    """(non-null mask, matrix of the non-null vectors) for one Arrow
+    batch — null embeddings pass through as null codes, mirroring the
+    expression path's null propagation."""
+    mask = pdf[vec_col].notna().values
+    mat = (
+        np.vstack(pdf[vec_col].values[mask]).astype(np.float64)
+        if mask.any()
+        else np.zeros((0, 0), dtype=np.float64)
+    )
+    return mask, mat
+
+
+def _scatter_rows(mask: "np.ndarray", rows) -> list:
+    """List of len(mask): ``rows[i]`` at the i-th True slot, None
+    elsewhere (pandas boolean-mask setitem rejects lists of arrays; a
+    plain list column does not)."""
+    if len(rows) == len(mask):
+        return list(rows)
+    it = iter(rows)
+    return [next(it) if m else None for m in mask]
+
+
 def pq_encode(
     embeddings: DataFrame,
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    r_cols: list[list[float]] | None = None,
 ) -> DataFrame:
     """Encode every vector to m uint8-ish codes: per subspace, the
     argmin (first tie, like ivf_assign) of squared-L2 from the
-    subvector slice to each code.
+    subvector slice to each code. ``r_cols``: optional OPQ rotation
+    applied inside the same kernel (:func:`_rotate_np` — bit-identical
+    to ``opq.rotate_expr``), so the OPQ encode is one Python crossing.
 
-    Row-local codegen'd expressions, shuffle-free — one pass at any
-    scale. The codes table is the PQ index artifact: dim doubles
-    (512 B at dim=64) compress to m small ints (~8 B), the 64x memory
-    ratio that lets a 100 TB embedding corpus serve approximate
-    distances from RAM.
+    One Arrow kernel per batch, shuffle-free — one pass at any scale.
+    The m x n_codes unrolled fold EXPRESSION this replaces is exact
+    but interpreted (higher-order lambdas don't codegen): measured
+    ~4 s for 2000 vectors at sf0.1 vs milliseconds for the vectorized
+    batch argmin (guide §4.2); distances use the sequential-fold op
+    order so codes are bit-identical (:func:`_seqfold_sq_dists`).
+    The codes table is the PQ index artifact: dim doubles (512 B at
+    dim=64) compress to m small ints (~8 B), the 64x memory ratio
+    that lets a 100 TB embedding corpus serve approximate distances
+    from RAM.
 
     Output: (vec_id, codes array<int>).
     """
-    return embeddings.select(
-        id_col, pq_code_expr(F.col(vec_col), codebooks).alias("codes")
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    rot = (
+        np.asarray(r_cols, dtype=np.float64).T if r_cols is not None else None
+    )
+    bbc = embeddings.sparkSession.sparkContext.broadcast((books, rot))
+    id_field = embeddings.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        bks, rw = bbc.value
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "codes": pd.Series([], dtype=object)}
+                )
+                continue
+            mask, mat = _vec_matrix(pdf, vec_col)
+            if mask.any():
+                if rw is not None:
+                    mat = _rotate_np(mat, rw)
+                out = _scatter_rows(mask, _pq_codes_np(mat, bks))
+            else:
+                out = [None] * len(pdf)
+            yield pd.DataFrame({id_col: pdf[id_col].values, "codes": out})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        encode, schema=out_schema
     )
 
 
@@ -1892,10 +2011,11 @@ def ivfpq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    r_cols: list[list[float]] | None = None,
 ) -> DataFrame:
     """Encode to (vec_id, cell, codes): nearest coarse cell, then PQ
-    codes of the residual — row-local expressions, shuffle-free; at
-    scale the output persists partitioned by cell (the IVF store
+    codes of the residual — one row-local Arrow kernel, shuffle-free;
+    at scale the output persists partitioned by cell (the IVF store
     layout), 4 B + m bytes per vector.
 
     Pass an :class:`HKMQuantizer` as ``centroids`` for corpus-scaled
@@ -1904,34 +2024,72 @@ def ivfpq_encode(
     whole encode runs as one Arrow kernel (:func:`ivfpq_encode_hkm`).
     """
     if isinstance(centroids, HKMQuantizer):
-        return ivfpq_encode_hkm(embeddings, centroids, codebooks, id_col, vec_col)
-    cents_lit = F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+        return ivfpq_encode_hkm(
+            embeddings, centroids, codebooks, id_col, vec_col, r_cols=r_cols
+        )
+    # One Arrow kernel per batch (guide §4.2): flat-centroid argmin,
+    # residual, per-subspace code argmin — all over sequential-fold
+    # distances (:func:`_seqfold_sq_dists`), so cell, residual and
+    # codes are bit-identical to the unrolled nearest_cell +
+    # pq_code_expr expression tree this replaces (which was exact but
+    # interpreted, and needed let-binding gymnastics to keep task
+    # binaries under control).
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
     )
-    vec = F.col(vec_col)
-    cell = nearest_cell(vec, centroids)
-    res = F.zip_with(
-        vec,
-        F.element_at(cents_lit, cell + F.lit(1)),
-        lambda x, c: x.cast("double") - c,
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    rot = (
+        np.asarray(r_cols, dtype=np.float64).T if r_cols is not None else None
     )
-    # LET-BIND the residual: pq_code_expr references its input m*n_codes
-    # times, and each reference would otherwise inline a full COPY of
-    # the residual tree (which itself embeds the n_cells argmin) —
-    # measured 26 MiB task binaries + ~80 s of codegen at 16 cells.
-    # Routing it through a higher-order-function lambda variable makes
-    # every reference a cheap variable node; the math (and the DuckDB
-    # oracle twin) is unchanged.
-    codes = F.element_at(
-        F.transform(
-            F.array(res), lambda r: pq_code_expr(r, codebooks)
-        ),
-        F.lit(1),
+    pbc = embeddings.sparkSession.sparkContext.broadcast((cents, books, rot))
+    id_field = embeddings.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("cell", IntegerType()),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
     )
-    return embeddings.select(
-        id_col,
-        cell.alias("cell"),
-        codes.alias("codes"),
+
+    def encode(batches):
+        cts, bks, rw = pbc.value
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "cell": pd.Series([], dtype=object),
+                        "codes": pd.Series([], dtype=object),
+                    }
+                )
+                continue
+            mask, mat = _vec_matrix(pdf, vec_col)
+            if mask.any():
+                if rw is not None:
+                    mat = _rotate_np(mat, rw)
+                cells = _seqfold_sq_dists(mat, cts).argmin(axis=1)
+                res = mat - cts[cells]
+                cell_out = _scatter_rows(mask, cells.astype(np.int32))
+                code_out = _scatter_rows(mask, _pq_codes_np(res, bks))
+            else:
+                cell_out = [None] * len(pdf)
+                code_out = [None] * len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "cell": pd.Series(cell_out, dtype=object),
+                    "codes": code_out,
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        encode, schema=out_schema
     )
 
 
@@ -1941,6 +2099,7 @@ def ivfpq_encode_hkm(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    r_cols: list[list[float]] | None = None,
 ) -> DataFrame:
     """Tree-quantizer IVF-PQ encode as ONE Arrow kernel per batch:
     greedy HKM descent picks the cell, the residual against that
@@ -1961,8 +2120,11 @@ def ivfpq_encode_hkm(
 
     books = np.asarray(codebooks, dtype=np.float64)  # (m, n_codes, dsub)
     m_sub, _, dsub = books.shape
+    rot = (
+        np.asarray(r_cols, dtype=np.float64).T if r_cols is not None else None
+    )
     pbc = embeddings.sparkSession.sparkContext.broadcast(
-        (quantizer.payload(), quantizer.leaf_centers(), books)
+        (quantizer.payload(), quantizer.leaf_centers(), books, rot)
     )
     id_field = embeddings.schema[id_col]
     out_schema = StructType(
@@ -1974,7 +2136,7 @@ def ivfpq_encode_hkm(
     )
 
     def encode(batches):
-        payload, leaves, bks = pbc.value
+        payload, leaves, bks, rw = pbc.value
         for pdf in batches:
             if not len(pdf):
                 yield pd.DataFrame(
@@ -1986,6 +2148,8 @@ def ivfpq_encode_hkm(
                 )
                 continue
             mat = np.vstack(pdf[vec_col].values).astype(np.float64)
+            if rw is not None:
+                mat = _rotate_np(mat, rw)
             cells = hkm_descend(mat, payload)
             res = mat - leaves[cells]
             codes = np.empty((len(mat), m_sub), dtype=np.int32)

@@ -270,18 +270,21 @@ def test_store_roundtrip_append_and_guards(spark, sample, artifact, tmp_path):
 
 
 def test_plan_materializes_rotation_once_and_takeordered_tail(spark, artifact):
-    """Plan-shape guards: (a) the 64x64 rotation array appears in ONE
-    projection, not inlined into each of the m x n_codes argmin
-    distances (Catalyst copies, not CSEs, per reference); (b) the
-    ADC top-k tail is a TakeOrderedAndProject with the rank window
-    above it, same as the audited pq_topk/bm25_topk shape."""
+    """Plan-shape guards: (a) the encode is ONE Arrow kernel — the
+    64x64 rotation travels as a broadcast into the fused MapInPandas
+    node, never inlined into the plan as a literal (the old expression
+    form needed a let-binding projection to avoid m x n_codes copies;
+    the kernel removes the literal entirely); (b) the ADC top-k tail
+    is a TakeOrderedAndProject with the rank window above it, same as
+    the audited pq_topk/bm25_topk shape."""
     r_cols, books = artifact
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     enc = opq.opq_encode(emb, r_cols, books)
     plan = enc._jdf.queryExecution().executedPlan().toString()
-    # the rotation's literal leading column value appears exactly once
+    # no rotation literal in the plan; exactly one Python boundary
     marker = repr(float(r_cols[0][0]))[:12]
-    assert plan.count(marker) == 1, plan.count(marker)
+    assert plan.count(marker) == 0, plan.count(marker)
+    assert plan.count("MapInPandas") == 1, plan
     q = [0.0] * C.EMB_DIM
     df = opq.opq_topk(emb, q, k=5, r_cols=r_cols, codebooks=books)
     plan = df._jdf.queryExecution().executedPlan().toString()
