@@ -1294,7 +1294,14 @@ def hkm_train_df(
     if frac < 1.0:
         sampled = sampled.sample(withReplacement=False, fraction=frac, seed=seed)
     rows = sampled.limit(sample_size).collect()
-    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    # Canonical sample order: collect() returns rows in partition
+    # order, so an input layout change (file splits, repartition)
+    # would silently train a DIFFERENT tree from the same sample.
+    # Sorting makes the quantizer a function of the sample CONTENT
+    # only — partitioning-invariant, as a production artifact must be.
+    X = np.array(
+        sorted((list(r[vec_col]) for r in rows)), dtype=np.float64
+    )
     return hkm_train(X, n_leaves, branch=branch, seed=seed, n_iters=n_iters)
 
 

@@ -1344,6 +1344,48 @@ def _proto_scores_arrow(
     )
 
 
+def _ngram_hash_rows(
+    df: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, gram_hash) rows — one per DISTINCT word n-gram per doc
+    — as one Arrow kernel. Python twin of ``explode(array_distinct(
+    word_ngram_multiset)) + portable_hash64``: same whitespace
+    tokenize, docs under n tokens yield nothing, distinctness is on
+    the gram STRINGS (so a 60-bit hash collision still emits two rows,
+    exactly like the expression path), and ``hashlib`` md5 is
+    bit-equal to Spark's ``conv(substring(md5..`` (the identity
+    relied on at prep.remove_boilerplate_lines). Replaces an
+    interpreted per-gram higher-order chain (guide §4.2)."""
+    import hashlib
+
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids, hs = [], []
+            for i, text in zip(pdf["__id"].values, pdf["__text"].values):
+                toks = [t for t in (text or "").split(" ") if t]
+                if len(toks) < n:
+                    continue
+                grams = {
+                    " ".join(toks[j : j + n])
+                    for j in range(len(toks) - n + 1)
+                }
+                for g in grams:
+                    ids.append(i)
+                    hs.append(
+                        int(
+                            hashlib.md5(g.encode("utf-8")).hexdigest()[:15],
+                            16,
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": ids, "gram_hash": hs})
+
+    return df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    ).mapInPandas(gen, "doc_id long, gram_hash long")
+
+
 def shared_ngram_spans(
     docs: DataFrame,
     n: int = 8,
@@ -1378,17 +1420,16 @@ def shared_ngram_spans(
     n-gram shared by more than ``max_doc_freq`` documents is template
     boilerplate, not copied content.
     """
-    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.textstats import (
-        word_ngram_multiset,
-    )
-
     if max_doc_freq < 2:
         raise ValueError("max_doc_freq must be >= 2")
-    toks = tokenize(F.col(text_col))
-    grams = F.array_distinct(word_ngram_multiset(toks, n))
-    exploded = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
-    ).select("doc_id", portable_hash64(F.col("gram")).alias("gram_hash"))
+    # Materialize the gram rows once: the frequency count and the
+    # join-back both consume them, and Spark plans self-referencing
+    # subtrees twice — without this the whole tokenize+gram+md5 pass
+    # ran twice per query (guide §3.3; same fix as
+    # cross_corpus_duplicates' signature table).
+    exploded = _ngram_hash_rows(docs, n, id_col, text_col).localCheckpoint(
+        eager=False
+    )
     freq = (
         exploded.groupBy("gram_hash")
         .agg(F.count("*").alias("df"))
@@ -1615,20 +1656,13 @@ def cross_corpus_ngram_hits(
 
     Output: (doc_id, n_contaminated_ngrams INT) for flagged train docs.
     """
-    from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.textstats import (
-        word_ngram_multiset,
+    bench_grams = (
+        _ngram_hash_rows(benchmark, n, id_col, text_col)
+        .select("gram_hash")
+        .distinct()
     )
-
-    def grams(df):
-        toks = tokenize(F.col(text_col))
-        return df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.array_distinct(word_ngram_multiset(toks, n))).alias("gram"),
-        ).select("doc_id", portable_hash64(F.col("gram")).alias("gram_hash"))
-
-    bench_grams = grams(benchmark).select("gram_hash").distinct()
     return (
-        grams(train)
+        _ngram_hash_rows(train, n, id_col, text_col)
         .join(bench_grams, "gram_hash")
         .groupBy("doc_id")
         .agg(F.count("*").cast("int").alias("n_contaminated_ngrams"))

@@ -48,7 +48,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # mantissa, so floor(ts/1000.0) is off by ±1us on some rows.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    if name in ("documents", "embeddings"):
+        # Spread under-split inputs for the compute-heavy tables: the
+        # fixtures ship as ONE parquet row group, so every downstream
+        # per-row pass (shingle+minhash signing, gram hashing, scoring,
+        # encode kernels) would otherwise run as a single task no
+        # matter how many cores the session has (guide §2.5 input
+        # skew: "one huge unsplittable file — repartition immediately
+        # after the read"). Scale-adaptive, not a local constant: the
+        # target is the session's defaultParallelism and the
+        # repartition only fires when the scan has FEWER splits than
+        # that — a production-sized table with many files/row groups
+        # passes through untouched, and filters/pruning still push
+        # through the repartition to the scan.
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

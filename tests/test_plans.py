@@ -302,7 +302,7 @@ def test_ivf_store_hkm_round_trip_and_guard(spark, sf_dir, tmp_path):
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    X = np.array([r["embedding"] for r in emb.limit(200).collect()])
+    X = np.array([r["embedding"] for r in emb.filter(F.col("vec_id") < 200).collect()])
     tree = ann.hkm_train(X, n_leaves=6, branch=3, seed=11)
     store = str(tmp_path / "ivf_hkm_store")
     write_ivf_partitioned(emb.filter(F.col("vec_id") % 2 == 0), store, tree)

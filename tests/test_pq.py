@@ -18,7 +18,9 @@ def _emb(spark):
 
 
 def test_pq_encode_matches_numpy_argmin(spark):
-    emb = _emb(spark).limit(50)
+    # deterministic subset: a bare .limit() over the (spread) scan may
+    # pick different rows in the encode job vs the collect job
+    emb = _emb(spark).filter(F.col("vec_id") < 50)
     books = ann.random_codebooks(DIM, M, CODES, seed=44)
     got = {r["vec_id"]: r["codes"] for r in ann.pq_encode(emb, books).collect()}
     rows = emb.collect()
@@ -190,7 +192,7 @@ def test_pq_store_append_parity_and_quantizer_guard(spark, tmp_path):
 def test_ivfpq_encode_matches_numpy(spark):
     """Cell = argmin L2 to coarse centroids; codes = per-subspace argmin
     over the RESIDUAL (vector minus the assigned cell's center)."""
-    emb = _emb(spark).limit(50)
+    emb = _emb(spark).filter(F.col("vec_id") < 50)
     cents = ann.random_centroids(DIM, 8, seed=43)
     books = ann.random_codebooks(DIM, M, CODES, seed=44)
     got = {

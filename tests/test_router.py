@@ -68,7 +68,7 @@ def _stop(pairs):
 
 def test_lsh_router_identical_to_full_index(spark, corpus):
     docs, _ = corpus
-    sigs = minhash.signatures(docs.limit(200), PARAMS).cache()
+    sigs = minhash.signatures(docs.filter(F.col("doc_id") < 200), PARAMS).cache()
     bands = lsh.bands_table(sigs, PARAMS).cache()
     full = ServingIndex.from_dataframes(sigs, bands, PARAMS)
     replicas = [
@@ -192,7 +192,7 @@ def test_router_batch_identical_to_point_queries(spark, corpus, tmp_path):
     LSH and vector tiers; per-query k overrides the batch k; batch
     envelope guards reject malformed entries with the query index."""
     docs, emb = corpus
-    sigs = minhash.signatures(docs.limit(200), PARAMS).cache()
+    sigs = minhash.signatures(docs.filter(F.col("doc_id") < 200), PARAMS).cache()
     bands = lsh.bands_table(sigs, PARAMS).cache()
     replicas = [
         ServingIndex.from_dataframes(*shard_dataframes(sigs, bands, 3, s), PARAMS)
@@ -288,7 +288,7 @@ def test_router_failure_law_and_guards(spark, corpus):
     replica's 400 envelope rejection passes through; bad tier configs
     are rejected at construction."""
     docs, _ = corpus
-    sigs = minhash.signatures(docs.limit(50), PARAMS).cache()
+    sigs = minhash.signatures(docs.filter(F.col("doc_id") < 50), PARAMS).cache()
     bands = lsh.bands_table(sigs, PARAMS)
     idx = ServingIndex.from_dataframes(sigs, bands, PARAMS)
     server, st = serving_http.start_server(idx)
@@ -337,7 +337,7 @@ def test_router_timeout_bounds_hung_replica(spark, corpus):
     import time
 
     docs, _ = corpus
-    sigs = minhash.signatures(docs.limit(50), PARAMS).cache()
+    sigs = minhash.signatures(docs.filter(F.col("doc_id") < 50), PARAMS).cache()
     bands = lsh.bands_table(sigs, PARAMS)
     idx = ServingIndex.from_dataframes(sigs, bands, PARAMS)
     server, st = serving_http.start_server(idx)
@@ -386,7 +386,7 @@ def test_router_rejects_malformed_200_body(spark, corpus):
     import threading
 
     docs, _ = corpus
-    sigs = minhash.signatures(docs.limit(50), PARAMS).cache()
+    sigs = minhash.signatures(docs.filter(F.col("doc_id") < 50), PARAMS).cache()
     bands = lsh.bands_table(sigs, PARAMS)
     idx = ServingIndex.from_dataframes(sigs, bands, PARAMS)
     server, st = serving_http.start_server(idx)
@@ -432,7 +432,7 @@ def test_router_rejects_unparseable_200_body(spark, corpus):
     import threading
 
     docs, _ = corpus
-    sigs = minhash.signatures(docs.limit(50), PARAMS).cache()
+    sigs = minhash.signatures(docs.filter(F.col("doc_id") < 50), PARAMS).cache()
     bands = lsh.bands_table(sigs, PARAMS)
     idx = ServingIndex.from_dataframes(sigs, bands, PARAMS)
     server, st = serving_http.start_server(idx)

@@ -38,7 +38,7 @@ def test_xxh64_matches_spark(spark):
 @pytest.mark.parametrize("family", ["portable", HASH_FAMILY_XXHASH])
 def test_band_keys_match_spark_bands_table(spark, sf_dir, family):
     params = MinHashParams(hash_family=family)
-    docs = load_table(spark, sf_dir, "documents").limit(20)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
     sigs = minhash.signatures(docs, params)
     bands = lsh.bands_table(sigs, params)
     srow = sigs.filter(F.col("doc_id") == 3).first()

@@ -22,7 +22,7 @@ PARAMS = MinHashParams()
 
 @pytest.fixture(scope="module")
 def endpoint(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").limit(100)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     sigs = minhash.signatures(docs, PARAMS).cache()
     bands = lsh.bands_table(sigs, PARAMS).cache()
     index = ServingIndex.from_dataframes(sigs, bands, PARAMS)
@@ -105,7 +105,7 @@ def test_reload_is_mutually_exclusive(spark, sf_dir):
     the documented manual `server.service.index = ...` swap should
     hold), and the loser answers 409 immediately — the winner's swap
     IS the snapshot the loser wanted (round-11 ADVICE)."""
-    docs = load_table(spark, sf_dir, "documents").limit(50)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     sigs = minhash.signatures(docs, PARAMS)
     bands = lsh.bands_table(sigs, PARAMS)
     index = ServingIndex.from_dataframes(sigs, bands, PARAMS)

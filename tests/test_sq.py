@@ -18,7 +18,7 @@ def _emb(spark):
 
 
 def test_sq_encode_matches_numpy(spark):
-    emb = _emb(spark).limit(50)
+    emb = _emb(spark).filter(F.col("vec_id") < 50)
     mins, maxs = ann.sq_train(_emb(spark), DIM)
     got = {
         r["vec_id"]: r["codes"]
