@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 from finding_similar_high_dimensional_items_for_big_data_sets_spark.config import MinHashParams
 from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.arrays import (
     cosine_similarity,
+    dot_product,
+    l2_norm,
     jaccard_arrays,
 )
 from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.hashing import (
@@ -632,14 +634,27 @@ def _cosine_pairs_blocked(
             "be collapsed first"
         )
     if not compress_identical:
+        # Materialize the blocked side once (the self-join would plan
+        # the blocking expression twice — guide §3.3) and precompute
+        # the per-vector norm so the per-pair verification folds only
+        # the dot product: cosine = try_divide(dot, na*nb) with na/nb
+        # the SAME l2_norm sub-expressions — bit-identical values.
         bucketed = with_block(
             embeddings.select(F.col(id_col), F.col(vec_col)), vec_col
+        ).withColumn("__n", l2_norm(F.col(vec_col))).localCheckpoint(
+            eager=False
         )
         left = bucketed.select(
-            F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a"), "bucket"
+            F.col(id_col).alias("vec_a"),
+            F.col(vec_col).alias("emb_a"),
+            F.col("__n").alias("__na"),
+            "bucket",
         )
         right = bucketed.select(
-            F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b"), "bucket"
+            F.col(id_col).alias("vec_b"),
+            F.col(vec_col).alias("emb_b"),
+            F.col("__n").alias("__nb"),
+            "bucket",
         )
         return (
             left.join(right, "bucket")
@@ -649,9 +664,13 @@ def _cosine_pairs_blocked(
                 "vec_b",
                 # round(6) BEFORE the threshold filter so 1-ULP fold
                 # differences vs the oracle can't flip boundary pairs.
-                F.round(cosine_similarity(F.col("emb_a"), F.col("emb_b")), 6).alias(
-                    "cos_sim"
-                ),
+                F.round(
+                    F.try_divide(
+                        dot_product(F.col("emb_a"), F.col("emb_b")),
+                        F.col("__na") * F.col("__nb"),
+                    ),
+                    6,
+                ).alias("cos_sim"),
             )
             .filter(F.col("cos_sim") >= threshold)
             .distinct()
@@ -668,16 +687,24 @@ def _cosine_pairs_blocked(
     if scorer == "arrow":
         cross = _pairs_in_blocks_arrow(bucketed, threshold)
         return cross.unionByName(_within_group_pairs(groups, threshold)).distinct()
+    # Materialize once (self-join plans the blocking expression twice
+    # otherwise) and carry the per-rep norm so pair verification folds
+    # only the dot (same sub-expressions, bit-identical values).
+    bucketed = bucketed.withColumn("__n", l2_norm(F.col("vec"))).localCheckpoint(
+        eager=False
+    )
     la = bucketed.select(
         F.col("rep").alias("rep_a"),
         F.col("vec").alias("emb_a"),
         F.col("members").alias("members_a"),
+        F.col("__n").alias("__na"),
         "bucket",
     )
     lb = bucketed.select(
         F.col("rep").alias("rep_b"),
         F.col("vec").alias("emb_b"),
         F.col("members").alias("members_b"),
+        F.col("__n").alias("__nb"),
         "bucket",
     )
     cross = (
@@ -686,9 +713,13 @@ def _cosine_pairs_blocked(
         .select(
             "members_a",
             "members_b",
-            F.round(cosine_similarity(F.col("emb_a"), F.col("emb_b")), 6).alias(
-                "cos_sim"
-            ),
+            F.round(
+                F.try_divide(
+                    dot_product(F.col("emb_a"), F.col("emb_b")),
+                    F.col("__na") * F.col("__nb"),
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .select(
@@ -845,24 +876,31 @@ def embedding_cosine_duplicates_multiprobe(
             F.min(id_col).alias("rep"),
             F.sort_array(F.collect_list(id_col)).alias("members"),
         )
+        # Materialize the probed side once (the self-join plans the
+        # probe-emission expression twice otherwise — guide §3.3) and
+        # carry the per-rep norm so verification folds only the dot
+        # (same sub-expressions as cosine_similarity, bit-identical).
         probed = groups.select(
             F.col("rep"),
             F.col("vec").alias("__v"),
             "members",
+            l2_norm(F.col("vec")).alias("__n"),
             F.explode(
                 _probe_array("vec", dim, n_planes, seed, probe_margin)
             ).alias("__pb"),
-        )
+        ).localCheckpoint(eager=False)
         la = probed.select(
             F.col("rep").alias("rep_a"),
             F.col("__v").alias("__va"),
             F.col("members").alias("members_a"),
+            F.col("__n").alias("__na"),
             "__pb",
         )
         lb = probed.select(
             F.col("rep").alias("rep_b"),
             F.col("__v").alias("__vb"),
             F.col("members").alias("members_b"),
+            F.col("__n").alias("__nb"),
             "__pb",
         )
         cross = (
@@ -872,7 +910,11 @@ def embedding_cosine_duplicates_multiprobe(
                 "members_a",
                 "members_b",
                 F.round(
-                    cosine_similarity(F.col("__va"), F.col("__vb")), 6
+                    F.try_divide(
+                        dot_product(F.col("__va"), F.col("__vb")),
+                        F.col("__na") * F.col("__nb"),
+                    ),
+                    6,
                 ).alias("cos_sim"),
             )
             .filter(F.col("cos_sim") >= threshold)
@@ -910,15 +952,22 @@ def embedding_cosine_duplicates_multiprobe(
     probed = embeddings.select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
         F.explode(
             _probe_array(vec_col, dim, n_planes, seed, probe_margin)
         ).alias("__pb"),
-    )
+    ).localCheckpoint(eager=False)
     left = probed.select(
-        F.col(id_col).alias("vec_a"), F.col("__v").alias("__va"), "__pb"
+        F.col(id_col).alias("vec_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        "__pb",
     )
     right = probed.select(
-        F.col(id_col).alias("vec_b"), F.col("__v").alias("__vb"), "__pb"
+        F.col(id_col).alias("vec_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "__pb",
     )
     return (
         left.join(right, "__pb")
@@ -926,9 +975,13 @@ def embedding_cosine_duplicates_multiprobe(
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6).alias(
-                "cos_sim"
-            ),
+            F.round(
+                F.try_divide(
+                    dot_product(F.col("__va"), F.col("__vb")),
+                    F.col("__na") * F.col("__nb"),
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
