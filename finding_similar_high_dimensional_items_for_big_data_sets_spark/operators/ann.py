@@ -574,10 +574,47 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid cell (argmin L2).
 
-    One pass, no shuffle; at scale you'd persist partitioned by cell.
-    Output: original columns + cell INT.
+    One Arrow kernel pass, no shuffle; at scale you'd persist
+    partitioned by cell. Distances accumulate per-dimension in the
+    exact IEEE op order of :func:`nearest_cell`'s sequential fold
+    (:func:`_seqfold_sq_dists` — unlike the matmul form of
+    :func:`ivf_assign_vectorized`, bit-identical including exact
+    ties), so the assignment is the same as the expression path the
+    oracle mirrors, at vectorized speed: the unrolled per-centroid
+    fold was interpreted and cost ~2.2 s for 6400 rows x 32 cells at
+    sf0.1. Output: original columns + cell INT; null vectors get a
+    null cell like the expression path.
     """
-    return embeddings.withColumn("cell", nearest_cell(F.col(vec_col), centroids))
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cbc = embeddings.sparkSession.sparkContext.broadcast(cents)
+    out_schema = StructType(
+        list(embeddings.schema.fields) + [StructField("cell", IntegerType())]
+    )
+
+    def assign(batches):
+        c = cbc.value
+        for pdf in batches:
+            if len(pdf):
+                mask, mat = _vec_matrix(pdf, vec_col)
+                if mask.any():
+                    cells = _seqfold_sq_dists(mat, c).argmin(axis=1)
+                    pdf["cell"] = pd.Series(
+                        _scatter_rows(mask, cells.astype(np.int32)),
+                        index=pdf.index,
+                        dtype=object,
+                    )
+                else:
+                    pdf["cell"] = pd.Series(
+                        [None] * len(pdf), index=pdf.index, dtype=object
+                    )
+            else:
+                pdf["cell"] = pd.Series([], dtype=np.int32)
+            yield pdf
+
+    return embeddings.mapInPandas(assign, schema=out_schema)
 
 
 def ivf_assign_vectorized(
