@@ -1408,10 +1408,16 @@ def _ngram_hash_rows(
     exactly like the expression path), and ``hashlib`` md5 is
     bit-equal to Spark's ``conv(substring(md5..`` (the identity
     relied on at prep.remove_boilerplate_lines). Replaces an
-    interpreted per-gram higher-order chain (guide §4.2)."""
+    interpreted per-gram higher-order chain (guide §4.2).
+
+    The output ``doc_id`` keeps the CALLER's id type (string ids pass
+    through untouched) — the schema is built from ``df.schema[id_col]``
+    exactly like the pq/ivfpq encode kernels, never hardcoded."""
     import hashlib
 
     import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def gen(batches):
         for pdf in batches:
@@ -1436,7 +1442,7 @@ def _ngram_hash_rows(
 
     return df.select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
-    ).mapInPandas(gen, "doc_id long, gram_hash long")
+    ).mapInPandas(gen, f"doc_id {id_type}, gram_hash long")
 
 
 def shared_ngram_spans(

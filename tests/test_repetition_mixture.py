@@ -444,3 +444,26 @@ def test_ngram_decontamination_catches_embedded_benchmark(spark):
     # MinHash whole-doc decontamination DILUTES the embedded case: the
     # n-gram filter exists precisely for containment
     assert 10 in got
+
+
+def test_ngram_operators_preserve_string_id_type(spark):
+    # the gram-hash kernel's output schema must come from the caller's
+    # id column type, not a hardcoded long (regression: string ids
+    # raised an Arrow type error after the kernel rewrite)
+    shared = "q w e r t y u i"
+    docs = spark.createDataFrame(
+        [("a", shared + " alpha beta"), ("b", "gamma " + shared)],
+        "doc_id string, text string",
+    )
+    got = dedup.shared_ngram_spans(docs, n=8, max_doc_freq=4).collect()
+    assert [(r["doc_a"], r["doc_b"], r["shared_ngrams"]) for r in got] == [
+        ("a", "b", 1)
+    ]
+    bench = spark.createDataFrame(
+        [("x", shared)], "doc_id string, text string"
+    )
+    hits = {
+        r["doc_id"]: r["n_contaminated_ngrams"]
+        for r in dedup.cross_corpus_ngram_hits(docs, bench, n=8).collect()
+    }
+    assert hits == {"a": 1, "b": 1}
