@@ -11,8 +11,9 @@ any per-doc state accumulates).
 
 Float parity with the DuckDB oracle follows the repo discipline
 (`prep.unigram_lm_scores`): every ln() argument is a ratio of exact
-integers (+0.5 halves — exact in binary), the per-doc fold runs over
-the matched-term struct list sorted by token (unique per doc), scores
+integers (+0.5 halves — exact in binary), the per-doc sum accumulates
+in token-sorted order (tokens unique per doc) — an unbuffered ordered
+scatter-add bit-identical to the oracle's sequential fold — and scores
 are rounded to 6 for output and to 10 for the ordering comparison.
 """
 
@@ -21,6 +22,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.materialize import (
+    materialize,
+)
 from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.text import tokenize
 
 
@@ -88,16 +92,156 @@ def bm25_topk(
     )
     # df per term = matched rows per token (a doc counts once per term
     # — identical to the corpus-global df for these terms by
-    # definition). As a count window over the token partition the df
-    # attaches in ONE extra exchange of the (already reduced) matched
-    # rows; the former matched.join(matched.groupBy(...)) form planned
-    # the whole corpus scan+explode+aggregate subtree TWICE (Spark does
-    # not CSE across self-referencing joins) — two full corpus passes
-    # per query.
-    with_df = matched.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
-    )
+    # definition). Materialize the (already reduced) matched rows once,
+    # aggregate df to <= |query terms| rows, and broadcast it back: the
+    # former count-window form (Window.partitionBy(token)) put every
+    # matched row of one term in ONE task — a stop-word term at corpus
+    # scale is a single giant window partition (guide §2.5 skew; AQE
+    # cannot split window partitions) — and the join form before that
+    # planned the corpus scan+explode+aggregate subtree TWICE (no CSE
+    # across self-referencing joins). This shape scans the corpus once,
+    # shuffles matched rows zero extra times, and has no per-term task
+    # ceiling.
+    matched = materialize(matched)
+    dfreq = matched.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    with_df = matched.join(F.broadcast(dfreq), "token")
     return _rank_matched_terms(with_df, n_docs, avgdl, k1, b, k)
+
+
+def _bm25_term_score(
+    n_docs: int, avgdl: float, k1: float, b: float
+):
+    """The per-(doc, term) BM25 score as ONE JVM expression over
+    (tf, dl, df) — shared by every table/store/point/batch path so
+    their floats cannot drift. idf and the tf saturation stay
+    codegen'd JVM arithmetic (the exact expression the DuckDB oracle
+    mirrors); only the per-doc SUM moves to the Arrow kernel below."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    return (
+        idf
+        * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+            )
+        )
+    )
+
+
+def _fold_term_scores(
+    with_scores: DataFrame,
+    qterm_rows: list[tuple[int, str]] | None,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(doc_id, token, term_score) rows -> per-doc (or per-(query,
+    doc)) BM25 sums as one Arrow kernel.
+
+    Replaces the former ``groupBy + collect_list(struct) + array_sort +
+    F.aggregate`` tail: measured at sf0.1 the collect_list aggregation
+    alone was ~3.9 s of the 4.2 s batch tail (ObjectHashAggregate falls
+    back to sort-based past 128 keys per partition), and with 20
+    queries the (matched x queries-sharing-token) join multiplied 116k
+    matched rows to 1.9M pre-shuffle rows. Here matched rows shuffle
+    ONCE, hash-partitioned by doc_id and sorted (doc_id, token) within
+    each task, and the query fan-out happens inside the kernel against
+    a tiny query->term membership matrix (guide §2.3: shuffle the
+    narrow rows once, §4.2: batch the custom logic in numpy).
+
+    Bit parity with the expression fold (and the DuckDB oracle's
+    ``list_reduce(list(term_score ORDER BY token))``): ``np.add.at`` is
+    the UNBUFFERED scatter-add — repeated-index additions apply in row
+    order — so each doc's score accumulates 0.0 + ts_1 + ts_2 ... in
+    exactly the token-sorted left-fold sequence. The same identity
+    ``ServingLexicalIndex.query`` is identity-tested on.
+
+    A doc's rows may straddle Arrow batch boundaries, so the kernel
+    carries the trailing (possibly incomplete) doc of each batch into
+    the next — bounded by one doc's matched-term count (<= |query
+    vocab|), never by partition size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dtype = with_scores.schema["doc_id"].dataType.simpleString()
+    if qterm_rows is None:
+        out_schema = f"doc_id {dtype}, score double"
+        rows = with_scores.select("doc_id", "token", "term_score")
+    else:
+        out_schema = f"{query_id_col} long, doc_id {dtype}, score double"
+        rows = with_scores.select("doc_id", "token", "term_score")
+        terms = sorted({t for _q, t in qterm_rows})
+        qids = sorted({int(q) for q, _t in qterm_rows})
+        tok2idx = {t: i for i, t in enumerate(terms)}
+        q2col = {q: j for j, q in enumerate(qids)}
+        member = np.zeros((len(terms), len(qids)), dtype=bool)
+        for q, t in qterm_rows:
+            member[tok2idx[t], q2col[int(q)]] = True
+
+    def process(chunk: "pd.DataFrame"):
+        ts = chunk["term_score"].values
+        codes, uniq = pd.factorize(chunk["doc_id"])
+        if qterm_rows is None:
+            scores = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(scores, codes, ts)
+            return pd.DataFrame({"doc_id": uniq, "score": scores})
+        tok_idx = chunk["token"].map(tok2idx).values.astype(np.int64)
+        out = []
+        for q in qids:
+            qmask = member[tok_idx, q2col[q]]
+            if not qmask.any():
+                continue
+            sub = codes[qmask]
+            scores = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(scores, sub, ts[qmask])
+            present = np.zeros(len(uniq), dtype=bool)
+            present[sub] = True
+            sel = np.flatnonzero(present)
+            out.append(
+                pd.DataFrame(
+                    {
+                        query_id_col: np.full(len(sel), q, dtype=np.int64),
+                        "doc_id": uniq[sel],
+                        "score": scores[sel],
+                    }
+                )
+            )
+        if not out:
+            return None
+        return pd.concat(out, ignore_index=True)
+
+    def gen(batches):
+        pending = None
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                pending = None
+                continue
+            dv = pdf["doc_id"].values
+            start = int(np.searchsorted(dv, dv[-1], side="left"))
+            pending = pdf.iloc[start:]
+            body = pdf.iloc[:start]
+            if len(body):
+                res = process(body)
+                if res is not None:
+                    yield res
+        if pending is not None and len(pending):
+            res = process(pending)
+            if res is not None:
+                yield res
+
+    return (
+        rows.repartition(F.col("doc_id"))
+        .sortWithinPartitions("doc_id", "token")
+        .mapInPandas(gen, out_schema)
+    )
 
 
 def _rank_matched_terms(
@@ -109,41 +253,16 @@ def _rank_matched_terms(
     k: int,
 ) -> DataFrame:
     """Shared BM25 scoring tail: (doc_id, dl, token, tf, df) rows ->
-    ranked (doc_id, score, rank). One expression tree for the table and
-    store paths, so their floats cannot drift."""
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
-    scored = (
+    ranked (doc_id, score, rank). One term-score expression + one fold
+    kernel for the table and store paths, so their floats cannot
+    drift."""
+    scored = _fold_term_scores(
         matched.select(
             "doc_id",
-            "dl",
             "token",
-            (
-                idf
-                * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
-                / (
-                    F.col("tf").cast("double")
-                    + F.lit(k1)
-                    * (
-                        F.lit(1.0 - b)
-                        + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
-                    )
-                )
-            ).alias("term_score"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.aggregate(
-                F.array_sort(
-                    F.collect_list(F.struct("token", "term_score"))
-                ),
-                F.lit(0.0),
-                lambda a, s: a + s["term_score"],
-            ).alias("score")
-        )
+            _bm25_term_score(n_docs, avgdl, k1, b).alias("term_score"),
+        ),
+        None,
     )
     # orderBy+limit first so the global top-k is a TakeOrderedAndProject
     # (per-partition partial top-k, no single-partition exchange over the
@@ -669,16 +788,16 @@ def bm25_topk_batch(
         raise ValueError("empty corpus")
     avgdl = (stats["sum_dl"] or 0) / n_docs
 
-    qterm_df = spark.createDataFrame(
-        qterm_rows, f"{query_id_col} long, token string"
+    terms_df = spark.createDataFrame(
+        sorted({(t,) for _q, t in qterm_rows}), "token string"
     )
-    terms_df = qterm_df.select("token").distinct()
     # Tokenize ONCE into a projected column (size() and explode() read
-    # the array attribute), and attach df as a count window over the
-    # token partition of the already-reduced matched rows: the former
-    # matched.join(matched.groupBy(...)) form planned the corpus
-    # scan+explode+aggregate subtree TWICE (Spark does not CSE across
-    # self-referencing joins) — two full corpus passes per batch.
+    # the array attribute). df attaches like the point path: the
+    # matched rows are materialized once, df aggregates to <= |vocab|
+    # rows and broadcasts back — no count window (a stop-word term at
+    # corpus scale was ONE window task, guide §2.5), and no second
+    # corpus pass (the even older matched.join(matched.groupBy(...))
+    # form planned the scan+explode+aggregate subtree twice).
     matched = (
         docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
         .select(
@@ -690,12 +809,12 @@ def bm25_topk_batch(
         .groupBy("doc_id", "dl", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    with_df = matched.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
-    )
+    matched = materialize(matched)
+    dfreq = matched.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    with_df = matched.join(F.broadcast(dfreq), "token")
     return _rank_matched_terms_batch(
         with_df,
-        qterm_df,
+        qterm_rows,
         n_docs,
         avgdl,
         k1,
@@ -707,7 +826,7 @@ def bm25_topk_batch(
 
 def _rank_matched_terms_batch(
     matched: DataFrame,
-    qterm_df: DataFrame,
+    qterm_rows: list[tuple[int, str]],
     n_docs: int,
     avgdl: float,
     k1: float,
@@ -716,41 +835,20 @@ def _rank_matched_terms_batch(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Shared batch scoring tail: (doc_id, dl, token, tf, df) rows plus
-    the broadcastable (query_id, token) map -> per-query ranked
-    (query_id, doc_id, score, rank). One expression tree for the table
-    and store batch paths, so their floats cannot drift."""
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
-    scored = (
-        matched.join(F.broadcast(qterm_df), "token")
-        .select(
-            query_id_col,
+    the (query_id, token) pairs -> per-query ranked (query_id, doc_id,
+    score, rank). One term-score expression + one fold kernel for the
+    table and store batch paths, so their floats cannot drift. The
+    query fan-out happens INSIDE the fold kernel (a bool membership
+    matrix over <= |vocab| x |queries|) instead of a row-multiplying
+    join before the aggregation — see :func:`_fold_term_scores`."""
+    scored = _fold_term_scores(
+        matched.select(
             "doc_id",
             "token",
-            (
-                idf
-                * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
-                / (
-                    F.col("tf").cast("double")
-                    + F.lit(k1)
-                    * (
-                        F.lit(1.0 - b)
-                        + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
-                    )
-                )
-            ).alias("term_score"),
-        )
-        .groupBy(query_id_col, "doc_id")
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("token", "term_score"))),
-                F.lit(0.0),
-                lambda a, s: a + s["term_score"],
-            ).alias("score")
-        )
+            _bm25_term_score(n_docs, avgdl, k1, b).alias("term_score"),
+        ),
+        qterm_rows,
+        query_id_col=query_id_col,
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.round(F.col("score"), 10).desc(), F.col("doc_id").asc()
@@ -817,10 +915,7 @@ def bm25_topk_batch_store(
     buckets = sorted(
         set(token_buckets_for(spark, terms, int(meta["n_token_buckets"])).values())
     )
-    qterm_df = spark.createDataFrame(
-        qterm_rows, f"{query_id_col} long, token string"
-    )
-    terms_df = qterm_df.select("token").distinct()
+    terms_df = spark.createDataFrame([(t,) for t in terms], "token string")
     side_df = read_term_stats(spark, path).filter(F.col("token").isin(terms))
     matched = (
         posts.filter(F.col("token_bucket").isin(buckets))
@@ -829,5 +924,5 @@ def bm25_topk_batch_store(
         .select("doc_id", "dl", "token", "tf", "df")
     )
     return _rank_matched_terms_batch(
-        matched, qterm_df, n_docs, avgdl, k1, b, k, query_id_col
+        matched, qterm_rows, n_docs, avgdl, k1, b, k, query_id_col
     )
