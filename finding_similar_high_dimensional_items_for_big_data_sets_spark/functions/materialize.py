@@ -58,7 +58,7 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
         return df
     if mode == "reliable":
         sc = df.sparkSession.sparkContext
-        if sc._jsc.sc().getCheckpointDir().isEmpty():
+        if sc.getCheckpointDir() is None:
             raise ValueError(
                 f"{MATERIALIZE_CONF}=reliable requires a checkpoint "
                 "directory: call spark.sparkContext.setCheckpointDir(...) "

@@ -21,6 +21,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.materialize import (
+    materialize,
+)
 from finding_similar_high_dimensional_items_for_big_data_sets_spark.config import MinHashParams
 from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.arrays import (
     cosine_similarity,
@@ -226,19 +229,19 @@ def cross_corpus_duplicates(
     # subtrees twice (no CSE across joins) — without materialization
     # the expensive shingle+minhash pass ran twice per side per query
     # (guide §3.3: materialise an intermediate to truncate the plan;
-    # measured 2 corpus scans -> 1 at sf0.1). localCheckpoint is
+    # measured 2 corpus scans -> 1 at sf0.1). materialize() is
     # per-invocation (fresh RDD each call), so nothing persists across
-    # runs; the production shape remains cross_corpus_pairs_from_index
+    # runs — set spark.spark_graft.materialize=reliable on clusters to
+    # survive executor loss; the production shape remains
+    # cross_corpus_pairs_from_index
     # over the PREBUILT artifacts.
-    sigs = minhash.signatures(docs, params, id_col, text_col).localCheckpoint(
-        eager=False
-    )
+    sigs = minhash.signatures(docs, params, id_col, text_col).transform(materialize)
     bands = lsh.bands_table(sigs, params, id_col)
     # ref_docs may use the same id column name; it becomes ref_id_col
     ref_sigs = (
         minhash.signatures(ref_docs, params, id_col, text_col)
         .select(F.col(id_col).alias(ref_id_col), "sig")
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     ref_bands = lsh.bands_table(ref_sigs, params, ref_id_col)
     return cross_corpus_pairs_from_index(
@@ -479,7 +482,7 @@ def connected_components(
     Rounds needed = graph diameter; near-dup components are clique-like,
     so 2-4 rounds in practice. Each round is one shuffle-join + one
     aggregation; intermediate labels are cached and the lineage is cut
-    by localCheckpoint every few rounds so plans don't grow unboundedly
+    by materialize() every few rounds so plans don't grow unboundedly
     at scale. (At extreme graph sizes, swap in large-star/small-star —
     same external contract.)
     """
@@ -511,7 +514,7 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if i % 5 == 4:
-            labels = labels.localCheckpoint()
+            labels = labels.transform(materialize, eager=True)
         if changed == 0:
             converged = True
             break
@@ -641,9 +644,7 @@ def _cosine_pairs_blocked(
         # the SAME l2_norm sub-expressions — bit-identical values.
         bucketed = with_block(
             embeddings.select(F.col(id_col), F.col(vec_col)), vec_col
-        ).withColumn("__n", l2_norm(F.col(vec_col))).localCheckpoint(
-            eager=False
-        )
+        ).withColumn("__n", l2_norm(F.col(vec_col))).transform(materialize)
         left = bucketed.select(
             F.col(id_col).alias("vec_a"),
             F.col(vec_col).alias("emb_a"),
@@ -690,9 +691,7 @@ def _cosine_pairs_blocked(
     # Materialize once (self-join plans the blocking expression twice
     # otherwise) and carry the per-rep norm so pair verification folds
     # only the dot (same sub-expressions, bit-identical values).
-    bucketed = bucketed.withColumn("__n", l2_norm(F.col("vec"))).localCheckpoint(
-        eager=False
-    )
+    bucketed = bucketed.withColumn("__n", l2_norm(F.col("vec"))).transform(materialize)
     la = bucketed.select(
         F.col("rep").alias("rep_a"),
         F.col("vec").alias("emb_a"),
@@ -888,7 +887,7 @@ def embedding_cosine_duplicates_multiprobe(
             F.explode(
                 _probe_array("vec", dim, n_planes, seed, probe_margin)
             ).alias("__pb"),
-        ).localCheckpoint(eager=False)
+        ).transform(materialize)
         la = probed.select(
             F.col("rep").alias("rep_a"),
             F.col("__v").alias("__va"),
@@ -956,7 +955,7 @@ def embedding_cosine_duplicates_multiprobe(
         F.explode(
             _probe_array(vec_col, dim, n_planes, seed, probe_margin)
         ).alias("__pb"),
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     left = probed.select(
         F.col(id_col).alias("vec_a"),
         F.col("__v").alias("__va"),
@@ -1486,9 +1485,7 @@ def shared_ngram_spans(
     # subtrees twice — without this the whole tokenize+gram+md5 pass
     # ran twice per query (guide §3.3; same fix as
     # cross_corpus_duplicates' signature table).
-    exploded = _ngram_hash_rows(docs, n, id_col, text_col).localCheckpoint(
-        eager=False
-    )
+    exploded = _ngram_hash_rows(docs, n, id_col, text_col).transform(materialize)
     freq = (
         exploded.groupBy("gram_hash")
         .agg(F.count("*").alias("df"))
@@ -1680,7 +1677,7 @@ def incremental_exact_dedup(
         # side — so the checkpoint is cheap)
         flagged = firsts.withColumn(
             "__maybe", mc(F.col("content_hash"))
-        ).localCheckpoint(eager=False)
+        ).transform(materialize)
         definite = flagged.filter(~F.col("__maybe"))
         survivors = flagged.filter(F.col("__maybe")).join(
             hist, "content_hash", "left_anti"

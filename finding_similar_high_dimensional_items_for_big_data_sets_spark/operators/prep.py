@@ -15,6 +15,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.materialize import (
+    materialize,
+)
 from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.hashing import (
     portable_hash64,
 )
@@ -93,7 +96,7 @@ def pack_chunks(
     ranged = (
         docs.select(id_col, count_col)
         .repartitionByRange(n_parts, F.col(id_col))
-        .localCheckpoint()
+        .transform(materialize, eager=True)
     )
     totals = {
         r["pid"]: r["tot"]
@@ -1652,7 +1655,7 @@ def dsir_select_tokens(
     )
     ranged = keyed.repartitionByRange(
         n_parts, F.col("nkey"), F.col("doc_id")
-    ).localCheckpoint()
+    ).transform(materialize, eager=True)
     totals = {
         r["pid"]: r["tot"]
         for r in ranged.groupBy(F.spark_partition_id().alias("pid"))
@@ -1736,7 +1739,7 @@ def epoch_shuffle(
     ranged = (
         docs.select(F.col(id_col), key.alias("skey"))
         .repartitionByRange(n_parts, F.col("skey"), F.col(id_col))
-        .localCheckpoint()
+        .transform(materialize, eager=True)
     )
     counts = {
         r["pid"]: r["n"]

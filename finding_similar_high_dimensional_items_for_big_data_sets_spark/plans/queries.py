@@ -11,6 +11,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.materialize import (
+    materialize,
+)
 from finding_similar_high_dimensional_items_for_big_data_sets_spark import contract as C
 from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions import textstats
 from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.arrays import (
@@ -625,7 +628,7 @@ def q_full_prep_pipeline(spark, sf_dir):
     # localCheckpoint: the clean subtree (quality arithmetic + exact-
     # dedup window) feeds ~5 branches of this DAG; materialize it once
     # (the DuckDB twin marks the same CTE MATERIALIZED)
-    clean = corpus_clean_df(train_docs).localCheckpoint()
+    clean = corpus_clean_df(train_docs).transform(materialize, eager=True)
     sigs_all = _sigs(spark, sf_dir)
     bands_all = _bands(spark, sf_dir)
     keep, sigs, bands, comp = survivor_components(clean, sigs_all, bands_all)

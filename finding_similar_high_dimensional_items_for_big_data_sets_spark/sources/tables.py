@@ -10,6 +10,9 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.materialize import (
+    materialize,
+)
 
 TABLES = (
     "region",
@@ -2354,7 +2357,7 @@ def rebuild_postings_stats(spark: SparkSession, path: str) -> None:
         posts.select(*cols)
         .distinct()
         .join(have, "doc_id", "left_anti")
-        .localCheckpoint(eager=True)  # cut lineage: the write reads dl_path
+        .transform(materialize, eager=True)  # cut lineage: the write reads dl_path
     )
     if missing.count() > 0:
         writer = missing.write.mode("append")

@@ -24,6 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.materialize import (
+    materialize,
+)
 from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
     BASE_INGEST_BATCH,
 )
@@ -125,7 +128,7 @@ def stream_ingest_dedup(
         # so materialize the epoch's small result first and cut lineage
         new_rows = incremental_exact_dedup(
             batch_df, hist, id_col=id_col, text_col=text_col
-        ).localCheckpoint(eager=True)
+        ).transform(materialize, eager=True)
         kept = batch_df.join(
             new_rows.withColumnRenamed("doc_id", id_col), id_col
         ).withColumn("ingest_batch", F.lit(int(batch_id)))

@@ -38,6 +38,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.materialize import (
+    materialize,
+)
 from finding_similar_high_dimensional_items_for_big_data_sets_spark.sources.tables import (
     _postings_rows,
     read_store_meta,
@@ -98,7 +101,7 @@ def stream_lexical_ingest(
         # doc lengths and term df both derive from the checkpointed
         # posts below (posting rows carry dl), so tokenize() runs
         # exactly once per epoch
-        posts = posts.localCheckpoint(eager=True)
+        posts = posts.transform(materialize, eager=True)
         # (doc_id, dl) from the postings themselves; zero-token docs
         # have no posting rows (explode drops them), so backfill them
         # with dl=0 from the batch's id column — no second tokenize

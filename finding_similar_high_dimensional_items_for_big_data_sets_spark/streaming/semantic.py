@@ -31,6 +31,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.materialize import (
+    materialize,
+)
 from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.arrays import (
     cosine_similarity,
 )
@@ -304,7 +307,7 @@ def stream_semantic_ingest(
         # before overwriting it (same self-read rule as the hash loop)
         new_rows = semantic_new_rows(
             batch_df, hist, centroids, threshold, id_col, vec_col
-        ).localCheckpoint(eager=True)
+        ).transform(materialize, eager=True)
         stamped = new_rows.withColumn("ingest_batch", F.lit(int(batch_id)))
         prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

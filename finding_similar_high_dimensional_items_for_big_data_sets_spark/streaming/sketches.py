@@ -27,6 +27,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.materialize import (
+    materialize,
+)
 from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions import cms, hll
 
 # Epoch id for base/compacted partitions; real stream epochs are >= 0.
@@ -157,7 +160,7 @@ def compact_sketch_store(spark: SparkSession, path: str, kind: str) -> None:
 
     new_wm = max(_store_epochs(path), default=None)
     # materialize before touching the directory the plan reads
-    rows = merged.localCheckpoint(eager=True)
+    rows = merged.transform(materialize, eager=True)
     tmp = _prepare_dir_swap(path)
     (
         rows.withColumn("ingest_batch", F.lit(BASE_SKETCH_BATCH))
