@@ -36,6 +36,9 @@ from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.ar
 from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.hashing import (
     band_hash,
 )
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.materialize import (
+    materialize,
+)
 
 
 def bands_table(sigs: DataFrame, params: MinHashParams, id_col: str = "doc_id") -> DataFrame:
@@ -650,9 +653,17 @@ def self_join_pairs(
     # valid for the representative set; an over-max hint proves nothing
     # about distinct sigs and falls back to counting.
     rep_hint = n_docs if n_docs is not None and n_docs <= VECTORIZE_MAX_SIGS else None
-    groups = sigs.groupBy("sig").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.sort_array(F.collect_list("doc_id")).alias("members"),
+    # Materialize the signature groups once: FIVE consumers replan this
+    # aggregation otherwise (the rep-band semi join, the scorer's
+    # bounded collect, BOTH sides of the cross expansion, and the
+    # intra-group pairs) — at corpus scale each replan is a full
+    # signature-table aggregation (guide §3.3; per-invocation, see
+    # functions.materialize).
+    groups = materialize(
+        sigs.groupBy("sig").agg(
+            F.min("doc_id").alias("doc_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
     )
     rep_sigs = groups.select("doc_id", "sig")
     rep_bands = bands.join(
