@@ -1318,27 +1318,48 @@ def hkm_train_df(
     sample_size: int = 32768,
     n_rows: int | None = None,
 ) -> HKMQuantizer:
-    """Sample-then-train: seeded ``df.sample`` down to ~``sample_size``
-    rows collected to the driver, then :func:`hkm_train`. This is how
+    """Sample-then-train: a content-deterministic ``sample_size``-row
+    subset collected to the driver, then :func:`hkm_train`. This is how
     production coarse quantizers train at 100 TB — the quantizer needs
     the density SHAPE, not every row, and a bounded sample makes
-    training cost independent of corpus size. ``n_rows`` skips the
-    sizing count when the caller already knows it."""
-    if n_rows is None:
-        n_rows = embeddings.count()
-    frac = min(1.0, (sample_size * 1.2) / max(1, n_rows))
-    sampled = embeddings.select(vec_col)
-    if frac < 1.0:
-        sampled = sampled.sample(withReplacement=False, fraction=frac, seed=seed)
-    rows = sampled.limit(sample_size).collect()
-    # Canonical sample order: collect() returns rows in partition
-    # order, so an input layout change (file splits, repartition)
-    # would silently train a DIFFERENT tree from the same sample.
-    # Sorting makes the quantizer a function of the sample CONTENT
-    # only — partitioning-invariant, as a production artifact must be.
-    X = np.array(
-        sorted((list(r[vec_col]) for r in rows)), dtype=np.float64
+    training cost independent of corpus size.
+
+    The subset is the ``sample_size`` rows with the smallest
+    ``xxhash64(vector, seed)`` — a seeded uniform draw that is a
+    function of the DATA alone. The former ``sample(seed).limit(n)``
+    picked rows by partition layout (Bernoulli draws follow partition
+    assignment and ``limit`` takes whichever partitions answer first),
+    so re-ingesting identical data with a different file count silently
+    trained a different tree; it also needed a sizing ``count()`` pass.
+    One distributed partial top-k (TakeOrderedAndProject) replaces
+    both. The collected rows are then put in NaN-safe lexicographic
+    order (``np.lexsort``) so the training matrix is invariant to
+    collect order too. ``n_rows`` is retained for API compatibility
+    and ignored (no sizing pass exists anymore).
+
+    Artifact note: this changes WHICH rows a retrain on identical data
+    selects versus pre-round-12 builds (the old subset was
+    layout-dependent, so it was never stable to begin with); persisted
+    HKM quantizers keep answering queries unchanged — only retraining
+    is affected.
+    """
+    rows = (
+        embeddings.select(vec_col)
+        .orderBy(
+            F.xxhash64(F.col(vec_col), F.lit(seed)).asc(),
+            F.col(vec_col).asc(),
+        )
+        .limit(sample_size)
+        .collect()
     )
+    if not rows:
+        raise ValueError("empty embeddings table")
+    X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    # np.lexsort's last key is the primary one -> feed columns reversed
+    # for lexicographic row order; argsort places NaN last and is
+    # stable, so the order is total even for NaN-carrying vectors
+    # (python list sort raises/misorders on NaN).
+    X = X[np.lexsort(X.T[::-1])]
     return hkm_train(X, n_leaves, branch=branch, seed=seed, n_iters=n_iters)
 
 

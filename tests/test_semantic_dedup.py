@@ -265,6 +265,29 @@ def test_hkm_train_df_samples_and_trains(emb):
     assert all(0 <= r["cell"] < q.n_leaves for r in occ)
 
 
+def test_hkm_train_df_sample_is_layout_invariant(emb):
+    # the trained tree must be a function of the data CONTENT only:
+    # re-laying-out the same rows (different partition count/order)
+    # must select the same sample and train the identical tree
+    q1 = ann.hkm_train_df(emb, n_leaves=8, branch=4, seed=7, sample_size=256)
+    q2 = ann.hkm_train_df(
+        emb.repartition(7).sortWithinPartitions("vec_id"),
+        n_leaves=8,
+        branch=4,
+        seed=7,
+        sample_size=256,
+    )
+    q3 = ann.hkm_train_df(
+        emb.coalesce(1), n_leaves=8, branch=4, seed=7, sample_size=256
+    )
+    for other in (q2, q3):
+        assert q1.n_leaves == other.n_leaves
+        assert all(
+            (a["centers"] == b["centers"]).all()
+            for a, b in zip(q1.levels, other.levels)
+        )
+
+
 def test_semantic_duplicates_hkm_finds_planted_clones(spark):
     df = _planted(spark)
     X = np.array(
