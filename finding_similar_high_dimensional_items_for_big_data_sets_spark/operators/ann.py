@@ -588,6 +588,7 @@ def ivf_assign(
     import pandas as pd
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    _assert_pow_square_identity(embeddings.sparkSession)
     cents = np.asarray(centroids, dtype=np.float64)
     cbc = embeddings.sparkSession.sparkContext.broadcast(cents)
     out_schema = StructType(
@@ -1488,6 +1489,52 @@ def random_codebooks(
     return rs.randn(m, n_codes, dim // m).tolist()
 
 
+#: sessions (by SparkContext identity) whose JVM passed the
+#: pow(x,2) == x*x bit-identity check — an ENVIRONMENT property, not a
+#: data result, so caching it across invocations is sound.
+_SEQFOLD_GUARD_OK: dict[int, bool] = {}
+
+
+def _assert_pow_square_identity(spark) -> None:
+    """Guard the Arrow kernels' bit-parity premise on THIS JVM.
+
+    Every seqfold kernel (:func:`_seqfold_sq_dists`, :func:`_rotate_np`,
+    the encode/assign paths) reproduces the expression trees' ``pow(d,
+    2)`` with numpy ``d*d``. IEEE multiply is correctly rounded in both
+    engines, so the premise reduces to ``Math.pow(d, 2.0) == d*d`` on
+    the executing JVM — asserted empirically over 4M doubles on the
+    build JVM, but a different JVM build/arch could in principle
+    diverge and silently flip argmin ties versus the expression/oracle
+    path with no failing check. This runs ONE tiny single-partition job
+    per session over 16k deterministic wide-magnitude doubles
+    (~1e-306..1e306, both signs) and raises if any value differs;
+    ``spark.spark_graft.seqfold_guard=off`` skips it."""
+    if spark.conf.get("spark.spark_graft.seqfold_guard", "on") == "off":
+        return
+    key = id(spark.sparkContext)
+    if _SEQFOLD_GUARD_OK.get(key):
+        return
+    v = (F.rand(7) * 2 - 1) * F.pow(
+        F.lit(10.0), (F.col("id") % F.lit(613)).cast("double") - F.lit(306.0)
+    )
+    bad = (
+        spark.range(0, 1 << 14, 1, 1)
+        .select(v.alias("v"))
+        .filter(F.pow(F.col("v"), 2) != F.col("v") * F.col("v"))
+        .count()
+    )
+    if bad:
+        raise RuntimeError(
+            f"this JVM's Math.pow(x, 2) differs from x*x on {bad}/16384 "
+            "sampled doubles — the Arrow kernel paths (ivf_assign, "
+            "pq/opq/ivfpq encode) would not be bit-identical to the "
+            "expression forms (nearest_cell / pq_code_expr). Use the "
+            "expression-path operators, or set "
+            "spark.spark_graft.seqfold_guard=off to accept the risk"
+        )
+    _SEQFOLD_GUARD_OK[key] = True
+
+
 def _seqfold_sq_dists(mat: "np.ndarray", pts: "np.ndarray") -> "np.ndarray":
     """(n, |pts|) squared-L2 with the EXACT IEEE op order of the
     :func:`nearest_cell` / :func:`pq_code_expr` sequential fold: per
@@ -1595,6 +1642,7 @@ def pq_encode(
         StructType,
     )
 
+    _assert_pow_square_identity(embeddings.sparkSession)
     books = np.asarray(codebooks, dtype=np.float64)
     rot = (
         np.asarray(r_cols, dtype=np.float64).T if r_cols is not None else None
@@ -2107,6 +2155,7 @@ def ivfpq_encode(
         StructType,
     )
 
+    _assert_pow_square_identity(embeddings.sparkSession)
     cents = np.asarray(centroids, dtype=np.float64)
     books = np.asarray(codebooks, dtype=np.float64)
     rot = (
@@ -2183,6 +2232,7 @@ def ivfpq_encode_hkm(
         StructType,
     )
 
+    _assert_pow_square_identity(embeddings.sparkSession)
     books = np.asarray(codebooks, dtype=np.float64)  # (m, n_codes, dsub)
     m_sub, _, dsub = books.shape
     rot = (

@@ -34,6 +34,37 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
 
 
+def _scan_splits_estimate(spark: SparkSession, path: str, cap: int) -> int:
+    """Estimated scan split count from file METADATA (one FS listing —
+    no plan->RDD conversion, which cost ~40 ms per fresh DataFrame and
+    re-planned the scan on every load_table call). Mirrors Spark's
+    FilePartition packing: each file is charged openCostInBytes and
+    sizes bin-pack into maxPartitionBytes bins. Returns early once
+    ``cap`` splits are accounted for (a big table never pays a full
+    walk)."""
+    jvm = spark._jvm
+    as_bytes = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes
+    max_pb = as_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    open_cost = as_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4m")
+    )
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    charged = 0
+    it = fs.listStatusIterator(jpath)
+    while it.hasNext():
+        st = it.next()
+        base = st.getPath().getName()
+        if not st.isFile() or base.startswith(("_", ".")):
+            continue
+        charged += st.getLen() + open_cost
+        if charged >= cap * max_pb:
+            return cap
+    return max(1, -(-charged // max_pb))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1/S2: columnar scan with pushdown/pruning owned by Spark.
 
@@ -41,6 +72,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Spark refuses by default; read nanos as long and truncate to
     microseconds (exactly DuckDB's TIMESTAMP_NS -> TIMESTAMP behavior,
     keeping the oracle comparable).
+
+    ORDERING CAVEAT: ``documents``/``embeddings`` may come back
+    round-robin repartitioned (see below), so row order — and therefore
+    any bare ``.limit(n)`` / ``.first()`` subset — is not stable across
+    evaluations. Select subsets by predicate (``filter(id < n)``), as
+    the tests and fixtures do.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -64,9 +101,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # repartition only fires when the scan has FEWER splits than
         # that — a production-sized table with many files/row groups
         # passes through untouched, and filters/pruning still push
-        # through the repartition to the scan.
+        # through the repartition to the scan. The split count comes
+        # from file metadata, not df.rdd (which converted the plan to
+        # an RDD on every call).
         target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
+        if _scan_splits_estimate(spark, path, target) < target:
             df = df.repartition(target)
     return df
 
