@@ -32,6 +32,9 @@ from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.ar
     cosine_similarity,
     l2_distance,
 )
+from finding_similar_high_dimensional_items_for_big_data_sets_spark.functions.materialize import (
+    materialize,
+)
 
 
 def random_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
@@ -1813,6 +1816,18 @@ def train_pq(
     dsub = dim // m
     sc = embeddings.sparkSession.sparkContext
     vecs = embeddings.select(vec_col)
+    if n_iters > 1:
+        # Each Lloyd iteration re-evaluates the input plan; when the
+        # caller feeds a DERIVED table (e.g. IVF residuals — an
+        # interpreted zip_with over the assignment), that upstream
+        # compute ran n_iters times (measured 2.26 -> 1.33 s for the
+        # residual-train row at sf0.1). Materialize once per
+        # invocation: partition layout and row order are preserved, so
+        # the per-batch partial sums — and the codebooks — stay
+        # bit-identical (guide §3.3). At extreme corpus scale prefer
+        # pre-sampling the training input; spark.spark_graft.
+        # materialize=none restores streaming recompute.
+        vecs = materialize(vecs)
     cents = np.stack(
         [
             np.array(random_centroids(dsub, n_codes, seed + s), dtype=np.float64)
