@@ -1266,11 +1266,19 @@ def q_incremental_dedup(spark, sf_dir):
         F.concat(F.upper(F.col("text")), F.lit("  ")).alias("text"),
     )
     batch = batch_native.unionByName(planted)
-    hist_hashes = history.select(
-        portable_hash64(dedup.normalize_text(F.col("text"))).alias("content_hash")
+    # one normalize+hash pass over history: the bloom build AND the
+    # anti join both consume these 8-byte hashes (Spark replans
+    # self-referenced subtrees), and the sizing count rides the same
+    # materialized rows instead of a third scan
+    hist_hashes = materialize(
+        history.select(
+            portable_hash64(dedup.normalize_text(F.col("text"))).alias(
+                "content_hash"
+            )
+        )
     )
     n_bits, n_hashes = bloom.optimal_params(
-        max(1, history.count()), C.INC_BLOOM_FP
+        max(1, hist_hashes.count()), C.INC_BLOOM_FP
     )
     bits = bloom.build_bloom(hist_hashes, "content_hash", n_bits, n_hashes)
     return dedup.incremental_exact_dedup(
